@@ -1,0 +1,90 @@
+"""Single-threaded reference replay oracle (FIXTURES.md §5).
+
+Semantics are the reference's mutation core re-stated: check-then-insert
+dedup + keyed last-state-wins updates + keyed delete (SURVEY.md §2.3 J3,
+§2.9) — a dict keyed by url, events applied in total `(warc_ts, op_seq)`
+order, `D` removes the key. The engine's distributed MERGE must produce a
+byte-for-byte identical final table.
+
+The oracle reads the change *files* (not the generator arrays) so batch
+splitting, duplicate injection, and schema-evolution mapping are all
+exercised identically on both sides.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from tiger_etl_spark.functions.text import extract_text_py
+
+VALID_OPS = {"I", "U", "D"}
+
+
+def normalize_event(row: dict, schema_id: int) -> dict:
+    """Schema-id mapping, oracle side: v1 `body`→`html`, lang=None,
+    content_len int→long (Python ints are wide already)."""
+    if schema_id == 1:
+        html = row.get("body")
+        lang = None
+    else:
+        html = row.get("html")
+        lang = row.get("lang")
+    return {
+        "op": row["op"],
+        "op_seq": row["op_seq"],
+        "url": row["url"],
+        "warc_ts": row["warc_ts"],
+        "html": html,
+        "lang": lang,
+        "content_len": row.get("content_len"),
+    }
+
+
+def is_valid(e: dict) -> bool:
+    """Validation rules (FIXTURES.md §6): non-empty url, positive op_seq,
+    op ∈ {I,U,D}, non-null warc_ts. Mirrors the reference's Pydantic
+    rejection semantics (sessions_management/validations.py:88-114)."""
+    return (
+        bool(e["url"])
+        and e["op_seq"] is not None
+        and e["op_seq"] > 0
+        and e["op"] in VALID_OPS
+        and e["warc_ts"] is not None
+    )
+
+
+def read_change_files(change_dir: str) -> list[dict]:
+    events = []
+    for path in sorted(glob.glob(os.path.join(change_dir, "*.parquet"))):
+        tbl = pq.read_table(path)
+        for row in tbl.to_pylist():
+            events.append(normalize_event(row, row["schema_id"]))
+    return events
+
+
+def replay(events: list[dict]) -> dict[str, dict]:
+    """Apply valid events in (warc_ts, op_seq) total order; return the
+    final url→row state. Exact duplicates collapse (idempotent)."""
+    valid = [e for e in events if is_valid(e)]
+    valid.sort(key=lambda e: (e["warc_ts"], e["op_seq"]))
+    state: dict[str, dict] = {}
+    for e in valid:
+        if e["op"] == "D":
+            state.pop(e["url"], None)
+        else:
+            state[e["url"]] = {
+                "url": e["url"],
+                "warc_ts": e["warc_ts"],
+                "html": e["html"],
+                "text": extract_text_py(e["html"]),
+                "lang": e["lang"],
+                "content_len": e["content_len"],
+            }
+    return state
+
+
+def replay_dir(change_dir: str) -> dict[str, dict]:
+    return replay(read_change_files(change_dir))

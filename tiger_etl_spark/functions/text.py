@@ -1,0 +1,134 @@
+"""Text functions: html→text extraction (the per-row parity invariant),
+language ID, quality scoring, token counting, document fingerprinting.
+
+Reference analog for extraction: ``_extract_device_info`` — the
+reference's one genuine text-extraction function, a substring-match
+classifier over ``user_agent``
+(``modules/authentication_management/session_manager.py:208-247``). Here
+the extraction is html→text and runs as a **vectorized Arrow/pandas UDF**
+(input_hint: no per-row Python in the Spark plan). ``extract_text_py`` is
+the single-threaded oracle; byte-identical output per url is asserted in
+tests (BASELINE.json per-row invariant).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# One regex source of truth, shared by the oracle and the vectorized UDF
+# (both are CPython `re`, so semantics are byte-identical).
+_TAG_RE = r"<[^>]*>"
+_WS_RE = r"\s+"
+
+
+def extract_text_py(html: bytes | None) -> str | None:
+    """Single-threaded oracle extractor (plain Python, per FIXTURES.md §5)."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    s = re.sub(_TAG_RE, " ", s)
+    s = re.sub(_WS_RE, " ", s)
+    return s.strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Vectorized html→text. Pure pandas string kernels over Arrow
+    batches — no per-row Python callback in the hot path."""
+    return (
+        html.str.decode("utf-8", errors="replace")
+        .str.replace(_TAG_RE, " ", regex=True)
+        .str.replace(_WS_RE, " ", regex=True)
+        .str.strip()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline text analysis (JVM-side column expressions — these
+# stay inside whole-stage codegen; no Python at all).
+# ---------------------------------------------------------------------------
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic. Deliberately small + deterministic (no external models).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " de ", " que ", " los ", " es "],
+    "hi": [" ka ", " ki ", " hai ", " aur ", " se "],
+}
+
+
+def detect_lang(text: Column) -> Column:
+    """Heuristic language ID: count stopword-marker hits per language,
+    pick the argmax (ties broken by language order), 'und' when no hits.
+
+    All JVM-side: padded `contains` counts via a score expression.
+    """
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = [
+        (
+            lang,
+            sum(
+                (F.when(padded.contains(m), 1).otherwise(0))
+                for m in markers
+            ),
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so earlier languages win ties via later .when overriding
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def quality_score_cols(text: Column) -> dict[str, Column]:
+    """Document quality features: length, token count, mean token length,
+    punctuation ratio, uppercase ratio, stopword ratio (en)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?'\"()\[\]{}]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n_stop = sum(
+        F.size(F.split(padded, re.escape(m))) - 1 for m in _LANG_MARKERS["en"]
+    )
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(None))
+    nzt = F.when(n_tokens > 0, n_tokens.cast("double")).otherwise(F.lit(None))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": (n_chars - (n_tokens - 1)).cast("double") / nzt,
+        "punct_ratio": n_punct.cast("double") / nz,
+        "upper_ratio": n_upper.cast("double") / nz,
+        "stopword_ratio": n_stop.cast("double") / nzt,
+    }
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint for exact dedup:
+    xxhash64 of the whitespace-normalized, case-folded text. JVM-side."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.xxhash64(norm)
+
+
+def content_hash(text: Column) -> Column:
+    """Portable (cross-engine) content hash: md5 hex of normalized text —
+    used where the DuckDB oracle must reproduce the value exactly."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)

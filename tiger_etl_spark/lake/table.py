@@ -1,0 +1,475 @@
+"""LakeTable — a minimal Iceberg-style table format on plain Parquet.
+
+The sandbox has no Iceberg/Delta jars, so the lake layer is built from
+scratch (which is also the assignment: a brand-new engine, not a port).
+Design follows the Iceberg spec's public ideas (snapshot manifests,
+atomic pointer swap, hidden bucket partitioning, copy-on-write vs
+merge-on-read row-level operations, schema-id evolution) re-implemented
+minimally for a single-writer CDC sink:
+
+- ``meta/v{N}.json``  — manifest: schema registry, file list (with
+  per-file bucket / row-count / byte / min-max stats), snapshot lineage,
+  table properties (including applied-batch bookkeeping for exactly-once).
+- ``meta/_current``   — pointer file, atomically replaced (os.replace) —
+  readers always see a complete snapshot; on HDFS/S3 this maps to an
+  atomic rename / a catalog CAS. Single-writer is assumed (the streaming
+  driver), as with one Structured Streaming query per sink.
+- ``data/``           — zstd parquet, file-per-bucket-per-commit.
+
+Partitioning: hidden ``bucket(B, key)`` via ``pmod(xxhash64(key), B)``.
+A CDC upsert table is bucketed by merge key so every MERGE is a
+bucket-local operation: the shuffle is one hash-partition by bucket, and
+write amplification is bounded by touched buckets (merge-on-read: by the
+batch size alone). Event-time pruning uses per-file min/max warc_ts stats.
+
+Reference analog: the TimescaleDB hypertable layout — time partitioning,
+compression segment-by key, retention
+(``system/system/models/sessions_management/model.py:304-431``) — maps to
+bucket partitioning + ``compact()`` (sorted rewrite) + ``expire_snapshots``.
+Transactionality (``engine.begin()`` everywhere, ``pg_db.py:237,350``)
+maps to the atomic snapshot commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_BUCKET_COL = "_bucket"
+_SEQ_COL = "_op_seq"
+_DELETED_COL = "_deleted"
+INTERNAL_COLS = (_SEQ_COL, _DELETED_COL)
+
+
+@dataclass
+class MergeStats:
+    snapshot_id: int
+    rows_upserted: int = 0
+    rows_deleted: int = 0
+    buckets_touched: int = 0
+    files_added: int = 0
+    files_removed: int = 0
+    bytes_written: int = 0
+    partition_counts: dict[str, int] = field(default_factory=dict)
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """A snapshot-versioned, bucket-partitioned upsert table."""
+
+    def __init__(self, path: str, manifest: dict):
+        self.path = path
+        self.manifest = manifest
+
+    # ------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema_ddl: str,
+        key_col: str,
+        order_cols: tuple[str, ...] = ("warc_ts",),
+        num_buckets: int = 16,
+        props: dict | None = None,
+    ) -> "LakeTable":
+        """`order_cols` + the internal `_op_seq` form the LWW total order
+        (ties on event time broken by sequence — SURVEY.md §7 risk #1)."""
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "meta"), exist_ok=True)
+        manifest = {
+            "format_version": 1,
+            "version": 0,
+            "snapshot_id": 0,
+            "parent_version": None,
+            "key_col": key_col,
+            "order_cols": list(order_cols),
+            "num_buckets": num_buckets,
+            "current_schema_id": 2,
+            # schema registry: physical read schema per schema_id +
+            # rename map into the live schema (Iceberg field-id analog)
+            "schemas": {"2": {"ddl": schema_ddl, "renames": {}}},
+            "files": [],
+            "props": dict(props or {}),
+            "summary": {},
+        }
+        cls._write_manifest(path, manifest)
+        return cls(path, manifest)
+
+    @classmethod
+    def load(cls, path: str) -> "LakeTable":
+        with open(os.path.join(path, "meta", "_current")) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(path, "meta", f"v{version}.json")) as f:
+            return cls(path, json.load(f))
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "meta", "_current"))
+
+    @staticmethod
+    def _write_manifest(path: str, manifest: dict) -> None:
+        mpath = os.path.join(path, "meta", f"v{manifest['version']}.json")
+        _atomic_write(mpath, json.dumps(manifest, indent=1))
+        _atomic_write(os.path.join(path, "meta", "_current"), str(manifest["version"]))
+
+    # ------------------------------------------------------------ helpers
+    @property
+    def key_col(self) -> str:
+        return self.manifest["key_col"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.manifest["num_buckets"]
+
+    @property
+    def schema_ddl(self) -> str:
+        sid = str(self.manifest["current_schema_id"])
+        return self.manifest["schemas"][sid]["ddl"]
+
+    @property
+    def props(self) -> dict:
+        return self.manifest["props"]
+
+    def _order_exprs(self) -> list:
+        return [F.col(c).desc() for c in self.manifest["order_cols"]] + [
+            F.col(_SEQ_COL).desc()
+        ]
+
+    def bucket_expr(self, col=None):
+        col = col if col is not None else F.col(self.key_col)
+        return F.pmod(F.xxhash64(col), F.lit(self.num_buckets)).cast("int")
+
+    def _physical_ddl(self) -> str:
+        return f"{self.schema_ddl}, {_SEQ_COL} long, {_DELETED_COL} boolean"
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.path, rel)
+
+    def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], self._physical_ddl())
+        paths = [self._abs(f["path"]) for f in files]
+        return spark.read.schema(self._physical_ddl()).parquet(*paths)
+
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """LWW: keep the max-(order_cols, _op_seq) row per key (W3)."""
+        w = Window.partitionBy(self.key_col).orderBy(*self._order_exprs())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    # --------------------------------------------------------------- scan
+    def scan(
+        self,
+        spark: SparkSession,
+        include_internal: bool = False,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Read the current snapshot. Buckets whose files are all 'base'
+        (compacted: unique keys) stream straight through; buckets with
+        delta files get LWW-resolved. Tombstones are filtered at the end.
+        """
+        files = self.manifest["files"]
+        dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
+        clean = [f for f in files if f["bucket"] not in dirty_buckets]
+        dirty = [f for f in files if f["bucket"] in dirty_buckets]
+        df = self._read_files(spark, clean)
+        if dirty:
+            df = df.unionByName(self._resolve(self._read_files(spark, dirty)))
+        if not include_tombstones:
+            df = df.where(~F.col(_DELETED_COL))
+        if not include_internal:
+            df = df.drop(*INTERNAL_COLS)
+        return df
+
+    # -------------------------------------------------------------- merge
+    def merge(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        mode: str = "mor",
+    ) -> MergeStats:
+        """MERGE INTO (SURVEY.md §2.3 J6): `batch` has the table schema
+        plus `op ('I'|'U'|'D')` and `op_seq long`. Within-batch LWW dedup
+        keeps the winning event per key (tombstones included — a D must
+        survive dedup to win over earlier I/U). Deletes persist as
+        tombstone rows so late-arriving older events can never resurrect
+        a deleted key (the idempotent-replay guard); `compact()` GCs them.
+
+        mode='mor' (merge-on-read): append delta files per bucket — one
+        shuffle by bucket, write cost ∝ batch size. The 10^10-scale path.
+        mode='cow' (copy-on-write): rewrite touched buckets to unique-key
+        base files — read cost stays minimal.
+        """
+        normalized = (
+            batch.withColumn(_SEQ_COL, F.col("op_seq").cast("long"))
+            .withColumn(_DELETED_COL, F.col("op") == "D")
+            .withColumn(_BUCKET_COL, self.bucket_expr())
+        )
+        deduped = self._resolve(normalized).select(
+            *[f.name for f in spark.createDataFrame([], self.schema_ddl).schema.fields],
+            _SEQ_COL,
+            _DELETED_COL,
+            _BUCKET_COL,
+        )
+
+        if mode == "mor":
+            write_df = deduped
+            removed: list[dict] = []
+        elif mode == "cow":
+            touched = [
+                r[_BUCKET_COL]
+                for r in deduped.select(_BUCKET_COL).distinct().collect()
+            ]
+            touched_set = set(touched)
+            old_files = [
+                f for f in self.manifest["files"] if f["bucket"] in touched_set
+            ]
+            current = self._read_files(spark, old_files).withColumn(
+                _BUCKET_COL, self.bucket_expr()
+            )
+            write_df = self._resolve(current.unionByName(deduped))
+            removed = old_files
+        else:
+            raise ValueError(f"unknown merge mode {mode!r}")
+
+        new_files = self._write_data(spark, write_df, kind="delta" if mode == "mor" else "base")
+        kept = (
+            self.manifest["files"]
+            if mode == "mor"
+            else [f for f in self.manifest["files"] if f not in removed]
+        )
+        summary = {
+            "operation": f"merge-{mode}",
+            "rows_written": sum(f["rows"] for f in new_files),
+        }
+        self._commit(kept + new_files, summary)
+        return MergeStats(
+            snapshot_id=self.manifest["snapshot_id"],
+            rows_upserted=sum(f["rows"] for f in new_files),
+            buckets_touched=len({f["bucket"] for f in new_files}),
+            files_added=len(new_files),
+            files_removed=len(removed),
+            bytes_written=sum(f["bytes"] for f in new_files),
+            partition_counts={
+                f"bucket={f['bucket']}": f["rows"] for f in new_files
+            },
+        )
+
+    # ------------------------------------------------------------ compact
+    def compact(
+        self,
+        spark: SparkSession,
+        tombstone_horizon=None,
+    ) -> MergeStats:
+        """Rewrite dirty buckets to unique-key base files sorted by key
+        (the Timescale 'compress segmentby/orderby' analog). Tombstones
+        older than `tombstone_horizon` (an event-time cutoff ≥ the
+        watermark horizon) are dropped — later events for those keys can
+        no longer arrive, so the tombstone is garbage."""
+        files = self.manifest["files"]
+        dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
+        if not dirty_buckets:
+            return MergeStats(snapshot_id=self.manifest["snapshot_id"])
+        old = [f for f in files if f["bucket"] in dirty_buckets]
+        df = self._read_files(spark, old).withColumn(_BUCKET_COL, self.bucket_expr())
+        resolved = self._resolve(df)
+        if tombstone_horizon is not None:
+            ts_col = self.manifest["order_cols"][0]
+            resolved = resolved.where(
+                (~F.col(_DELETED_COL)) | (F.col(ts_col) >= F.lit(tombstone_horizon))
+            )
+        new_files = self._write_data(spark, resolved, kind="base", sort_in_bucket=True)
+        kept = [f for f in files if f["bucket"] not in dirty_buckets]
+        self._commit(kept + new_files, {"operation": "compact"})
+        return MergeStats(
+            snapshot_id=self.manifest["snapshot_id"],
+            buckets_touched=len(dirty_buckets),
+            files_added=len(new_files),
+            files_removed=len(old),
+            bytes_written=sum(f["bytes"] for f in new_files),
+        )
+
+    # ----------------------------------------------------------- internal
+    def _write_data(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        kind: str,
+        sort_in_bucket: bool = False,
+    ) -> list[dict]:
+        """One shuffle: hash-partition by bucket, then file-per-bucket
+        via partitionBy into a staging dir; files then move (same-fs
+        rename) into data/ and the manifest records them with stats."""
+        stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
+        ts_col = self.manifest["order_cols"][0]
+        out = df.repartition(F.col(_BUCKET_COL))
+        if sort_in_bucket:
+            out = out.sortWithinPartitions(_BUCKET_COL, self.key_col)
+        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(stage)
+
+        new_files: list[dict] = []
+        commit_tag = uuid.uuid4().hex[:12]
+        for bdir in sorted(os.listdir(stage)):
+            if not bdir.startswith(f"{_BUCKET_COL}="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            for i, fn in enumerate(sorted(os.listdir(os.path.join(stage, bdir)))):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(stage, bdir, fn)
+                md = pq.ParquetFile(src).metadata
+                if md.num_rows == 0:
+                    continue
+                rel = f"data/b{bucket:05d}-{commit_tag}-{i}-{kind}.parquet"
+                os.replace(src, self._abs(rel))
+                new_files.append(
+                    {
+                        "path": rel,
+                        "bucket": bucket,
+                        "kind": kind,
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(self._abs(rel)),
+                        **self._file_stats(self._abs(rel), ts_col),
+                    }
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return new_files
+
+    def _file_stats(self, path: str, ts_col: str) -> dict:
+        """Per-file min/max stats on (key, event-time) for scan pruning,
+        straight from the parquet footer (no data read) — the analog of
+        Iceberg manifest column bounds / the reference's 29 secondary
+        indexes (alembic 310f4b46a4b2:32-110)."""
+        md = pq.ParquetFile(path).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                name = schema_names[ci]
+                if name not in (ts_col, self.key_col):
+                    continue
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                if isinstance(mn, bytes):
+                    mn = mn.decode("utf-8", "replace")
+                    mx = mx.decode("utf-8", "replace")
+                mins[name] = min(mins.get(name, mn), mn)
+                maxs[name] = max(maxs.get(name, mx), mx)
+        return {"min": mins, "max": maxs}
+
+    def _commit(self, files: list[dict], summary: dict) -> None:
+        """Snapshot-isolated commit: new manifest written, then the
+        pointer atomically replaced. Optimistic single-writer check —
+        a concurrent commit (version moved) raises and the batch retries."""
+        cur_path = os.path.join(self.path, "meta", "_current")
+        with open(cur_path) as f:
+            on_disk = int(f.read().strip())
+        if on_disk != self.manifest["version"]:
+            raise RuntimeError(
+                f"concurrent commit: loaded v{self.manifest['version']} "
+                f"but table is at v{on_disk}"
+            )
+        new = dict(self.manifest)
+        new["parent_version"] = self.manifest["version"]
+        new["version"] = self.manifest["version"] + 1
+        new["snapshot_id"] = self.manifest["snapshot_id"] + 1
+        new["files"] = files
+        new["summary"] = {**summary, "committed_at": time.time()}
+        self._write_manifest(self.path, new)
+        self.manifest = new
+
+    def update_props(self, updates: dict) -> None:
+        """Commit a props-only change (exactly-once batch bookkeeping)."""
+        new_props = {**self.manifest["props"], **updates}
+        files = self.manifest["files"]
+        self.manifest = dict(self.manifest, props=new_props)
+        self._commit(files, {"operation": "props"})
+
+    # ----------------------------------------------------- schema evolution
+    def evolve_schema(self, new_ddl: str, renames: dict[str, str] | None = None) -> int:
+        """Register a new live schema (add / rename / widen — the Alembic
+        analog, SURVEY.md §1.3). Old data files keep their physical
+        schema; scans of mixed files rely on parquet fill-null for added
+        columns and upcast for widened ones; `renames` maps old physical
+        name → new name for files written before the rename."""
+        new_id = max(int(k) for k in self.manifest["schemas"]) + 1
+        schemas = dict(self.manifest["schemas"])
+        schemas[str(new_id)] = {"ddl": new_ddl, "renames": dict(renames or {})}
+        self.manifest = dict(
+            self.manifest, schemas=schemas, current_schema_id=new_id
+        )
+        self._commit(self.manifest["files"], {"operation": "evolve-schema"})
+        return new_id
+
+    # ------------------------------------------------------------ history
+    def history(self) -> list[dict]:
+        metas = []
+        meta_dir = os.path.join(self.path, "meta")
+        for fn in sorted(os.listdir(meta_dir)):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(meta_dir, fn)) as f:
+                    m = json.load(f)
+                metas.append(
+                    {
+                        "version": m["version"],
+                        "snapshot_id": m["snapshot_id"],
+                        "summary": m.get("summary", {}),
+                        "n_files": len(m["files"]),
+                    }
+                )
+        return metas
+
+    def expire_snapshots(self, keep_last: int = 5) -> int:
+        """Drop old manifests and any data file no live manifest
+        references (the Iceberg expire_snapshots / Timescale retention
+        analog)."""
+        meta_dir = os.path.join(self.path, "meta")
+        versions = sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(meta_dir)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+        expire = versions[:-keep_last] if len(versions) > keep_last else []
+        live_files: set[str] = set()
+        for v in versions:
+            if v in expire:
+                continue
+            with open(os.path.join(meta_dir, f"v{v}.json")) as f:
+                live_files.update(x["path"] for x in json.load(f)["files"])
+        removed = 0
+        expired_refs: set[str] = set()
+        for v in expire:
+            p = os.path.join(meta_dir, f"v{v}.json")
+            with open(p) as f:
+                expired_refs.update(x["path"] for x in json.load(f)["files"])
+            os.remove(p)
+        for rel in expired_refs - live_files:
+            fp = self._abs(rel)
+            if os.path.exists(fp):
+                os.remove(fp)
+                removed += 1
+        return removed

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Reference analog: the singleton engine + connection pool at
+``system/system/database_connections/pg_db.py:77-147`` (double-checked
+locked engine creation). In Spark the session *is* the pooled resource:
+one ``SparkSession`` per job via ``getOrCreate``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tiger_etl_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local SparkSession tuned for the sandbox (one JVM,
+    ``local[N]``); on a real cluster the same confs apply, with
+    ``master``/executors supplied by spark-submit.
+    """
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        # Shuffle sized to cores locally; AQE coalesces at runtime anyway.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Timestamps are UTC end-to-end (reference stores tz-aware UTC;
+        # DuckDB oracle compares UTC-naive) — SURVEY.md §2.8 F7.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html:binary payloads through Arrow — bound batch size so large
+        # binary columns don't blow the Arrow IPC buffers (SURVEY.md §7).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
