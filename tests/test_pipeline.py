@@ -1,0 +1,138 @@
+"""Batch pipeline: parity vs the single-threaded replay oracle, schema
+evolution, quarantine routing, lineage, text-extraction invariant."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.cdc import oracle
+from tiger_etl_spark.cdc.datagen import gen_change_events, write_change_files
+from tiger_etl_spark.cdc.pipeline import (
+    apply_changes,
+    create_pages_table,
+    read_lineage,
+    read_quarantine,
+)
+from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+
+N_EVENTS = 4000
+N_FILES = 8
+
+
+@pytest.fixture(scope="module")
+def change_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("changes"))
+    ev = gen_change_events(seed=42, n=N_EVENTS, n_hosts=50)
+    write_change_files(ev, d, n_files=N_FILES)
+    return d
+
+
+@pytest.fixture(scope="module")
+def applied(spark, tmp_path_factory, change_dir):
+    """Apply all batches through the pipeline; return (table, lineage)."""
+    table = create_pages_table(
+        str(tmp_path_factory.mktemp("tables") / "pages"), num_buckets=8
+    )
+    lineage = []
+    for i, path in enumerate(sorted(glob.glob(os.path.join(change_dir, "*.parquet")))):
+        events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
+        lineage.append(apply_changes(spark, table, events, batch_id=i))
+    return table, lineage
+
+
+def assert_final_state_matches_oracle(spark, table, change_dir):
+    expected = oracle.replay_dir(change_dir)
+    rows = {r["url"]: r for r in table.scan(spark).collect()}
+    assert set(rows) == set(expected)
+    for url, e in expected.items():
+        r = rows[url]
+        got_html = bytes(r["html"]) if r["html"] is not None else None
+        assert got_html == e["html"], f"html mismatch for {url}"
+        assert r["text"] == e["text"], f"text mismatch for {url}"
+        assert r["lang"] == e["lang"], f"lang mismatch for {url}"
+        assert r["content_len"] == e["content_len"], f"content_len mismatch for {url}"
+        assert r["warc_ts"].replace(tzinfo=None) == e["warc_ts"].replace(
+            tzinfo=None
+        ), f"warc_ts mismatch for {url}"
+
+
+def test_final_state_parity(spark, applied, change_dir):
+    """Byte-for-byte final-table parity vs reference replay — the
+    correctness gate of BASELINE.json."""
+    table, _ = applied
+    assert_final_state_matches_oracle(spark, table, change_dir)
+
+
+def test_schema_evolution_applied(spark, applied):
+    """v1 events (schema_id=1) had `body` + int content_len + no lang;
+    after mapping, urls whose winning event was v1 must still carry html
+    and null lang."""
+    table, _ = applied
+    df = table.scan(spark)
+    # v1 events cover the first half of op_seqs; at least some winners
+    # must be v1 (no lang but has html)
+    v1_winners = df.where(F.col("lang").isNull() & F.col("html").isNotNull())
+    assert v1_winners.count() > 0
+
+
+def test_quarantine_routing(spark, applied, change_dir):
+    table, lineage = applied
+    q = read_quarantine(spark, table)
+    n_q = q.count()
+    assert n_q == sum(r.rows_quarantined for r in lineage)
+    assert n_q > 0  # generator injects ~0.2% invalid rows
+    reasons = {r["_invalid_reasons"] for r in q.select("_invalid_reasons").collect()}
+    assert reasons <= {"empty_url", "nonpositive_op_seq", "bad_op", "null_warc_ts"}
+    # quarantined rows never reached the table: invalid urls absent
+    assert table.scan(spark).where(F.length("url") == 0).count() == 0
+
+
+def test_lineage_records(spark, applied, change_dir):
+    table, lineage = applied
+    ldf = read_lineage(spark, table)
+    assert ldf.count() == N_FILES
+    total_in = sum(r.rows_in for r in lineage)
+    # duplicates are injected into following files, so rows_in ≥ N_EVENTS
+    assert total_in >= N_EVENTS
+    for rec in lineage:
+        assert rec.offset_start.startswith("batch-")
+        assert rec.offset_end >= rec.offset_start
+        assert rec.snapshot_id > 0
+        assert rec.bytes_in > 0
+        assert rec.partition_counts  # per-bucket apply counts
+
+
+def test_late_rows_counted(applied):
+    _, lineage = applied
+    # generator makes ~0.5% very-late rows (beyond the 24h watermark)
+    assert sum(r.rows_late for r in lineage) > 0
+
+
+def test_replayed_batch_skipped(spark, applied, change_dir):
+    table, _ = applied
+    first = sorted(glob.glob(os.path.join(change_dir, "*.parquet")))[0]
+    events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(first)
+    before = table.manifest["snapshot_id"]
+    rec = apply_changes(spark, table, events, batch_id=0)  # already applied
+    assert table.manifest["snapshot_id"] == before
+    assert rec.rows_in == 0
+
+
+def test_cow_mode_same_parity(spark, tmp_path, change_dir):
+    table = create_pages_table(str(tmp_path / "pages_cow"), num_buckets=4)
+    for i, path in enumerate(sorted(glob.glob(os.path.join(change_dir, "*.parquet")))):
+        events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
+        apply_changes(spark, table, events, batch_id=i, merge_mode="cow")
+    assert_final_state_matches_oracle(spark, table, change_dir)
+    # cow keeps buckets compacted: no delta files
+    assert all(f["kind"] == "base" for f in table.manifest["files"])
+
+
+def test_compaction_preserves_parity(spark, applied, change_dir):
+    table, _ = applied
+    table.compact(spark)
+    assert_final_state_matches_oracle(spark, table, change_dir)

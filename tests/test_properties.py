@@ -1,0 +1,143 @@
+"""Property-based tests (SURVEY.md §5.5/§5.6): random event interleavings
+per key — invariant: final state equals the max-(warc_ts, op_seq)
+non-deleted event per url, regardless of batch split. Plus the
+vectorization guard and the byte-identical extraction invariant."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import subprocess
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tiger_etl_spark.cdc.pipeline import apply_changes, create_pages_table
+from tiger_etl_spark.functions.text import extract_text_py, extract_text_udf
+
+UTC = dt.timezone.utc
+BASE = dt.datetime(2025, 1, 1, tzinfo=UTC)
+
+# small universes force heavy key collisions and ts ties
+event_st = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.sampled_from(["u0", "u1", "u2"]),        # url
+    st.integers(min_value=0, max_value=5),      # ts offset seconds
+    st.binary(min_size=0, max_size=12),         # payload
+)
+
+
+def expected_state(events):
+    """events: list of (op, url, ts, seq, payload) — pure-Python LWW."""
+    best = {}
+    for op, url, ts, seq, payload in events:
+        cur = best.get(url)
+        if cur is None or (ts, seq) > (cur[1], cur[2]):
+            best[url] = (op, ts, seq, payload)
+    return {
+        u: (ts, seq, payload)
+        for u, (op, ts, seq, payload) in best.items()
+        if op != "D"
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(event_st, min_size=1, max_size=24),
+    split=st.integers(min_value=1, max_value=5),
+)
+def test_lww_invariant_any_interleaving(spark, tmp_path_factory, events, split):
+    from tiger_etl_spark.lake import LakeTable
+
+    rows = [
+        (op, i + 1, url, BASE + dt.timedelta(seconds=ts), bytes(payload))
+        for i, (op, url, ts, payload) in enumerate(events)
+    ]
+    table = LakeTable.create(
+        str(tmp_path_factory.mktemp("prop") / "t"),
+        "url string, warc_ts timestamp, html binary",
+        key_col="url",
+        num_buckets=2,
+    )
+    for start in range(0, len(rows), split):
+        chunk = rows[start : start + split]
+        df = spark.createDataFrame(
+            chunk, "op string, op_seq long, url string, warc_ts timestamp, html binary"
+        )
+        table.merge(spark, df)
+    got = {
+        r["url"]: (
+            r["warc_ts"].replace(tzinfo=UTC),
+            bytes(r["html"]) if r["html"] is not None else None,
+        )
+        for r in table.scan(spark).collect()
+    }
+    want = {
+        u: (ts, payload)
+        for u, (ts, seq, payload) in expected_state(
+            [(op, url, ts, seq, payload) for (op, seq, url, ts, payload) in rows]
+        ).items()
+    }
+    assert got == want
+
+
+def test_extraction_byte_identical(spark):
+    """input_hint per-row invariant: engine text == oracle text, byte for
+    byte, over adversarial html."""
+    cases = [
+        None,
+        b"",
+        b"plain no tags",
+        b"<html><body>hello  world</body></html>",
+        b"<a href='x'>link</a><b>bold</b>",
+        b"<p>unterminated <tag",
+        "<p>unicode é中文</p>".encode(),
+        b"\xff\xfe invalid utf8 <b>x</b>",
+        b"   <div>  lots   of \t whitespace </div>  ",
+        b"<>empty tag<>",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "html binary")
+    got = [r["t"] for r in df.select(extract_text_udf("html").alias("t")).collect()]
+    want = [extract_text_py(c) for c in cases]
+    assert got == want
+
+
+def test_no_row_at_a_time_udf_in_package():
+    """Vectorization guard (SURVEY.md §5.6): the engine must not register
+    row-at-a-time Python UDFs — pandas/Arrow UDFs only."""
+    pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tiger_etl_spark")
+    out = subprocess.run(
+        ["grep", "-rn", "--include=*.py", "-E", r"(F\.udf|@udf\(|functions\.udf\()", pkg],
+        capture_output=True,
+        text=True,
+    )
+    assert out.stdout == "", f"row-at-a-time UDFs found:\n{out.stdout}"
+
+
+def test_quarantine_fixture_rates(tmp_path):
+    """Generator produces the FIXTURES.md §2/§6 shape: dup/tie/late/
+    invalid rates in the right ballpark."""
+    from tiger_etl_spark.cdc.datagen import gen_change_events, write_change_files
+    from tiger_etl_spark.cdc.oracle import is_valid, read_change_files
+
+    ev = gen_change_events(seed=11, n=20000, n_hosts=80)
+    write_change_files(ev, str(tmp_path / "c"), n_files=10)
+    events = read_change_files(str(tmp_path / "c"))
+    n = len(events)
+    assert n > 20000  # duplicates carried into following files
+    invalid = [e for e in events if not is_valid(e)]
+    assert 0.0005 * 20000 < len(invalid) < 0.01 * 20000
+    # ties: same (url, warc_ts) different op_seq
+    seen, ties = {}, 0
+    for e in events:
+        k = (e["url"], e["warc_ts"])
+        if k in seen and seen[k] != e["op_seq"]:
+            ties += 1
+        seen[k] = e["op_seq"]
+    assert ties > 0

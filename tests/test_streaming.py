@@ -1,0 +1,107 @@
+"""Structured Streaming wrapper: drain, resume-from-checkpoint,
+exactly-once replay, incremental arrival."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from tiger_etl_spark.cdc import oracle
+from tiger_etl_spark.cdc.datagen import gen_change_events, write_change_files
+from tiger_etl_spark.cdc.pipeline import create_pages_table, read_lineage
+from tiger_etl_spark.cdc.streaming import run_stream
+from tiger_etl_spark.lake import LakeTable
+
+N_EVENTS = 3000
+N_FILES = 10
+
+
+@pytest.fixture(scope="module")
+def change_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_changes"))
+    ev = gen_change_events(seed=7, n=N_EVENTS, n_hosts=40)
+    write_change_files(ev, d, n_files=N_FILES)
+    return d
+
+
+def assert_parity(spark, table_path, change_dir):
+    expected = oracle.replay_dir(change_dir)
+    table = LakeTable.load(table_path)
+    rows = {r["url"]: r for r in table.scan(spark).collect()}
+    assert set(rows) == set(expected)
+    for url, e in expected.items():
+        assert rows[url]["text"] == e["text"]
+        got = rows[url]["html"]
+        assert (bytes(got) if got is not None else None) == e["html"]
+
+
+def test_stream_drain_and_parity(spark, tmp_path, change_dir):
+    tp = str(tmp_path / "pages")
+    create_pages_table(tp, num_buckets=8)
+    res = run_stream(
+        spark, change_dir, tp, str(tmp_path / "ckpt"), max_files_per_trigger=3
+    )
+    assert res.batches_applied == 4  # ceil(10/3)
+    assert_parity(spark, tp, change_dir)
+    ldf = read_lineage(spark, LakeTable.load(tp))
+    assert ldf.count() == res.batches_applied
+
+
+def test_restart_from_checkpoint(spark, tmp_path, change_dir):
+    """Process half the files, 'crash', add the rest, resume from the
+    same checkpoint — final state must equal a clean full replay."""
+    tp = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    create_pages_table(tp, num_buckets=8)
+
+    staged = str(tmp_path / "staged_changes")
+    os.makedirs(staged)
+    files = sorted(glob.glob(os.path.join(change_dir, "*.parquet")))
+    for f in files[:5]:
+        shutil.copy(f, staged)
+    res1 = run_stream(spark, staged, tp, ckpt, max_files_per_trigger=2)
+    assert res1.batches_applied == 3
+
+    for f in files[5:]:
+        shutil.copy(f, staged)
+    res2 = run_stream(spark, staged, tp, ckpt, max_files_per_trigger=2)
+    assert res2.batches_applied >= 1
+    assert_parity(spark, tp, change_dir)
+
+
+def test_replay_after_lost_checkpoint_is_idempotent(spark, tmp_path, change_dir):
+    """Worst case: checkpoint is lost entirely and the whole stream
+    replays against the already-populated table. applied_batches skips
+    same-id batches; differently-split batches are no-ops via LWW."""
+    tp = str(tmp_path / "pages")
+    create_pages_table(tp, num_buckets=8)
+    run_stream(spark, change_dir, tp, str(tmp_path / "ckpt1"), max_files_per_trigger=3)
+    v1 = LakeTable.load(tp).manifest["snapshot_id"]
+    # fresh checkpoint → same batch ids (0..) → all skipped by bookkeeping?
+    # No: bookkeeping skips ids already applied; ids collide (0,1,2,3) so
+    # the stream becomes a pure no-op.
+    res = run_stream(spark, change_dir, tp, str(tmp_path / "ckpt2"), max_files_per_trigger=3)
+    assert res.batches_skipped == 4 and res.batches_applied == 0
+    assert LakeTable.load(tp).manifest["snapshot_id"] == v1
+    assert_parity(spark, tp, change_dir)
+
+
+def test_compact_every(spark, tmp_path, change_dir):
+    tp = str(tmp_path / "pages")
+    create_pages_table(tp, num_buckets=4)
+    run_stream(
+        spark,
+        change_dir,
+        tp,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        compact_every=2,
+    )
+    assert_parity(spark, tp, change_dir)
+    t = LakeTable.load(tp)
+    # last compaction ran at batch 4 of 5 → at most one delta generation
+    n_delta = sum(1 for f in t.manifest["files"] if f["kind"] == "delta")
+    assert n_delta <= 8

@@ -228,9 +228,14 @@ def write_change_files(
     carry: np.ndarray = np.array([], dtype=np.int64)
     for f in range(n_files):
         idx = np.arange(bounds[f], bounds[f + 1])
+        schema_id = 1 if f < evolution_file else 2
+        if f == evolution_file:
+            # a WAL-replay duplicate is byte-identical; rows can't be
+            # re-rendered under a different schema era — drop the carry
+            # at the evolution boundary
+            carry = np.array([], dtype=np.int64)
         file_idx = np.concatenate([carry, idx]) if len(carry) else idx
         name = f"batch-{f:05d}.parquet"
-        schema_id = 1 if f < evolution_file else 2
         tbl = _slice_table(ev, file_idx, schema_id, name)
         path = os.path.join(out_dir, name)
         pq.write_table(tbl, path)

@@ -1,0 +1,93 @@
+"""Structured Streaming wrapper (SURVEY.md §7 stage 4).
+
+`readStream` over the change-file directory (binlog/WAL-tail analog:
+files land in offset order, `maxFilesPerTrigger` bounds each micro-batch
+— the reference's bulk-op cap of 100 rows,
+user_group_management.py:1406-1407, lifted to batch granularity) →
+event-time watermark → `foreachBatch` → batch apply core → lake MERGE.
+
+Exactly-once: the file source + checkpoint give replayable offsets; the
+applied-batch bookkeeping committed atomically with each MERGE makes
+replays no-ops; the LWW guard makes even uncheckpointed double-applies
+harmless. Restart-from-checkpoint tests in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from tiger_etl_spark.cdc.pipeline import (
+    WATERMARK_HOURS_DEFAULT,
+    LineageRecord,
+    apply_changes,
+)
+from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+from tiger_etl_spark.lake import LakeTable
+
+
+@dataclass
+class StreamResult:
+    lineage: list[LineageRecord] = field(default_factory=list)
+    batches_applied: int = 0
+    batches_skipped: int = 0
+
+
+def run_stream(
+    spark: SparkSession,
+    change_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    watermark_hours: int = WATERMARK_HOURS_DEFAULT,
+    merge_mode: str = "mor",
+    compact_every: int = 0,
+    available_now: bool = True,
+) -> StreamResult:
+    """Process all currently-available change files (availableNow
+    trigger: drains the backlog in bounded micro-batches, then stops —
+    the batch-oriented CDC tail). Resumable: same checkpoint_dir resumes
+    from recorded offsets."""
+    result = StreamResult()
+
+    source = (
+        spark.readStream.schema(EVENTS_READ_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # lexicographic filename order == offset order (FIXTURES.md §2)
+        .option("latestFirst", "false")
+        .parquet(change_dir)
+        .withWatermark("warc_ts", f"{watermark_hours} hours")
+    )
+
+    def handle(batch_df, batch_id: int):
+        table = LakeTable.load(table_path)
+        if str(batch_id) in table.props.get("applied_batches", {}):
+            result.batches_skipped += 1
+            return
+        rec = apply_changes(
+            spark,
+            table,
+            batch_df,
+            batch_id,
+            watermark_hours=watermark_hours,
+            merge_mode=merge_mode,
+        )
+        result.lineage.append(rec)
+        result.batches_applied += 1
+        if compact_every and (result.batches_applied % compact_every == 0):
+            table.compact(spark)
+
+    writer = (
+        source.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("cdc_apply")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = writer.start()
+        q.processAllAvailable()
+        q.stop()
+    return result

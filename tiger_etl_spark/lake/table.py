@@ -40,7 +40,7 @@ import uuid
 from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BUCKET_COL = "_bucket"
@@ -168,12 +168,23 @@ class LakeTable:
         return spark.read.schema(self._physical_ddl()).parquet(*paths)
 
     def _resolve(self, df: DataFrame) -> DataFrame:
-        """LWW: keep the max-(order_cols, _op_seq) row per key (W3)."""
-        w = Window.partitionBy(self.key_col).orderBy(*self._order_exprs())
+        """LWW: keep the max-(order_cols, _op_seq) row per key (SURVEY.md
+        §2.5 W3).
+
+        Implemented as a `max_by` hash aggregation, NOT a row_number
+        window: max over a struct is associative, so Spark computes
+        partial maxima map-side before the shuffle — a hot key (one url
+        with millions of events in a batch) reduces to one candidate per
+        input partition instead of millions of rows sorting on a single
+        task. This is the built-in equivalent of two-phase salted dedup,
+        with no sort at all. Ties (exact duplicate events) carry equal
+        payloads, so the winner is well-defined either way."""
+        cols = [c for c in df.columns if c != self.key_col]
+        order = F.struct(*self.manifest["order_cols"], _SEQ_COL)
         return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+            df.groupBy(self.key_col)
+            .agg(F.max_by(F.struct(*cols), order).alias("_w"))
+            .select(self.key_col, "_w.*")
         )
 
     # --------------------------------------------------------------- scan
@@ -206,6 +217,7 @@ class LakeTable:
         spark: SparkSession,
         batch: DataFrame,
         mode: str = "mor",
+        props_updates: dict | None = None,
     ) -> MergeStats:
         """MERGE INTO (SURVEY.md §2.3 J6): `batch` has the table schema
         plus `op ('I'|'U'|'D')` and `op_seq long`. Within-batch LWW dedup
@@ -261,6 +273,12 @@ class LakeTable:
             "operation": f"merge-{mode}",
             "rows_written": sum(f["rows"] for f in new_files),
         }
+        if props_updates:
+            # bookkeeping (e.g. applied-batch ids for exactly-once) lands
+            # in the SAME atomic commit as the data
+            self.manifest = dict(
+                self.manifest, props={**self.manifest["props"], **props_updates}
+            )
         self._commit(kept + new_files, summary)
         return MergeStats(
             snapshot_id=self.manifest["snapshot_id"],
@@ -321,7 +339,17 @@ class LakeTable:
         rename) into data/ and the manifest records them with stats."""
         stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
         ts_col = self.manifest["order_cols"][0]
-        out = df.repartition(F.col(_BUCKET_COL))
+        # Salted write shuffle: partition by (bucket, salt) so a hot
+        # bucket (skewed batch) spreads over `write_salts` tasks instead
+        # of one straggler writer; the salt is a deterministic hash of
+        # the key (replay-safe). Files-per-bucket > 1 is fine — the
+        # manifest tracks files, compact() re-collapses them.
+        salts = int(self.manifest["props"].get("write_salts", 1))
+        if salts > 1 and not sort_in_bucket:
+            salt = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(salts))
+            out = df.repartition(F.col(_BUCKET_COL), salt)
+        else:
+            out = df.repartition(F.col(_BUCKET_COL))
         if sort_in_bucket:
             out = out.sortWithinPartitions(_BUCKET_COL, self.key_col)
         out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(stage)
