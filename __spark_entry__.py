@@ -1,38 +1,580 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC final-state query at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 ids in
+each docstring), callable (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (same column
+names; timestamps returned as epoch_us bigints or formatted strings so
+both engines hash identically).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tiger_etl_spark.functions import scalar  # noqa: E402
+from tiger_etl_spark.functions.text import token_count  # noqa: E402
+from tiger_etl_spark.operators import crud, dedup, similarity, windows  # noqa: E402
+
+
+def _epoch_us(col) -> F.Column:
+    """Microseconds since epoch; parquet timestamps load as TIMESTAMP_NTZ
+    in Spark 4 — cast to LTZ (session tz = UTC) to match DuckDB epoch_us."""
+    return F.unix_micros(F.col(col).cast("timestamp_ltz") if isinstance(col, str) else col.cast("timestamp_ltz"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# deterministic fixed query vector for similarity search (dim 64, the
+# testdata embeddings dim)
+_QUERY_VEC = [((i * 37) % 17 - 8) / 8.0 for i in range(64)]
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6 — TPC-H Q1-style grouped aggregation with 8 aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/O3 — 3-way join + grouped top-k (TPC-H Q3 shape); small dims
+    broadcast automatically under AQE."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def scan_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1/P2 — equality-conjunction scan with projection (read path)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return crud.scan(
+        li,
+        conditions={"l_returnflag": "R", "l_linestatus": "F"},
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+
+
+def search_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — case-insensitive substring search."""
+    c = _t(spark, sf_dir, "customer")
+    return crud.search_contains(c, ["c_name"], "00042").select("c_custkey", "c_name")
+
+
+def events_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — inclusive time-range filter; ts returned as epoch_us."""
+    ev = _t(spark, sf_dir, "events")
+    out = crud.time_range(ev, "ts", "2024-01-10 00:00:00", "2024-01-11 00:00:00")
+    return out.select(
+        "event_id", _epoch_us("ts").alias("ts_us"), "event_type"
+    )
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/J4 — existence probe as LEFT SEMI JOIN."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return crud.semi_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — dedup/uniqueness anti-join (NOT-MATCHED branch of MERGE)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return crud.anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+def nation_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — group-with-mappings application-level join, server-side."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left").select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+def event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — partition counts (active/inactive analog)."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").count()
+
+
+def distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — distinct affected-user count."""
+    return _t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — GROUP BY month with conditional counts (pg_db.py:574-584
+    docstring analytics made real)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 — most-recent row per key via associative max_by (the LWW
+    dedup core; no window sort, no hot-key skew)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", _epoch_us("ts").alias("ts_us")
+    )
+    return windows.latest_per_key(ev, ["user_id"], ["ts_us", "event_id"]).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/W3 — the engine's merge semantic, SQL-expressible: treat events
+    as a change stream keyed by user_id ('error' = delete), apply LWW by
+    (ts, event_id), return surviving final state."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        _epoch_us("ts").alias("ts_us"),
+    )
+    latest = windows.latest_per_key(ev, ["user_id"], ["ts_us", "event_id"])
+    return latest.where(F.col("event_type") != "error").select(
+        "user_id", "ts_us", "event_id", "event_type", "value"
+    )
+
+
+def part_relevance_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — relevance scoring (exact=10/prefix=5/contains=2) + top-N."""
+    p = _t(spark, sf_dir, "part")
+    return windows.relevance_top_n(p, "p_name", "red", 20, tiebreak=["p_partkey"]).select(
+        "p_partkey", "p_name", "score"
+    )
+
+
+def orders_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 — pagination, server-side (limit 50 offset 100)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return crud.paginate(o, ["o_orderkey"], limit=50, offset=100)
+
+
+def supplier_zset_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — Redis ZRANGE analog: rank range [0,9] by score desc.
+    Deterministic tiebreak: rank over (acctbal desc, suppkey)."""
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("acctbal"), F.col("s_suppkey"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "s_suppkey", "s_name", "acctbal")
+    )
+
+
+def user_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/A5 — per-user first/last event and duration seconds."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        _epoch_us(F.min("ts")).alias("first_us"),
+        _epoch_us(F.max("ts")).alias("last_us"),
+        (
+            (_epoch_us(F.max("ts")) - _epoch_us(F.min("ts"))) / F.lit(1_000_000)
+        ).cast("long").alias("span_seconds"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def customer_name_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — SHA-256 content hashing (password-hash analog)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_custkey", scalar.hash_password(F.col("c_name")).alias("name_sha256"))
+
+
+def customer_name_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F13 — regex format validation, counted by validity (the
+    quarantine-split shape)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(F.col("c_name").rlike(r"^Customer#[0-9]{9}$").alias("is_valid"))
+        .groupBy("is_valid")
+        .count()
+    )
+
+
+def value_bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10-shape — CASE-chain classifier + A4 bulk summary stats."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0.25, "low")
+        .when(F.col("value") < 0.75, "mid")
+        .otherwise("high")
+    )
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set difference — EXCEPT via anti-join."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return crud.anti_join(p, li, "p_partkey").select("p_partkey", "p_name")
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (exact): md5-of-normalized-text groups."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text")
+
+
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (MinHash): 8-hash signature over 3-word shingles."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8, k=3)
+
+
+def doc_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (LSH banding): per-doc band-bucket keys (2 rows/band over an
+    8-hash signature → 4 bands); equal band_hash ⇒ candidate pair."""
+    sigs = dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, k=3
+    )
+    bands = [
+        F.md5(F.concat_ws("|", F.col(f"mh{b * 2}"), F.col(f"mh{b * 2 + 1}"))).alias(
+            f"band{b}"
+        )
+        for b in range(4)
+    ]
+    return sigs.select("doc_id", *bands)
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — token counting + mean token length."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            (F.length("text") - (n_tok - 1)) / n_tok.cast("double"), 6
+        ).alias("mean_token_len"),
+    )
+
+
+def embedding_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search — brute-force cosine top-k to a fixed query
+    vector (JVM-side zip_with/aggregate arithmetic)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(e, "vec_id", "embedding", _QUERY_VEC, 10)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC merge semantic (LWW final state) at sf0.001."""
+    return cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "top_revenue_orders": top_revenue_orders,
+        "scan_filter_projection": scan_filter_projection,
+        "search_customers": search_customers,
+        "events_time_range": events_time_range,
+        "customers_with_orders": customers_with_orders,
+        "customers_without_orders": customers_without_orders,
+        "nation_region_join": nation_region_join,
+        "event_type_counts": event_type_counts,
+        "distinct_event_users": distinct_event_users,
+        "monthly_order_rollup": monthly_order_rollup,
+        "latest_event_per_user": latest_event_per_user,
+        "cdc_final_state": cdc_final_state,
+        "part_relevance_top20": part_relevance_top20,
+        "orders_page3": orders_page3,
+        "supplier_zset_top10": supplier_zset_top10,
+        "user_session_spans": user_session_spans,
+        "customer_name_hashes": customer_name_hashes,
+        "customer_name_validation": customer_name_validation,
+        "value_bucket_summary": value_bucket_summary,
+        "parts_never_ordered": parts_never_ordered,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_minhash_signatures": doc_minhash_signatures,
+        "doc_lsh_bands": doc_lsh_bands,
+        "doc_token_stats": doc_token_stats,
+        "embedding_cosine_top10": embedding_cosine_top10,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qvec = "[" + ", ".join(str(x) for x in _QUERY_VEC) + "]"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "scan_filter_projection": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        """,
+        "search_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE lower(c_name) LIKE '%00042%'
+        """,
+        "events_time_range": """
+            SELECT event_id, epoch_us(ts) AS ts_us, event_type
+            FROM events
+            WHERE ts IS NOT NULL
+              AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                         AND TIMESTAMP '2024-01-11 00:00:00'
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "nation_region_join": """
+            SELECT n_nationkey, n_name, r_name
+            FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+        """,
+        "event_type_counts": """
+            SELECT event_type, count(*) AS count FROM events GROUP BY event_type
+        """,
+        "distinct_event_users": """
+            SELECT count(DISTINCT user_id) AS n_users FROM events
+        """,
+        "monthly_order_rollup": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts_us, event_id, event_type FROM (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "cdc_final_state": """
+            SELECT user_id, ts_us, event_id, event_type, value FROM (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+                       round(value, 6) AS value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1 AND event_type != 'error'
+        """,
+        "part_relevance_top20": """
+            SELECT p_partkey, p_name, score FROM (
+                SELECT p_partkey, p_name,
+                       CASE WHEN lower(p_name) = 'red' THEN 10
+                            WHEN lower(p_name) LIKE 'red%' THEN 5
+                            WHEN lower(p_name) LIKE '%red%' THEN 2
+                            ELSE 0 END AS score
+                FROM part
+            ) WHERE score > 0
+            ORDER BY score DESC, p_partkey LIMIT 20
+        """,
+        "orders_page3": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY o_orderkey LIMIT 50 OFFSET 100
+        """,
+        "supplier_zset_top10": """
+            SELECT rank, s_suppkey, s_name, acctbal FROM (
+                SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal,
+                       row_number() OVER (
+                           ORDER BY round(s_acctbal, 2) DESC, s_suppkey
+                       ) AS rank
+                FROM supplier
+            ) WHERE rank <= 10
+        """,
+        "user_session_spans": """
+            SELECT user_id,
+                   epoch_us(min(ts)) AS first_us,
+                   epoch_us(max(ts)) AS last_us,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_seconds,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "customer_name_hashes": """
+            SELECT c_custkey, sha256(c_name) AS name_sha256 FROM customer
+        """,
+        "customer_name_validation": """
+            SELECT regexp_matches(c_name, '^Customer#[0-9]{9}$') AS is_valid,
+                   count(*) AS count
+            FROM customer GROUP BY 1
+        """,
+        "value_bucket_summary": """
+            SELECT CASE WHEN value < 0.25 THEN 'low'
+                        WHEN value < 0.75 THEN 'mid'
+                        ELSE 'high' END AS bucket,
+                   count(*) AS n,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1
+        """,
+        "parts_never_ordered": """
+            SELECT p_partkey, p_name FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "doc_exact_dedup": r"""
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY 1
+        """,
+        "doc_minhash_signatures": _MINHASH_SQL,
+        "doc_lsh_bands": _LSH_BANDS_SQL,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   round(
+                     (length(text) - (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END - 1))
+                     / CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE),
+                     6) AS mean_token_len
+            FROM documents
+        """,
+        "embedding_cosine_top10": f"""
+            WITH q AS (SELECT {qvec}::DOUBLE[] AS qv),
+            scored AS (
+                SELECT vec_id,
+                       list_sum(list_transform(range(1, len(embedding) + 1),
+                           i -> embedding[i]::DOUBLE * coalesce(qv[i], 0.0)))
+                       / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS c
+                FROM embeddings, q
+            )
+            SELECT vec_id, round(c, 6) AS cosine FROM scored
+            ORDER BY c DESC, vec_id LIMIT 10
+        """,
+    }
+
+
+_MINHASH_SQL = r"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+    FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+)
+SELECT doc_id,
+       min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1,
+       min(md5('2|' || sh)) AS mh2, min(md5('3|' || sh)) AS mh3,
+       min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
+       min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
+FROM sh GROUP BY doc_id
+"""
+
+_LSH_BANDS_SQL = r"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+    FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+sig AS (
+    SELECT doc_id,
+           min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1,
+           min(md5('2|' || sh)) AS mh2, min(md5('3|' || sh)) AS mh3,
+           min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
+           min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
+    FROM sh GROUP BY doc_id
+)
+SELECT doc_id,
+       md5(mh0 || '|' || mh1) AS band0,
+       md5(mh2 || '|' || mh3) AS band1,
+       md5(mh4 || '|' || mh5) AS band2,
+       md5(mh6 || '|' || mh7) AS band3
+FROM sig
+"""

@@ -1,0 +1,112 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <headline seconds>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "events_per_sec": ...}
+
+Headline: CDC MERGE-apply throughput — a deterministic synthetic change
+stream (size ∝ sf) streamed through the full pipeline (validate →
+schema-map → LWW dedup → extract → MERGE → lineage) into a lake table,
+then compacted. Also times every driver-contract query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_CDC_EVENTS
+(override stream size), SPARK_GRAFT_BENCH_MODE=cdc|queries|all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from tiger_etl_spark.cdc.datagen import gen_change_events, write_change_files
+from tiger_etl_spark.cdc.pipeline import create_pages_table
+from tiger_etl_spark.cdc.streaming import run_stream
+from tiger_etl_spark.lake import LakeTable
+from tiger_etl_spark.session import get_spark
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
+    n = n_events or int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "0")) or max(
+        20_000, int(2_000_000 * sf)
+    )
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        changes = os.path.join(work, "changes")
+        ev = gen_change_events(seed=42, n=n, n_hosts=max(100, n // 2000))
+        write_change_files(ev, changes, n_files=8)
+        table_path = os.path.join(work, "pages")
+        create_pages_table(
+            table_path, num_buckets=max(16, cpus), write_salts=1
+        )
+        t0 = time.time()
+        res = run_stream(
+            spark,
+            changes,
+            table_path,
+            os.path.join(work, "ckpt"),
+            max_files_per_trigger=2,
+        )
+        table = LakeTable.load(table_path)
+        table.compact(spark)
+        elapsed = time.time() - t0
+        n_in = sum(r.rows_in for r in res.lineage)
+        return {
+            "cdc_events": n_in,
+            "cdc_batches": res.batches_applied,
+            "cdc_sec": round(elapsed, 3),
+            "events_per_sec": round(n_in / elapsed, 1),
+            "final_rows": table.scan(spark).count(),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
+    sf = sf_of(sf_dir)
+    spark = get_spark("tiger_etl_spark-bench", cores=cpus, shuffle_partitions=cpus)
+
+    result = {
+        "metric": "cdc_merge_apply_wall_sec (headline; events_per_sec included)",
+        "unit": "sec",
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if mode in ("cdc", "all"):
+        result.update(bench_cdc(spark, sf, cpus))
+        result["value"] = result["cdc_sec"]
+    if mode in ("queries", "all"):
+        result["queries"] = bench_queries(spark, sf_dir)
+        result.setdefault("value", round(sum(result["queries"].values()), 3))
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Operator-library tests: dedup suite on planted near-duplicates, ANN
+recall vs brute force, multimodal plumbing, text analysis, scalar funcs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.functions import scalar
+from tiger_etl_spark.functions.text import detect_lang, quality_score_cols
+from tiger_etl_spark.operators import dedup, multimodal, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm sun near the old stone wall by the river"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate of 1
+        (3, BASE.replace("lazy", "sleepy")),  # near-duplicate of 1
+        (4, "completely different text about spark query engines and parquet files and shuffles"),
+        (5, "another unrelated document mentioning merge upserts and iceberg snapshot isolation"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs, "doc_id", "text").collect()
+    sizes = sorted(g["group_size"] for g in groups)
+    assert sizes == [1, 1, 1, 2]
+    dup = next(g for g in groups if g["group_size"] == 2)
+    assert dup["keeper_id"] == 1
+
+
+def test_minhash_lsh_finds_near_duplicates(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=16, bands=8)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dup: all hashes match
+    assert (1, 3) in got and got[(1, 3)] > 0.3   # near dup: many match
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=16, bands=8)
+    verified = dedup.ngram_jaccard(docs, pairs.select("id_a", "id_b"), "doc_id", "text")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 < got[(1, 3)] < 1.0
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert fp[1] == fp[2]
+    assert hamming(fp[1], fp[3]) < hamming(fp[1], fp[4])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_topk_recall(spark, vectors):
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    q = [float(x) for x in rng.normal(size=16)]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(vectors, "vec_id", "embedding", q, 10).collect()]
+    # probing every bucket must reproduce exact brute force (mechanism check)
+    full = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(
+            vectors, "vec_id", "embedding", q, 10, n_planes=6, max_hamming=6
+        ).collect()
+    ]
+    assert full == exact
+    # partial probe (22/64 buckets ≈ 34% of space) must beat the random
+    # baseline — gaussian vectors are a worst case for hyperplane LSH
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(
+            vectors, "vec_id", "embedding", q, 10, n_planes=6, max_hamming=2
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [(1, b"\x00" * 64), (2, bytes(range(64))), (3, None), (4, b"")]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = multimodal.extract_media_features(df, "media_id", "blob", n_features=4)
+    got = {r["media_id"]: r["features"] for r in out.collect()}
+    assert got[1] == [0.0, 0.0, 0.0, 0.0]
+    assert len(got[2]) == 4 and got[2][0] == 7.5
+    assert got[3] is None
+    assert got[4] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decoder_stub(b"\x89PNG")
+
+
+def test_detect_lang(spark):
+    rows = [
+        (1, "the cat and the dog of the house is big"),
+        (2, "der Hund und die Katze ist das Tier"),
+        (3, "le chat et la maison est les grands"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"] for r in df.select("id", detect_lang(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr" and got[4] == "und"
+
+
+def test_quality_scores(spark):
+    df = spark.createDataFrame([(1, "The quick, brown fox! It runs.")], "id long, text string")
+    cols = quality_score_cols(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in cols.items()]).collect()[0]
+    assert row["n_chars"] == 30
+    assert row["n_tokens"] == 6
+    assert row["punct_ratio"] == pytest.approx(3 / 30)
+    assert row["upper_ratio"] == pytest.approx(2 / 30)
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("secret", "a@b.co", "Aa1!aaaa", "  MiXed  ", "10.0.0.1, 2.2.2.2", "10.0.0.1", "h")],
+        "pw string, email string, strong string, messy string, fwd string, real string, host string",
+    )
+    row = df.select(
+        scalar.hash_password(F.col("pw")).alias("h"),
+        scalar.validate_email_format(F.col("email")).alias("e"),
+        scalar.validate_password_strength(F.col("strong")).alias("s"),
+        scalar.normalize(F.col("messy")).alias("n"),
+        scalar.client_ip(F.col("fwd"), F.col("real"), F.col("host")).alias("ip"),
+        scalar.valid_ipv4(F.lit("256.1.1.1")).alias("bad_ip"),
+        scalar.valid_ipv4(F.lit("192.168.0.1")).alias("good_ip"),
+        scalar.extract_device_info(F.lit("Mozilla (Windows NT 10.0; Win64)")).alias("dev"),
+        scalar.coerce_positive_long(F.lit("-3")).alias("neg"),
+        scalar.coerce_positive_long(F.lit("42")).alias("pos"),
+    ).collect()[0]
+    import hashlib
+
+    assert row["h"] == hashlib.sha256(b"secret").hexdigest()
+    assert row["e"] is True
+    assert row["s"] is True
+    assert row["n"] == "mixed"
+    assert row["ip"] == "10.0.0.1"
+    assert row["bad_ip"] is False and row["good_ip"] is True
+    assert row["dev"] == "Windows 10"
+    assert row["neg"] is None and row["pos"] == 42

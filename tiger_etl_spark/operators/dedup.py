@@ -1,0 +1,178 @@
+"""Web-scale document deduplication (training-data pipeline operators).
+
+Not present in the reference (its dedup is keyed uniqueness probes,
+SURVEY.md §2.3 J3); these are the content-level equivalents a 100 TB
+text corpus needs: exact (hash groupBy), MinHash+LSH (shingle → minhash
+→ band → bucket join), SimHash, and n-gram Jaccard verification.
+
+Portability: hashes are md5-based (identical in Spark and DuckDB), so
+the driver's SQL oracle can reproduce signatures bit-for-bit. Everything
+is JVM-side higher-order functions — no Python in the row loop; the
+only shuffles are the groupBy(doc) for signatures and the band-bucket
+self-join for candidates (both key-partitioned, broadcast-free, and
+linear in corpus size — the point of LSH at 100 TB is that it never
+compares all pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (empty when the doc has < k words)."""
+    w = _words(text)
+    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text → group; returns one row per
+    duplicate-group with the keeper (min id) and group size. Plain
+    hash aggregation — partial combine map-side, fully scalable."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.col(id_col), F.md5(norm).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: for each of `n_hashes` seeded hash
+    functions, the min md5 over the doc's k-word shingles. One explode +
+    one groupBy(doc) with n_hashes min-aggregations (associative → no
+    skew). Docs with < k words have no shingles and drop out."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"mh{h}")
+        for h in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (bands × rows), bucket-join docs sharing any
+    band hash → candidate pairs (a < b) with estimated Jaccard = matching
+    minhash fraction. The self-join is on (band_id, band_hash) — a
+    key-partitioned shuffle whose fan-out is bucket sizes, never n²."""
+    rows = n_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(id_col, *[F.col(f"mh{h}") for h in range(n_hashes)], *band_cols)
+    exploded = banded.select(
+        id_col,
+        *[F.col(f"mh{h}") for h in range(n_hashes)],
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[
+                (F.col(f"a.mh{h}") == F.col(f"b.mh{h}")).cast("int").alias(f"eq{h}")
+                for h in range(n_hashes)
+            ],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = sum(F.col(f"eq{h}") for h in range(n_hashes)) / F.lit(float(n_hashes))
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard for candidate pairs (the verify step
+    after LSH): join each side to its distinct shingle set, count
+    intersection / union. Shuffles are by doc id and shingle — linear."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    shared = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sh_b")),
+            "id_b",
+        )
+        .where(F.col("sh") == F.col("_sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(shared, ["id_a", "id_b"], "left")
+        .fillna(0, subset=["n_shared"])
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over word tokens: token hash bits vote ±1 per
+    position; sign of the sum forms the fingerprint. md5-derived token
+    hash (first 60 bits) so the value is engine-portable in principle.
+    One explode + one groupBy with `bits` conditional sums."""
+    tok = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("w")
+    ).where(F.length("w") > 0)
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    tok = tok.withColumn("_h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fingerprint = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(bits)
+    )
+    return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
