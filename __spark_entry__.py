@@ -311,6 +311,50 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — quality features (punct/upper/stopword ratios)."""
+    from tiger_etl_spark.functions.text import quality_score_cols
+
+    d = _t(spark, sf_dir, "documents")
+    cols = quality_score_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        F.round(cols["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(cols["upper_ratio"], 6).alias("upper_ratio"),
+        F.round(cols["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def doc_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — n-gram/stopword language ID heuristic."""
+    from tiger_etl_spark.functions.text import detect_lang
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(detect_lang(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .count()
+    )
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (SimHash) — 32-bit fingerprints (rows-only check: DuckDB
+    lacks a portable hex→int for the md5-derived token hash)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text", bits=32)
+
+
+def embedding_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (scale path) — LSH-bucketed ANN with multi-probe
+    (rows-only check: approximate by design)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.lsh_topk(
+        e, "vec_id", "embedding", _QUERY_VEC, 10, n_planes=8, max_hamming=2
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def embedding_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search — brute-force cosine top-k to a fixed query
     vector (JVM-side zip_with/aggregate arithmetic)."""
@@ -355,7 +399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_signatures": doc_minhash_signatures,
         "doc_lsh_bands": doc_lsh_bands,
         "doc_token_stats": doc_token_stats,
+        "doc_quality_scores": doc_quality_scores,
+        "doc_lang_detect": doc_lang_detect,
+        "doc_simhash": doc_simhash,
         "embedding_cosine_top10": embedding_cosine_top10,
+        "embedding_ann_top10": embedding_ann_top10,
     }
 
 
@@ -508,6 +556,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_signatures": _MINHASH_SQL,
         "doc_lsh_bands": _LSH_BANDS_SQL,
+        "doc_quality_scores": _QUALITY_SQL,
+        "doc_lang_detect": _LANG_DETECT_SQL,
+        # doc_simhash, embedding_ann_top10: intentionally no oracle
+        # (md5-hex→int not portable to DuckDB; ANN approximate by design)
+        # → driver records rows-only checks.
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -553,6 +606,64 @@ SELECT doc_id,
        min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
 FROM sh GROUP BY doc_id
 """
+
+# --- generated oracles: built from the SAME marker dict / regexes the
+# Spark implementations use, so the two sides cannot drift -------------
+
+def _build_lang_detect_sql() -> str:
+    from tiger_etl_spark.functions.text import _LANG_MARKERS
+
+    score_cols = ", ".join(
+        " + ".join(
+            f"(CASE WHEN contains(padded, '{m}') THEN 1 ELSE 0 END)"
+            for m in markers
+        )
+        + f" AS s_{lang}"
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN best > 0 AND s_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+        WITH p AS (SELECT ' ' || lower(text) || ' ' AS padded FROM documents),
+        s AS (SELECT {score_cols} FROM p),
+        b AS (SELECT *, {best} AS best FROM s)
+        SELECT detected, count(*) AS count FROM (
+            SELECT CASE {case} ELSE 'und' END AS detected FROM b
+        ) GROUP BY detected
+    """
+
+
+def _build_quality_sql() -> str:
+    from tiger_etl_spark.functions.text import _LANG_MARKERS
+
+    stop_sum = " + ".join(
+        f"(len(string_split(padded, '{m}')) - 1)" for m in _LANG_MARKERS["en"]
+    )
+    return rf"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   length(text) AS n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   ' ' || lower(text) || ' ' AS padded
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               round((n_chars - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}]', '', 'g')))
+                     / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) END), 6) AS punct_ratio,
+               round((n_chars - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                     / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) END), 6) AS upper_ratio,
+               round(({stop_sum})
+                     / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) END), 6) AS stopword_ratio
+        FROM base
+    """
+
+
+_LANG_DETECT_SQL = _build_lang_detect_sql()
+_QUALITY_SQL = _build_quality_sql()
 
 _LSH_BANDS_SQL = r"""
 WITH words AS (

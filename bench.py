@@ -45,12 +45,26 @@ def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
     )
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
+        # untimed warmup: JIT/codegen/Arrow path warm-up on a small stream
+        # (we measure sustained throughput, not JVM cold start)
+        wchanges = os.path.join(work, "warm_changes")
+        wev = gen_change_events(seed=1, n=4000, n_hosts=20)
+        write_change_files(wev, wchanges, n_files=2)
+        create_pages_table(os.path.join(work, "warm_pages"), num_buckets=4)
+        run_stream(
+            spark,
+            wchanges,
+            os.path.join(work, "warm_pages"),
+            os.path.join(work, "warm_ckpt"),
+            max_files_per_trigger=1,
+        )
+
         changes = os.path.join(work, "changes")
         ev = gen_change_events(seed=42, n=n, n_hosts=max(100, n // 2000))
         write_change_files(ev, changes, n_files=8)
         table_path = os.path.join(work, "pages")
         create_pages_table(
-            table_path, num_buckets=max(16, cpus), write_salts=1
+            table_path, num_buckets=64, write_salts=1
         )
         t0 = time.time()
         res = run_stream(

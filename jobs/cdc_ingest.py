@@ -1,0 +1,102 @@
+"""spark-submit entrypoint for the CDC ingest job.
+
+Cluster usage (multi-executor):
+
+    python jobs/package.py                      # builds dist/tiger_etl_spark.zip
+    spark-submit \
+        --master yarn --deploy-mode cluster \
+        --num-executors 1000 --executor-cores 4 --executor-memory 16g \
+        --conf spark.sql.shuffle.partitions=4000 \
+        --conf spark.sql.adaptive.enabled=true \
+        --py-files dist/tiger_etl_spark.zip \
+        jobs/cdc_ingest.py \
+        --changes hdfs://…/changes --table hdfs://…/pages \
+        --checkpoint hdfs://…/ckpt --buckets 4096 \
+        --max-files-per-trigger 64 --compact-every 16
+
+Local smoke:
+
+    python jobs/cdc_ingest.py --changes /tmp/changes --table /tmp/pages \
+        --checkpoint /tmp/ckpt --local-cores 8
+
+Sizing guidance for 10^10 events / ~100 TB: buckets ≈ (table size /
+256 MB target file size); shuffle partitions ≈ 2–4 × total executor
+cores; maxFilesPerTrigger sized so a micro-batch is 1–5 GB per executor
+wave (per-batch fixed costs — trigger, snapshot commit, driver stats —
+amortize over batch size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+# local runs: repo root on sys.path (cluster runs get the package via
+# --py-files, which spark-submit adds to the path itself)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_ROOT, "tiger_etl_spark")):
+    sys.path.insert(0, _ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changes", required=True, help="change-file directory (binlog tail)")
+    ap.add_argument("--table", required=True, help="lake table path")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--write-salts", type=int, default=1)
+    ap.add_argument("--max-files-per-trigger", type=int, default=8)
+    ap.add_argument("--watermark-hours", type=int, default=24)
+    ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
+    ap.add_argument("--local-cores", type=int, default=0, help=">0: run local[N] (smoke)")
+    args = ap.parse_args()
+
+    if args.local_cores:
+        from tiger_etl_spark.session import get_spark
+
+        spark = get_spark("cdc_ingest", cores=args.local_cores)
+    else:
+        spark = SparkSession.builder.appName("cdc_ingest").getOrCreate()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from tiger_etl_spark.cdc.pipeline import create_pages_table
+    from tiger_etl_spark.cdc.streaming import run_stream
+    from tiger_etl_spark.lake import LakeTable
+
+    if not LakeTable.exists(args.table):
+        create_pages_table(
+            args.table, num_buckets=args.buckets, write_salts=args.write_salts
+        )
+
+    result = run_stream(
+        spark,
+        args.changes,
+        args.table,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        watermark_hours=args.watermark_hours,
+        merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
+    )
+    print(
+        json.dumps(
+            {
+                "batches_applied": result.batches_applied,
+                "batches_skipped": result.batches_skipped,
+                "rows_in": sum(r.rows_in for r in result.lineage),
+                "rows_quarantined": sum(r.rows_quarantined for r in result.lineage),
+                "rows_late": sum(r.rows_late for r in result.lineage),
+                "snapshot_id": LakeTable.load(args.table).manifest["snapshot_id"],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -36,16 +36,23 @@ def extract_text_py(html: bytes | None) -> str | None:
     return s.strip()
 
 
-@F.pandas_udf(T.StringType())
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    """Vectorized html→text. Pure pandas string kernels over Arrow
-    batches — no per-row Python callback in the hot path."""
+def extract_text_pandas(html: pd.Series) -> pd.Series:
+    """The vectorized extraction kernel (pure pandas string ops over an
+    Arrow batch). Shared by the pandas UDF and the fused dedup+extract
+    mapInPandas stage so both are byte-identical to the oracle."""
     return (
         html.str.decode("utf-8", errors="replace")
         .str.replace(_TAG_RE, " ", regex=True)
         .str.replace(_WS_RE, " ", regex=True)
         .str.strip()
     )
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Vectorized html→text. Pure pandas string kernels over Arrow
+    batches — no per-row Python callback in the hot path."""
+    return extract_text_pandas(html)
 
 
 # ---------------------------------------------------------------------------

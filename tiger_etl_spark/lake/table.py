@@ -218,6 +218,7 @@ class LakeTable:
         batch: DataFrame,
         mode: str = "mor",
         props_updates: dict | None = None,
+        prepared: bool = False,
     ) -> MergeStats:
         """MERGE INTO (SURVEY.md §2.3 J6): `batch` has the table schema
         plus `op ('I'|'U'|'D')` and `op_seq long`. Within-batch LWW dedup
@@ -230,18 +231,26 @@ class LakeTable:
         shuffle by bucket, write cost ∝ batch size. The 10^10-scale path.
         mode='cow' (copy-on-write): rewrite touched buckets to unique-key
         base files — read cost stays minimal.
+
+        prepared=True: the caller already normalized (physical columns +
+        `_op_seq`/`_deleted`/`_bucket`), deduped per key, AND hash-
+        partitioned by `_bucket` (the pipeline's fused dedup+extract
+        stage) — merge then writes with NO further shuffle.
         """
-        normalized = (
-            batch.withColumn(_SEQ_COL, F.col("op_seq").cast("long"))
-            .withColumn(_DELETED_COL, F.col("op") == "D")
-            .withColumn(_BUCKET_COL, self.bucket_expr())
-        )
-        deduped = self._resolve(normalized).select(
-            *[f.name for f in spark.createDataFrame([], self.schema_ddl).schema.fields],
-            _SEQ_COL,
-            _DELETED_COL,
-            _BUCKET_COL,
-        )
+        if prepared:
+            deduped = batch
+        else:
+            normalized = (
+                batch.withColumn(_SEQ_COL, F.col("op_seq").cast("long"))
+                .withColumn(_DELETED_COL, F.col("op") == "D")
+                .withColumn(_BUCKET_COL, self.bucket_expr())
+            )
+            deduped = self._resolve(normalized).select(
+                *[f.name for f in spark.createDataFrame([], self.schema_ddl).schema.fields],
+                _SEQ_COL,
+                _DELETED_COL,
+                _BUCKET_COL,
+            )
 
         if mode == "mor":
             write_df = deduped
@@ -263,7 +272,12 @@ class LakeTable:
         else:
             raise ValueError(f"unknown merge mode {mode!r}")
 
-        new_files = self._write_data(spark, write_df, kind="delta" if mode == "mor" else "base")
+        new_files = self._write_data(
+            spark,
+            write_df,
+            kind="delta" if mode == "mor" else "base",
+            skip_repartition=prepared and mode == "mor",
+        )
         kept = (
             self.manifest["files"]
             if mode == "mor"
@@ -333,10 +347,13 @@ class LakeTable:
         df: DataFrame,
         kind: str,
         sort_in_bucket: bool = False,
+        skip_repartition: bool = False,
     ) -> list[dict]:
         """One shuffle: hash-partition by bucket, then file-per-bucket
         via partitionBy into a staging dir; files then move (same-fs
-        rename) into data/ and the manifest records them with stats."""
+        rename) into data/ and the manifest records them with stats.
+        skip_repartition: input is already partitioned by bucket (fused
+        pipeline) — write directly, zero shuffles."""
         stage = os.path.join(self.path, f"stage-{uuid.uuid4().hex}")
         ts_col = self.manifest["order_cols"][0]
         # Salted write shuffle: partition by (bucket, salt) so a hot
@@ -345,7 +362,9 @@ class LakeTable:
         # the key (replay-safe). Files-per-bucket > 1 is fine — the
         # manifest tracks files, compact() re-collapses them.
         salts = int(self.manifest["props"].get("write_salts", 1))
-        if salts > 1 and not sort_in_bucket:
+        if skip_repartition:
+            out = df
+        elif salts > 1 and not sort_in_bucket:
             salt = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(salts))
             out = df.repartition(F.col(_BUCKET_COL), salt)
         else:
