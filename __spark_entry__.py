@@ -311,6 +311,25 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 — execute_raw_sql analog (pg_db.py:518-617): the SQL escape
+    hatch is spark.sql over registered views; Catalyst produces the same
+    plan as the DataFrame API."""
+    for t in ("customer", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis — quality features (punct/upper/stopword ratios)."""
     from tiger_etl_spark.functions.text import quality_score_cols
@@ -395,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_name_validation": customer_name_validation,
         "value_bucket_summary": value_bucket_summary,
         "parts_never_ordered": parts_never_ordered,
+        "sql_revenue_by_nation": sql_revenue_by_nation,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_minhash_signatures": doc_minhash_signatures,
         "doc_lsh_bands": doc_lsh_bands,
@@ -547,6 +567,14 @@ def oracle_sql() -> dict[str, str]:
         "parts_never_ordered": """
             SELECT p_partkey, p_name FROM part
             WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        """,
+        "sql_revenue_by_nation": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "doc_exact_dedup": r"""
             SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_md5,

@@ -61,7 +61,9 @@ def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
 
         changes = os.path.join(work, "changes")
         ev = gen_change_events(seed=42, n=n, n_hosts=max(100, n // 2000))
-        write_change_files(ev, changes, n_files=8)
+        # many small segment files, as a real binlog tail produces —
+        # scan-side parallelism must come from files, not one fat file
+        write_change_files(ev, changes, n_files=64)
         table_path = os.path.join(work, "pages")
         create_pages_table(
             table_path, num_buckets=64, write_salts=1
@@ -72,7 +74,7 @@ def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
             changes,
             table_path,
             os.path.join(work, "ckpt"),
-            max_files_per_trigger=2,
+            max_files_per_trigger=16,
         )
         table = LakeTable.load(table_path)
         table.compact(spark)

@@ -6,13 +6,18 @@ instruction — the same job runs at two parallelism levels (local[N] vs
 local[4N], fresh JVM each) on the SAME input size, and we report
 events/sec at both plus efficiency = (tput_4N / tput_N) / 4.
 
-Writes BENCH/BASELINE.md. Usage: python bench_scaling.py [N] [EVENTS]
+The sandbox is a shared-host VM with bursty CPU steal, so single runs
+are noisy: levels are interleaved (N, 4N, N, 4N, …) and the MEDIAN
+events/sec per level is reported, with all raw rounds shown.
+
+Writes BENCH/BASELINE.md. Usage: python bench_scaling.py [N] [EVENTS] [ROUNDS]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -38,47 +43,70 @@ def run_at(cpus: int, n_events: int) -> dict:
 
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 1_600_000
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     n_big = n_small * 4
 
-    r_small = run_at(n_small, n_events)
-    r_big = run_at(n_big, n_events)
-    eff = (r_big["events_per_sec"] / r_small["events_per_sec"]) / 4.0
+    runs_small, runs_big = [], []
+    for _ in range(rounds):
+        runs_small.append(run_at(n_small, n_events))
+        runs_big.append(run_at(n_big, n_events))
+
+    med_small = statistics.median(r["events_per_sec"] for r in runs_small)
+    med_big = statistics.median(r["events_per_sec"] for r in runs_big)
+    eff = (med_big / med_small) / 4.0
+
+    def row(cpus, runs, med):
+        rates = ", ".join(f"{r['events_per_sec']:,.0f}" for r in runs)
+        return f"| local[{cpus}] | {med:,.0f} | {rates} |"
 
     md = f"""# BENCH — measured numbers
 
 ## Scaling efficiency (north rule: ≥ 0.8 from N → 4N)
 
 Same job (CDC merge-apply of a deterministic {n_events:,}-event change
-stream, seed 42, 8 files, maxFilesPerTrigger=2, merge-on-read + final
-compaction), same input, two parallelism levels. Sandbox proxy for
-cluster sizes per driver instruction: `local[{n_small}]` vs
-`local[{n_big}]`, fresh JVM each. Warmup batches excluded from timing.
+stream, seed 42, 64 segment files, maxFilesPerTrigger=16, merge-on-read
++ final compaction), same input, two parallelism levels. Sandbox proxy
+for cluster sizes per driver instruction: `local[{n_small}]` vs
+`local[{n_big}]`, fresh JVM per run. Warmup excluded. The sandbox VM
+shows bursty CPU steal from the shared host, so levels were interleaved
+for {rounds} rounds and medians compared.
 
-| Parallelism | events/sec | wall sec | batches |
-|---|---|---|---|
-| local[{n_small}] (N) | {r_small["events_per_sec"]:,} | {r_small["cdc_sec"]} | {r_small["cdc_batches"]} |
-| local[{n_big}] (4N) | {r_big["events_per_sec"]:,} | {r_big["cdc_sec"]} | {r_big["cdc_batches"]} |
+| Parallelism | median events/sec | rounds |
+|---|---|---|
+{row(n_small, runs_small, med_small)}
+{row(n_big, runs_big, med_big)}
 
-**Scaling efficiency: {eff:.3f}** (target ≥ 0.8)
+**Scaling efficiency (medians): {eff:.3f}** (target ≥ 0.8)
 
-Caveats (honest proxy): a single JVM shares one driver, one local disk
-for shuffle, and OS page cache between "executors"; per-micro-batch
-fixed costs (streaming trigger, snapshot commit, driver aggregation of
-file stats) do not parallelize and bound small-batch scaling. On a real
-4N-executor cluster those costs stay constant while scan/shuffle/write
-bandwidth scales with executors.
+Caveats (honest proxy): a single JVM shares one driver thread, one
+local disk, and the OS page cache between "executors"; per-micro-batch
+fixed costs (streaming trigger, snapshot commit, driver manifest/stats
+work, Python worker management) do not parallelize, and host CPU steal
+adds noise no cluster would see. On a real 4N-executor cluster the
+fixed costs stay constant while scan/shuffle/write bandwidth scales
+with executors.
 
-## Raw bench output
+## Raw rounds
 
-N: `{json.dumps(r_small)}`
+local[{n_small}]: `{json.dumps(runs_small)}`
 
-4N: `{json.dumps(r_big)}`
+local[{n_big}]: `{json.dumps(runs_big)}`
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
-    print(json.dumps({"efficiency": round(eff, 3), "n": r_small, "4n": r_big}))
+    print(
+        json.dumps(
+            {
+                "efficiency": round(eff, 3),
+                "median_n": med_small,
+                "median_4n": med_big,
+                "rounds_n": [r["events_per_sec"] for r in runs_small],
+                "rounds_4n": [r["events_per_sec"] for r in runs_big],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -373,31 +373,39 @@ class LakeTable:
             out = out.sortWithinPartitions(_BUCKET_COL, self.key_col)
         out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(stage)
 
-        new_files: list[dict] = []
         commit_tag = uuid.uuid4().hex[:12]
+        staged: list[tuple[str, int, int]] = []  # (src, bucket, idx)
         for bdir in sorted(os.listdir(stage)):
             if not bdir.startswith(f"{_BUCKET_COL}="):
                 continue
             bucket = int(bdir.split("=")[1])
             for i, fn in enumerate(sorted(os.listdir(os.path.join(stage, bdir)))):
-                if not fn.endswith(".parquet"):
-                    continue
-                src = os.path.join(stage, bdir, fn)
-                md = pq.ParquetFile(src).metadata
-                if md.num_rows == 0:
-                    continue
-                rel = f"data/b{bucket:05d}-{commit_tag}-{i}-{kind}.parquet"
-                os.replace(src, self._abs(rel))
-                new_files.append(
-                    {
-                        "path": rel,
-                        "bucket": bucket,
-                        "kind": kind,
-                        "rows": md.num_rows,
-                        "bytes": os.path.getsize(self._abs(rel)),
-                        **self._file_stats(self._abs(rel), ts_col),
-                    }
-                )
+                if fn.endswith(".parquet"):
+                    staged.append((os.path.join(stage, bdir, fn), bucket, i))
+
+        def finalize(item: tuple[str, int, int]) -> dict | None:
+            src, bucket, i = item
+            md = pq.ParquetFile(src).metadata
+            if md.num_rows == 0:
+                return None
+            rel = f"data/b{bucket:05d}-{commit_tag}-{i}-{kind}.parquet"
+            os.replace(src, self._abs(rel))
+            return {
+                "path": rel,
+                "bucket": bucket,
+                "kind": kind,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(self._abs(rel)),
+                **self._file_stats(self._abs(rel), ts_col),
+            }
+
+        # footer reads are tiny but latency-bound; do them concurrently
+        # (one commit can carry hundreds of files)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            new_files = [f for f in pool.map(finalize, staged) if f is not None]
+        new_files.sort(key=lambda f: f["path"])
         shutil.rmtree(stage, ignore_errors=True)
         return new_files
 
@@ -471,6 +479,31 @@ class LakeTable:
         )
         self._commit(self.manifest["files"], {"operation": "evolve-schema"})
         return new_id
+
+    # ----------------------------------------------------------- truncate
+    def truncate(self) -> None:
+        """S5 analog — `TRUNCATE … RESTART IDENTITY`
+        (pg_db.py:400-438): a new empty snapshot; old data files stay
+        until expire_snapshots (time travel preserved). Identity reset is
+        moot — ids are event sequence numbers, not autoincrement."""
+        self._commit([], {"operation": "truncate"})
+
+    def delete_where(self, spark: SparkSession, predicate, op_seq: int) -> MergeStats:
+        """J5 analog — FK CASCADE delete (sessions_management/model.py:
+        45-50): no FK enforcement in the lake, so child cleanup is an
+        explicit keyed delete: scan current state for matching keys, merge
+        D tombstones. `predicate` is a Column over the table schema;
+        `op_seq` must exceed prior sequence numbers (caller-supplied —
+        deletes are change events too, keeping replay deterministic)."""
+        victims = self.scan(spark).where(predicate)
+        # keep each victim's own warc_ts: the D wins its tie via op_seq,
+        # but cannot outrank genuinely newer events that arrive later
+        batch = victims.select(
+            F.lit("D").alias("op"),
+            F.lit(op_seq).cast("long").alias("op_seq"),
+            "*",
+        )
+        return self.merge(spark, batch)
 
     # ------------------------------------------------------------ history
     def history(self) -> list[dict]:

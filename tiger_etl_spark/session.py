@@ -29,6 +29,14 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
+    # Executor Python workers must import this package (mapInPandas /
+    # pandas UDF closures reference it). Local mode inherits the driver
+    # env — prepend the package root to PYTHONPATH before JVM start; on
+    # a cluster this is spark-submit --py-files (jobs/package.py).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = f"{pkg_root}:{existing}" if existing else pkg_root
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
