@@ -41,7 +41,7 @@ def sf_of(sf_dir: str) -> float:
 
 def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
     n = n_events or int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "0")) or max(
-        20_000, int(2_000_000 * sf)
+        50_000, int(20_000_000 * sf)
     )
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
@@ -63,7 +63,7 @@ def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
         ev = gen_change_events(seed=42, n=n, n_hosts=max(100, n // 2000))
         # many small segment files, as a real binlog tail produces —
         # scan-side parallelism must come from files, not one fat file
-        write_change_files(ev, changes, n_files=64)
+        write_change_files(ev, changes, n_files=256)
         table_path = os.path.join(work, "pages")
         create_pages_table(
             table_path, num_buckets=64, write_salts=1
@@ -74,10 +74,14 @@ def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
             changes,
             table_path,
             os.path.join(work, "ckpt"),
-            max_files_per_trigger=16,
+            max_files_per_trigger=64,
         )
+        if os.environ.get("SPARK_GRAFT_TIMING") == "1":
+            print(f"TIMING stream_done t={time.time() % 100000:.1f}", flush=True)
         table = LakeTable.load(table_path)
         table.compact(spark)
+        if os.environ.get("SPARK_GRAFT_TIMING") == "1":
+            print(f"TIMING compact_done t={time.time() % 100000:.1f}", flush=True)
         elapsed = time.time() - t0
         n_in = sum(r.rows_in for r in res.lineage)
         return {
@@ -106,7 +110,18 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
     sf = sf_of(sf_dir)
-    spark = get_spark("tiger_etl_spark-bench", cores=cpus, shuffle_partitions=cpus)
+    # the change stream is many small segment files; keep one scan task
+    # per file so read parallelism tracks core count (the default 128 MB
+    # bin-packing would collapse a whole micro-batch into a few tasks)
+    spark = get_spark(
+        "tiger_etl_spark-bench",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.files.openCostInBytes": "16m",
+        },
+    )
 
     result = {
         "metric": "cdc_merge_apply_wall_sec (headline; events_per_sec included)",

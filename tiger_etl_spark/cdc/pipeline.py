@@ -19,6 +19,7 @@ no-op under the LWW guard).
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,7 +28,7 @@ from pyspark.sql import functions as F
 from tiger_etl_spark.cdc.schema_evolution import map_to_live_schema
 from tiger_etl_spark.cdc.schemas import PAGES_SCHEMA
 from tiger_etl_spark.cdc.validate import with_validation
-from tiger_etl_spark.functions.text import extract_text_pandas
+from tiger_etl_spark.functions.text import extract_text_udf
 from tiger_etl_spark.lake import LakeTable
 
 WATERMARK_HOURS_DEFAULT = 24
@@ -67,54 +68,52 @@ def create_pages_table(
 def _fused_dedup_extract(table: LakeTable, mapped: DataFrame) -> DataFrame:
     """The hot path, one shuffle total (SURVEY.md §3 steps 3–5 fused):
 
-      repartition by bucket → sortWithinPartitions(url, order desc)
-      → mapInPandas: keep first row per url run (LWW winner; state
-        carried across Arrow chunks) + extract text on winners only
+      repartition(num_buckets, url)        — the ONLY exchange; partition
+                                             id == bucket (bucket_expr)
+      → groupBy(url).agg(max_by(...))      — LWW winner per url as a
+                                             partition-local hash agg:
+                                             hash(url, B) already
+                                             satisfies the clustered
+                                             distribution, so Catalyst
+                                             adds NO second exchange and
+                                             no sort at all
+      → extract_text_udf(html)             — winners only, scalar Arrow/
+                                             pandas UDF: just the html
+                                             column crosses the JVM↔
+                                             Python boundary, not the row
 
-    url determines bucket, so after the bucket shuffle every url's
-    events are co-located; a partition-local sorted scan picks winners
-    without the url-hash exchange a groupBy/window would add, and the
-    result is already laid out for the bucket-partitioned write (merge
-    writes with zero further shuffles). Losing events never pay the
-    extraction UDF. All pandas ops are vectorized (no per-row Python).
+    The result is still laid out one-partition-per-bucket, so the merge
+    writes file-per-bucket with zero further shuffles. Losing events
+    never pay the extraction UDF; no per-row Python anywhere.
     """
-    import pandas as pd
-
-    normalized = (
-        mapped.withColumn("_op_seq", F.col("op_seq").cast("long"))
-        .withColumn("_deleted", F.col("op") == "D")
-        .withColumn("_bucket", table.bucket_expr())
+    normalized = mapped.select(
+        "url",
+        "warc_ts",
+        "html",
+        "lang",
+        "content_len",
+        F.col("op_seq").cast("long").alias("_op_seq"),
+        (F.col("op") == "D").alias("_deleted"),
     )
-    parts = normalized.repartition(F.col("_bucket")).sortWithinPartitions(
-        "url", F.col("warc_ts").desc(), F.col("_op_seq").desc()
+    parts = normalized.repartition(table.num_buckets, F.col(table.key_col))
+    payload = [c for c in normalized.columns if c != "url"]
+    order = F.struct("warc_ts", "_op_seq")
+    winners = (
+        parts.groupBy("url")
+        .agg(F.max_by(F.struct(*payload), order).alias("_w"))
+        .select("url", "_w.*")
     )
-
-    out_cols = [
-        "url", "warc_ts", "html", "text", "lang", "content_len",
-        "_op_seq", "_deleted", "_bucket",
-    ]
-
-    def keep_first_extract(batches) -> "Iterator[pd.DataFrame]":
-        prev_url = None  # last url seen in the previous chunk (same partition)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            first_of_run = pdf["url"].ne(pdf["url"].shift())
-            keep = pdf[first_of_run]
-            if prev_url is not None and len(keep) and keep.iloc[0]["url"] == prev_url:
-                keep = keep.iloc[1:]
-            prev_url = pdf["url"].iloc[-1]
-            if len(keep) == 0:
-                continue
-            keep = keep.assign(text=extract_text_pandas(keep["html"]))
-            yield keep[out_cols]
-
-    schema = (
-        "url string, warc_ts timestamp, html binary, text string, "
-        "lang string, content_len long, _op_seq long, _deleted boolean, "
-        "_bucket int"
+    return winners.select(
+        "url",
+        "warc_ts",
+        "html",
+        extract_text_udf(F.col("html")).alias("text"),
+        "lang",
+        "content_len",
+        "_op_seq",
+        "_deleted",
+        table.bucket_expr().alias("_bucket"),
     )
-    return parts.mapInPandas(keep_first_extract, schema=schema)
 
 
 def apply_changes(
@@ -138,85 +137,136 @@ def apply_changes(
             snapshot_id=table.manifest["snapshot_id"],
         )
 
-    # cache the validated micro-batch once; every counter below comes out
-    # of ONE aggregation pass over it (per-batch driver jobs are the fixed
-    # cost that bounds streaming throughput)
-    checked = with_validation(events).cache()
-    try:
-        is_valid = F.size("_invalid_reasons") == 0
-        valid = checked.where(is_valid).drop("_invalid_reasons")
-        quarantined = checked.where(~is_valid)
-        mapped = map_to_live_schema(valid)
+    timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+    marks: list[tuple[str, float]] = [("start", time.time())]
 
-        # watermark accounting: events older than (batch max ts − horizon)
-        # are "late" — still applied (the LWW guard makes stale ones
-        # no-ops), but counted to lineage per the late-data policy
-        prev_wm = table.props.get("high_watermark")
-        agg = checked.agg(
-            F.count("*").alias("rows_in"),
-            F.sum(
-                F.coalesce(F.length("html"), F.length("body"), F.lit(0))
-                + F.coalesce(F.length("url"), F.lit(0))
-            ).alias("bytes_in"),
-            F.min("batch_file").alias("offset_start"),
-            F.max("batch_file").alias("offset_end"),
-            F.max("warc_ts").alias("max_ts"),
-            F.sum((~is_valid).cast("long")).alias("n_quarantined"),
-        ).collect()[0]
-        n_quarantined = agg["n_quarantined"] or 0
+    def mark(name: str) -> None:
+        if timing:
+            marks.append((name, time.time()))
 
-        # persist quarantine (dead-letter) before the merge commit
-        if n_quarantined:
-            qdir = os.path.join(table.path, "_quarantine", f"batch_id={batch_id}")
-            quarantined.withColumn(
+    # ONE Spark job per micro-batch: every lineage counter rides the
+    # write job as an Observation (CollectMetrics on the scan side of the
+    # shuffle) instead of its own aggregation pass — per-batch driver
+    # jobs are the fixed cost that bounds streaming throughput and
+    # scaling efficiency.
+    from pyspark.sql import Observation
+
+    checked = with_validation(events)
+    is_valid = F.size("_invalid_reasons") == 0
+
+    # late-data accounting per streaming semantics: an event is late if
+    # it arrives behind the watermark established by PRIOR batches
+    # (high_watermark − horizon). Late rows are still applied — the LWW
+    # guard makes stale ones no-ops — but counted to lineage.
+    prev_wm = table.props.get("high_watermark")
+    if prev_wm is not None:
+        late_pred = F.col("warc_ts") < (
+            F.lit(prev_wm).cast("timestamp")
+            - F.expr(f"INTERVAL {watermark_hours} HOURS")
+        )
+    else:
+        late_pred = F.lit(False)
+
+    obs = Observation(f"lineage_b{batch_id}")
+    checked = checked.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(
+            F.coalesce(F.length("html"), F.length("body"), F.lit(0))
+            + F.coalesce(F.length("url"), F.lit(0))
+        ).alias("bytes_in"),
+        F.min("batch_file").alias("offset_start"),
+        F.max("batch_file").alias("offset_end"),
+        F.max("warc_ts").alias("max_ts"),
+        F.sum((~is_valid).cast("long")).alias("n_quarantined"),
+        F.sum((is_valid & late_pred).cast("long")).alias("n_late"),
+    )
+    valid = checked.where(is_valid).drop("_invalid_reasons")
+    mapped = map_to_live_schema(valid)
+
+    record = LineageRecord(
+        batch_id=batch_id, offset_start="", offset_end="", snapshot_id=0
+    )
+
+    # quarantine (dead-letter) split runs as a CONCURRENT Spark job while
+    # the main merge-write job runs — it shares the scan but not the
+    # shuffle, so its latency hides entirely behind the merge; joined
+    # before the commit so a reader never sees a committed batch without
+    # its quarantine rows
+    import threading
+
+    qdir = os.path.join(table.path, "_quarantine", f"batch_id={batch_id}")
+    q_err: list[Exception] = []
+
+    def write_quarantine() -> None:
+        try:
+            with_validation(events).where(~is_valid).withColumn(
                 "_invalid_reasons", F.array_join("_invalid_reasons", ",")
             ).write.mode("overwrite").parquet(qdir)
+        except Exception as e:  # surfaced at join time
+            q_err.append(e)
 
-        high_wm = agg["max_ts"]
+    q_thread = threading.Thread(target=write_quarantine, daemon=True)
+    q_thread.start()
+
+    def commit_props() -> dict:
+        """Runs after the write job, before the atomic commit: fold the
+        observed metrics into the same commit as the data files."""
+        m = obs.get
+        mark("observe")
+        record.offset_start = m["offset_start"] or ""
+        record.offset_end = m["offset_end"] or ""
+        record.rows_in = m["rows_in"]
+        record.rows_quarantined = m["n_quarantined"] or 0
+        record.rows_late = m["n_late"] or 0
+        record.bytes_in = m["bytes_in"] or 0
+        q_thread.join()
+        if q_err:
+            raise q_err[0]
+        mark("quarantine")
+        high_wm = m["max_ts"]
         if prev_wm is not None and (high_wm is None or str(high_wm) < prev_wm):
             high_wm = prev_wm  # watermark never regresses
-        late_cutoff = F.lit(str(high_wm)).cast("timestamp") - F.expr(
-            f"INTERVAL {watermark_hours} HOURS"
-        )
-        n_late = mapped.where(F.col("warc_ts") < late_cutoff).count() if high_wm else 0
-
-        props_updates = {
-            "applied_batches": {**applied, str(batch_id): table.manifest["snapshot_id"] + 1},
+        return {
+            "applied_batches": {
+                **applied, str(batch_id): table.manifest["snapshot_id"] + 1
+            },
             "high_watermark": str(high_wm) if high_wm else None,
         }
-        if merge_mode == "mor":
-            batch = _fused_dedup_extract(table, mapped)
-            stats = table.merge(
-                spark, batch, mode="mor", props_updates=props_updates, prepared=True
-            )
-        else:
-            from tiger_etl_spark.functions.text import extract_text_udf
 
-            batch = mapped.withColumn(
-                "text", extract_text_udf(F.col("html"))
-            ).select(
-                "op", "op_seq", "url", "warc_ts", "html", "text", "lang", "content_len"
-            )
-            stats = table.merge(
-                spark, batch, mode=merge_mode, props_updates=props_updates
-            )
-
-        record = LineageRecord(
-            batch_id=batch_id,
-            offset_start=agg["offset_start"] or "",
-            offset_end=agg["offset_end"] or "",
-            snapshot_id=stats.snapshot_id,
-            rows_in=agg["rows_in"],
-            rows_applied=stats.rows_upserted,
-            rows_quarantined=n_quarantined,
-            rows_late=n_late,
-            bytes_in=agg["bytes_in"] or 0,
-            partition_counts=stats.partition_counts,
+    if merge_mode == "mor":
+        batch = _fused_dedup_extract(table, mapped)
+        stats = table.merge(
+            spark, batch, mode="mor", prepared=True, props_updates_fn=commit_props
         )
-        _write_lineage(table, record)
-        return record
-    finally:
-        checked.unpersist()
+        mark("merge")
+    else:
+        from tiger_etl_spark.functions.text import extract_text_udf
+
+        batch = mapped.withColumn(
+            "text", extract_text_udf(F.col("html"))
+        ).select(
+            "op", "op_seq", "url", "warc_ts", "html", "text", "lang", "content_len"
+        )
+        stats = table.merge(
+            spark, batch, mode=merge_mode, props_updates_fn=commit_props
+        )
+
+    record.snapshot_id = stats.snapshot_id
+    record.rows_applied = stats.rows_upserted
+    record.partition_counts = stats.partition_counts
+    _write_lineage(table, record)
+    mark("lineage")
+    if timing:
+        deltas = {
+            marks[i][0]: round(marks[i][1] - marks[i - 1][1], 3)
+            for i in range(1, len(marks))
+        }
+        print(
+            f"TIMING batch={batch_id} t={time.time() % 100000:.1f} {deltas}",
+            flush=True,
+        )
+    return record
 
 
 def _write_lineage(table: LakeTable, rec: LineageRecord) -> None:

@@ -16,7 +16,9 @@ minimally for a single-writer CDC sink:
   driver), as with one Structured Streaming query per sink.
 - ``data/``           — zstd parquet, file-per-bucket-per-commit.
 
-Partitioning: hidden ``bucket(B, key)`` via ``pmod(xxhash64(key), B)``.
+Partitioning: hidden ``bucket(B, key)`` via ``pmod(murmur3(key), B)``
+(the same hash Spark's HashPartitioning uses, so a ``repartition(B,
+key)`` is bucket-aligned — see ``bucket_expr``).
 A CDC upsert table is bucketed by merge key so every MERGE is a
 bucket-local operation: the shuffle is one hash-partition by bucket, and
 write amplification is bounded by touched buckets (merge-on-read: by the
@@ -152,8 +154,14 @@ class LakeTable:
         ]
 
     def bucket_expr(self, col=None):
+        """bucket(B, key) = pmod(murmur3(key), B) — deliberately the SAME
+        function Spark's HashPartitioning uses, so
+        ``df.repartition(B, key)`` lands every row in the shuffle
+        partition whose id equals its bucket: one even task per bucket,
+        no hash-collision skew, and the partitionBy write emits exactly
+        one file per bucket (verified in tests/test_lake_table.py)."""
         col = col if col is not None else F.col(self.key_col)
-        return F.pmod(F.xxhash64(col), F.lit(self.num_buckets)).cast("int")
+        return F.pmod(F.hash(col), F.lit(self.num_buckets)).cast("int")
 
     def _physical_ddl(self) -> str:
         return f"{self.schema_ddl}, {_SEQ_COL} long, {_DELETED_COL} boolean"
@@ -219,6 +227,7 @@ class LakeTable:
         mode: str = "mor",
         props_updates: dict | None = None,
         prepared: bool = False,
+        props_updates_fn=None,
     ) -> MergeStats:
         """MERGE INTO (SURVEY.md §2.3 J6): `batch` has the table schema
         plus `op ('I'|'U'|'D')` and `op_seq long`. Within-batch LWW dedup
@@ -236,6 +245,11 @@ class LakeTable:
         `_op_seq`/`_deleted`/`_bucket`), deduped per key, AND hash-
         partitioned by `_bucket` (the pipeline's fused dedup+extract
         stage) — merge then writes with NO further shuffle.
+
+        props_updates_fn: optional zero-arg callable evaluated AFTER the
+        write job and BEFORE the commit — lets the caller fold metrics
+        observed during the write (pyspark Observation) into the same
+        atomic commit as the data files.
         """
         if prepared:
             deduped = batch
@@ -287,6 +301,8 @@ class LakeTable:
             "operation": f"merge-{mode}",
             "rows_written": sum(f["rows"] for f in new_files),
         }
+        if props_updates_fn is not None:
+            props_updates = {**(props_updates or {}), **props_updates_fn()}
         if props_updates:
             # bookkeeping (e.g. applied-batch ids for exactly-once) lands
             # in the SAME atomic commit as the data
@@ -368,7 +384,9 @@ class LakeTable:
             salt = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(salts))
             out = df.repartition(F.col(_BUCKET_COL), salt)
         else:
-            out = df.repartition(F.col(_BUCKET_COL))
+            # bucket-aligned shuffle (see bucket_expr): partition i holds
+            # exactly bucket i — B even tasks, one output file per bucket
+            out = df.repartition(self.num_buckets, F.col(self.key_col))
         if sort_in_bucket:
             out = out.sortWithinPartitions(_BUCKET_COL, self.key_col)
         out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(stage)
@@ -396,7 +414,7 @@ class LakeTable:
                 "kind": kind,
                 "rows": md.num_rows,
                 "bytes": os.path.getsize(self._abs(rel)),
-                **self._file_stats(self._abs(rel), ts_col),
+                **self._stats_from_metadata(md, ts_col),
             }
 
         # footer reads are tiny but latency-bound; do them concurrently
@@ -414,7 +432,9 @@ class LakeTable:
         straight from the parquet footer (no data read) — the analog of
         Iceberg manifest column bounds / the reference's 29 secondary
         indexes (alembic 310f4b46a4b2:32-110)."""
-        md = pq.ParquetFile(path).metadata
+        return self._stats_from_metadata(pq.ParquetFile(path).metadata, ts_col)
+
+    def _stats_from_metadata(self, md, ts_col: str) -> dict:
         schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
         mins: dict = {}
         maxs: dict = {}
