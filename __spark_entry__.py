@@ -382,6 +382,55 @@ def embedding_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis — rolling-hash (winnowing-style) document
+    fingerprint: min-4 of md5 over sliding 8-char windows."""
+    from tiger_etl_spark.functions.text import chargram_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", chargram_fingerprint(F.col("text"), k=8, keep=4).alias("fingerprint")
+    )
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (n-gram Jaccard) — LSH candidate pairs verified with exact
+    3-word-shingle Jaccard (the verify step after banding)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8, k=3)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4).select(
+        "id_a", "id_b"
+    )
+    out = dedup.ngram_jaccard(d, cands, "doc_id", "text", k=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (embedding-cosine near-dup): pairs with cosine ≥ 0.4
+    (threshold chosen to produce matches in the synthetic corpus)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing — opaque binary media column → fixed-length
+    feature vector via Arrow-batched mapInPandas (deterministic fake
+    decode; rows-only check: byte-stat decode isn't portable SQL)."""
+    from tiger_etl_spark.operators.multimodal import extract_media_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+    feats = extract_media_features(d, "doc_id", "blob", n_features=8)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 8), 6).alias("f7"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -424,6 +473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash": doc_simhash,
         "embedding_cosine_top10": embedding_cosine_top10,
         "embedding_ann_top10": embedding_ann_top10,
+        "doc_rolling_fingerprint": doc_rolling_fingerprint,
+        "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+        "embedding_neardup_pairs": embedding_neardup_pairs,
+        "media_feature_stats": media_feature_stats,
     }
 
 
@@ -586,9 +639,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_lsh_bands": _LSH_BANDS_SQL,
         "doc_quality_scores": _QUALITY_SQL,
         "doc_lang_detect": _LANG_DETECT_SQL,
-        # doc_simhash, embedding_ann_top10: intentionally no oracle
-        # (md5-hex→int not portable to DuckDB; ANN approximate by design)
+        # doc_simhash, embedding_ann_top10, media_feature_stats:
+        # intentionally no oracle (md5-hex→int not portable to DuckDB;
+        # ANN approximate by design; byte-stat fake decode is Python)
         # → driver records rows-only checks.
+        "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+        "doc_ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "embedding_neardup_pairs": f"""
+            WITH p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_sum(list_transform(range(1, len(a.embedding) + 1),
+                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS c
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4
+        """,
         "doc_token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -617,6 +685,75 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
 
+
+# rolling-hash fingerprint oracle — mirrors functions.text.chargram_fingerprint
+# (k=8 char windows over whitespace-normalized text, min-4 md5s, md5 of join)
+_ROLLING_FP_SQL = r"""
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN length(norm) < 8 THEN md5('')
+            ELSE md5(array_to_string(
+                list_sort(list_transform(range(1, length(norm) - 6),
+                    i -> md5(substring(norm, i, 8))))[1:4], '|'))
+       END AS fingerprint
+FROM n
+"""
+
+# LSH candidates + exact 3-word-shingle Jaccard — mirrors
+# operators.dedup.{minhash_signatures,lsh_candidate_pairs,ngram_jaccard}
+_NGRAM_JACCARD_SQL = r"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+    FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+sig AS (
+    SELECT doc_id,
+           min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1,
+           min(md5('2|' || sh)) AS mh2, min(md5('3|' || sh)) AS mh3,
+           min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
+           min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
+    FROM sh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, band_id, band_hash FROM (
+        SELECT doc_id,
+               UNNEST([md5(mh0 || '|' || mh1), md5(mh2 || '|' || mh3),
+                       md5(mh4 || '|' || mh5), md5(mh6 || '|' || mh7)]) AS band_hash,
+               UNNEST([0, 1, 2, 3]) AS band_id
+        FROM sig
+    )
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+shared AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_shared
+    FROM cand c
+    JOIN dsh a ON a.doc_id = c.id_a
+    JOIN dsh b ON b.doc_id = c.id_b AND a.sh = b.sh
+    GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(coalesce(s.n_shared, 0)
+             / (sa.n_sh + sb.n_sh - coalesce(s.n_shared, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+"""
 
 _MINHASH_SQL = r"""
 WITH words AS (

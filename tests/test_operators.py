@@ -97,6 +97,43 @@ def test_lsh_topk_recall(spark, vectors):
     assert recall >= 0.4
 
 
+def test_neardup_pairs_cosine(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+        (4, [-1.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.neardup_pairs(df, "vec_id", "embedding", 0.9).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.99
+
+
+def test_rolling_fingerprint_groups_near_identical(spark, docs):
+    from tiger_etl_spark.functions.text import chargram_fingerprint
+
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", chargram_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[2]          # identical text → identical fingerprint
+    assert out[1] != out[4]          # unrelated text → different
+    # whitespace/case normalization folds in
+    df2 = spark.createDataFrame([(9, "  THE quick   brown fox jumps over the lazy dog while the cat sleeps in the warm sun near the old stone wall by the river ")], "doc_id long, text string")
+    fp9 = df2.select(chargram_fingerprint(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert fp9 == out[1]
+    # short/empty docs degrade to the empty fingerprint, no error
+    df3 = spark.createDataFrame([(10, ""), (11, "tiny")], "doc_id long, text string")
+    fps = [r["fp"] for r in df3.select(chargram_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert len(set(fps)) == 1
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [(1, b"\x00" * 64), (2, bytes(range(64))), (3, None), (4, b"")]
     df = spark.createDataFrame(rows, "media_id long, blob binary")

@@ -48,6 +48,7 @@ class LineageRecord:
     rows_quarantined: int = 0
     rows_late: int = 0
     bytes_in: int = 0
+    batch_seconds: float = 0.0
     partition_counts: dict[str, int] = field(default_factory=dict)
 
 
@@ -255,6 +256,7 @@ def apply_changes(
     record.snapshot_id = stats.snapshot_id
     record.rows_applied = stats.rows_upserted
     record.partition_counts = stats.partition_counts
+    record.batch_seconds = round(time.time() - marks[0][1], 3)
     _write_lineage(table, record)
     mark("lineage")
     if timing:
@@ -291,6 +293,7 @@ def _write_lineage(table: LakeTable, rec: LineageRecord) -> None:
             "rows_quarantined": pa.array([row["rows_quarantined"]], pa.int64()),
             "rows_late": pa.array([row["rows_late"]], pa.int64()),
             "bytes_in": pa.array([row["bytes_in"]], pa.int64()),
+            "batch_seconds": pa.array([row["batch_seconds"]], pa.float64()),
             "partition_counts": pa.array(
                 [list(row["partition_counts"].items())],
                 pa.map_(pa.string(), pa.int64()),

@@ -134,6 +134,25 @@ def doc_fingerprint(text: Column) -> Column:
     return F.xxhash64(norm)
 
 
+def chargram_fingerprint(text: Column, k: int = 8, keep: int = 4) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): slide a
+    k-char window over the normalized text, hash every window (md5 —
+    engine-portable), keep the `keep` smallest hashes, and fingerprint
+    their concatenation. Near-identical documents share most window
+    hashes, so their min-sets — and usually the fingerprint — collide.
+    All JVM-side higher-order functions; no Python, no shuffle."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    n = F.length(norm) - (k - 1)
+    grams = F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.when(n < 1, F.lit(1)).otherwise(n)),
+            lambda i: F.md5(norm.substr(i, F.lit(k))),
+        )
+    )
+    top = F.slice(F.array_sort(grams), 1, keep)
+    return F.md5(F.concat_ws("|", top))
+
+
 def content_hash(text: Column) -> Column:
     """Portable (cross-engine) content hash: md5 hex of normalized text —
     used where the DuckDB oracle must reproduce the value exactly."""

@@ -56,6 +56,39 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def cosine_pair(vec_a: Column, vec_b: Column) -> Column:
+    """Cosine between two array columns (JVM-side fold, no Python)."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return dot / (_norm(vec_a) * _norm(vec_b))
+
+
+def neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine ≥ threshold. Exact all-pairs self-join — correct and
+    oracle-checkable at test scale. The 100 TB path blocks the join by
+    LSH signature first (`lsh_signature_col` equi-join, which bounds
+    candidates by bucket size instead of n²) and uses this exact scorer
+    only on candidates; the scorer column is identical in both."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_pair(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1)."""
     h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
