@@ -697,7 +697,7 @@ WITH n AS (
 SELECT doc_id,
        CASE WHEN length(norm) < 8 THEN md5('')
             ELSE md5(array_to_string(
-                list_sort(list_transform(range(1, length(norm) - 6),
+                list_sort(list_transform(range(1, length(norm) - 6, 4),
                     i -> md5(substring(norm, i, 8))))[1:4], '|'))
        END AS fingerprint
 FROM n

@@ -92,7 +92,7 @@ def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
             changes,
             table_path,
             os.path.join(work, "ckpt"),
-            max_files_per_trigger=64,
+            max_files_per_trigger=int(os.environ.get("SPARK_GRAFT_MFTP", "64")),
         )
         if os.environ.get("SPARK_GRAFT_TIMING") == "1":
             print(f"TIMING stream_done t={time.time() % 100000:.1f}", flush=True)

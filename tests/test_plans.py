@@ -1,0 +1,123 @@
+"""Physical-plan quality guards.
+
+Correctness tests prove the answers are right; these prove the PLANS are
+the ones we want at 100 TB — filters reach the parquet scan, projection
+prunes columns, small dims broadcast, and the CDC hot path has exactly
+one exchange. A regression here (e.g. an accidental `.cache()` or a
+non-aligned repartition) changes no answers but ruins scale behavior,
+which is why it's pinned by tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from tiger_etl_spark.cdc.pipeline import _fused_dedup_extract, create_pages_table
+from tiger_etl_spark.cdc.schema_evolution import map_to_live_schema
+from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+from tiger_etl_spark.cdc.validate import with_validation
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    df = entrymod.scan_filter_projection(spark, SF_DIR)
+    plan = plan_of(df)
+    # equality predicates land in the parquet reader, not a post-filter
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].splitlines()[0]
+    # column pruning: ReadSchema carries only the needed columns
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_time_range_prunes_with_pushed_predicate(spark):
+    df = entrymod.events_time_range(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_small_dimension_joins_broadcast(spark):
+    plan = plan_of(entrymod.top_revenue_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    plan2 = plan_of(entrymod.nation_region_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(entrymod.top_revenue_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_combine(spark):
+    """groupBy aggregations must show two-phase hash agg (map-side
+    partial combine before the exchange)."""
+    plan = plan_of(entrymod.q1_pricing_summary(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_fused_cdc_path_single_exchange(spark, tmp_path):
+    """The CDC hot path: exactly ONE shuffle (the bucket-aligned
+    repartition); the LWW groupBy must not add a second exchange. Uses
+    a real parquet source — empty LocalRelation plans are replanned by
+    AQE and don't reflect the streaming batch plan."""
+    from tiger_etl_spark.cdc.datagen import gen_change_events, write_change_files
+
+    changes = str(tmp_path / "changes")
+    write_change_files(gen_change_events(seed=3, n=500, n_hosts=10), changes, n_files=2)
+    table = create_pages_table(str(tmp_path / "pages"), num_buckets=8)
+    src = spark.read.schema(EVENTS_READ_SCHEMA).parquet(changes).withColumn(
+        "batch_file", F.lit("x")
+    )
+    mapped = map_to_live_schema(
+        with_validation(src)
+        .where(F.size("_invalid_reasons") == 0)
+        .drop("_invalid_reasons")
+    )
+    df = _fused_dedup_extract(table, mapped)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # LWW dedup aggregates in place after the aligned repartition —
+    # partial+final max_by with NO exchange between them
+    assert "partial_max_by" in plan and "max_by" in plan, plan
+    # and the one exchange is the bucket-aligned REPARTITION_BY_NUM
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    """Existence probes must compile to semi/anti joins, never to
+    per-row lookups or exists-subquery re-scans."""
+    plan = plan_of(entrymod.customers_with_orders(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    plan2 = plan_of(entrymod.customers_without_orders(spark, SF_DIR))
+    assert "LeftAnti" in plan2
+
+
+def test_whole_stage_codegen_in_hot_queries(spark):
+    """Scalar work stays inside WholeStageCodegen spans (JVM, no
+    row-at-a-time interpretation)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # AQE defers codegen
+    try:
+        for q in ("q1_pricing_summary", "value_bucket_summary", "doc_token_stats"):
+            df = entrymod.queries()[q](spark, SF_DIR)
+            codegen = df._jdf.queryExecution().explainString(
+                df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "codegen"
+                )
+            )
+            assert "Found 0 WholeStageCodegen" not in codegen and "*(1)" in codegen, q
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

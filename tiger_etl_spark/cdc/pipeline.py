@@ -71,13 +71,16 @@ def _fused_dedup_extract(table: LakeTable, mapped: DataFrame) -> DataFrame:
 
       repartition(num_buckets, url)        — the ONLY exchange; partition
                                              id == bucket (bucket_expr)
-      → groupBy(url).agg(max_by(...))      — LWW winner per url as a
-                                             partition-local hash agg:
-                                             hash(url, B) already
-                                             satisfies the clustered
-                                             distribution, so Catalyst
-                                             adds NO second exchange and
-                                             no sort at all
+      → groupBy(url).agg(max_by(...))      — LWW winner per url,
+                                             partition-local: hash(url,
+                                             B) already satisfies the
+                                             clustered distribution, so
+                                             Catalyst adds NO second
+                                             exchange (max_by's struct
+                                             buffer forces partial+final
+                                             SortAggregate over a
+                                             partition-local sort —
+                                             pinned in test_plans.py)
       → extract_text_udf(html)             — winners only, scalar Arrow/
                                              pandas UDF: just the html
                                              column crosses the JVM↔

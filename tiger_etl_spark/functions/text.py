@@ -134,18 +134,22 @@ def doc_fingerprint(text: Column) -> Column:
     return F.xxhash64(norm)
 
 
-def chargram_fingerprint(text: Column, k: int = 8, keep: int = 4) -> Column:
+def chargram_fingerprint(
+    text: Column, k: int = 8, keep: int = 4, stride: int = 4
+) -> Column:
     """Rolling-hash document fingerprint (winnowing-style): slide a
-    k-char window over the normalized text, hash every window (md5 —
-    engine-portable), keep the `keep` smallest hashes, and fingerprint
-    their concatenation. Near-identical documents share most window
-    hashes, so their min-sets — and usually the fingerprint — collide.
-    All JVM-side higher-order functions; no Python, no shuffle."""
+    k-char window over the normalized text (every `stride` positions —
+    windows overlap by k-stride chars, so every character still
+    contributes), hash each window (md5 — engine-portable), keep the
+    `keep` smallest hashes, and fingerprint their concatenation.
+    Near-identical documents share most window hashes, so their
+    min-sets — and usually the fingerprint — collide. All JVM-side
+    higher-order functions; no Python, no shuffle."""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     n = F.length(norm) - (k - 1)
     grams = F.when(n < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.when(n < 1, F.lit(1)).otherwise(n)),
+            F.sequence(F.lit(1), F.when(n < 1, F.lit(1)).otherwise(n), F.lit(stride)),
             lambda i: F.md5(norm.substr(i, F.lit(k))),
         )
     )
