@@ -41,7 +41,7 @@ def sf_of(sf_dir: str) -> float:
 
 def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
     n = n_events or int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "0")) or max(
-        50_000, int(20_000_000 * sf)
+        50_000, int(64_000_000 * sf)
     )
     work = tempfile.mkdtemp(prefix="bench_cdc_")
     try:

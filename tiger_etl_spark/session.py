@@ -75,6 +75,16 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Throughput GC with a fixed heap: no concurrent-cycle overhead,
+        # no heap resize/uncommit churn mid-stream (measured ~7% on the
+        # CDC bench; see BENCH/BASELINE.md protocol)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_JAVA_OPTS",
+                f"-XX:+UseParallelGC -Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '48g')}",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
