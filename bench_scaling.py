@@ -204,7 +204,8 @@ local[{n_small}]: `{json.dumps(runs_small)}`
 local[{n_big}]: `{json.dumps(runs_big)}`
 """
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # per-pair report; BENCH/BASELINE.md merges all measured pairs
+    with open(f"BENCH/scaling_{n_small}_to_{n_big}.md", "w") as f:
         f.write(md)
     print(
         json.dumps(
