@@ -381,8 +381,13 @@ class LakeTable:
         if skip_repartition:
             out = df
         elif salts > 1 and not sort_in_bucket:
+            # explicit partition count (REPARTITION_BY_NUM): a flexible
+            # repartition would let AQE coalesce small batches back into
+            # few tasks, silently defeating the salt
             salt = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(salts))
-            out = df.repartition(F.col(_BUCKET_COL), salt)
+            out = df.repartition(
+                self.num_buckets * salts, F.col(_BUCKET_COL), salt
+            )
         else:
             # bucket-aligned shuffle (see bucket_expr): partition i holds
             # exactly bucket i — B even tasks, one output file per bucket
