@@ -39,6 +39,45 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _QUERY_VEC = [((i * 37) % 17 - 8) / 8.0 for i in range(64)]
 
 
+# Shared persisted intermediates (signature tables): several queries
+# reuse the same MinHash / LSH signature computation; at scale these are
+# computed once at ingest and stored, so here they are computed once per
+# (session, sf_dir) and persisted in memory. Keyed by session id so a
+# fresh SparkSession rebuilds instead of touching a dead cache.
+_SHARED: dict = {}
+
+
+def _shared(spark: SparkSession, key: tuple, build) -> DataFrame:
+    ck = (id(spark), *key)
+    if ck not in _SHARED:
+        _SHARED[ck] = build().persist()
+    return _SHARED[ck]
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one signature table feeding doc_minhash_signatures,
+    doc_lsh_bands and doc_ngram_jaccard_pairs (computed once, persisted)."""
+    return _shared(
+        spark,
+        ("minhash", sf_dir),
+        lambda: dedup.minhash_signatures(
+            _t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, k=3
+        ),
+    )
+
+
+def _ann_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted embedding LSH signature table (`_sig` column) — the ANN
+    probe prunes on it instead of recomputing signatures per query."""
+    return _shared(
+        spark,
+        ("ann_sig", sf_dir),
+        lambda: similarity.build_lsh_signatures(
+            _t(spark, sf_dir, "embeddings"), "embedding", n_planes=8, dim=64
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -201,18 +240,16 @@ def orders_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def supplier_zset_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 — Redis ZRANGE analog: rank range [0,9] by score desc.
-    Deterministic tiebreak: rank over (acctbal desc, suppkey)."""
+    Deterministic tiebreak: rank over (acctbal desc, suppkey). Top-k
+    first (TakeOrdered heaps), rank only the 10 survivors — no global
+    window."""
     s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("acctbal"), F.col("s_suppkey"))
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("rank", "s_suppkey", "s_name", "acctbal")
+    out = crud.zset_range(
+        s, "acctbal", 0, 9, desc=True, tiebreak=["s_suppkey"], with_rank=True
     )
+    return out.select("rank", "s_suppkey", "s_name", "acctbal")
 
 
 def user_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,17 +314,15 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (MinHash): 8-hash signature over 3-word shingles."""
-    d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8, k=3)
+    """Dedup (MinHash): 8-hash signature over 3-word shingles (shared
+    persisted signature table — see `_minhash_sigs`)."""
+    return _minhash_sigs(spark, sf_dir)
 
 
 def doc_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (LSH banding): per-doc band-bucket keys (2 rows/band over an
     8-hash signature → 4 bands); equal band_hash ⇒ candidate pair."""
-    sigs = dedup.minhash_signatures(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, k=3
-    )
+    sigs = _minhash_sigs(spark, sf_dir)
     bands = [
         F.md5(F.concat_ws("|", F.col(f"mh{b * 2}"), F.col(f"mh{b * 2 + 1}"))).alias(
             f"band{b}"
@@ -358,18 +393,26 @@ def doc_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (SimHash) — 32-bit fingerprints (rows-only check: DuckDB
-    lacks a portable hex→int for the md5-derived token hash)."""
+    """Dedup (SimHash) — 32-bit fingerprints; DuckDB oracle reproduces
+    the md5-derived token-hash bits via hex-nibble arithmetic."""
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash(d, "doc_id", "text", bits=32)
 
 
 def embedding_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search (scale path) — LSH-bucketed ANN with multi-probe
-    (rows-only check: approximate by design)."""
-    e = _t(spark, sf_dir, "embeddings")
+    over the persisted `_sig` column (see `_ann_sigs`). Deterministic
+    planes + probe set, so the DuckDB oracle reproduces the exact bucket
+    filter + rerank."""
     out = similarity.lsh_topk(
-        e, "vec_id", "embedding", _QUERY_VEC, 10, n_planes=8, max_hamming=2
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _QUERY_VEC,
+        10,
+        n_planes=8,
+        max_hamming=2,
+        sig_df=_ann_sigs(spark, sf_dir),
     )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
@@ -397,7 +440,7 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (n-gram Jaccard) — LSH candidate pairs verified with exact
     3-word-shingle Jaccard (the verify step after banding)."""
     d = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(d, "doc_id", "text", n_hashes=8, k=3)
+    sigs = _minhash_sigs(spark, sf_dir)
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4).select(
         "id_a", "id_b"
     )
@@ -406,17 +449,30 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup (embedding-cosine near-dup): pairs with cosine ≥ 0.4
-    (threshold chosen to produce matches in the synthetic corpus)."""
+    """Dedup (embedding-cosine near-dup): EXACT pairs with cosine ≥ 0.4,
+    computed as a distributed triangle block join (no driver collect, no
+    corpus broadcast — pinned in tests/test_plans.py)."""
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (embedding near-dup, 100 TB path): banded hyperplane-LSH
+    candidate pruning + exact cosine verify. Deterministic planes, so the
+    DuckDB oracle reproduces the identical banding."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.neardup_pairs_lsh(
+        e, "vec_id", "embedding", threshold=0.4, dim=64, n_bands=16, rows_per_band=2
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — opaque binary media column → fixed-length
     feature vector via Arrow-batched mapInPandas (deterministic fake
-    decode; rows-only check: byte-stat decode isn't portable SQL)."""
+    decode = chunked byte means; the DuckDB oracle reproduces them via
+    hex-nibble byte extraction over the utf-8 blob)."""
     from tiger_etl_spark.operators.multimodal import extract_media_features
 
     d = _t(spark, sf_dir, "documents").select(
@@ -476,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
         "embedding_neardup_pairs": embedding_neardup_pairs,
+        "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
         "media_feature_stats": media_feature_stats,
     }
 
@@ -639,10 +696,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_lsh_bands": _LSH_BANDS_SQL,
         "doc_quality_scores": _QUALITY_SQL,
         "doc_lang_detect": _LANG_DETECT_SQL,
-        # doc_simhash, embedding_ann_top10, media_feature_stats:
-        # intentionally no oracle (md5-hex→int not portable to DuckDB;
-        # ANN approximate by design; byte-stat fake decode is Python)
-        # → driver records rows-only checks.
+        "doc_simhash": _SIMHASH_SQL,
+        "embedding_ann_top10": _ANN_SQL,
+        "embedding_neardup_pairs_lsh": _NEARDUP_LSH_SQL,
+        "media_feature_stats": _MEDIA_SQL,
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "doc_ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "embedding_neardup_pairs": f"""
@@ -827,8 +884,164 @@ def _build_quality_sql() -> str:
     """
 
 
+def _build_simhash_sql(bits: int = 32) -> str:
+    """Mirror of operators.dedup.simhash: Spark derives the 60-bit token
+    hash via conv(md5[:15], 16, 10); DuckDB has no conv, so bit j is read
+    straight out of md5 hex char 15 - j//4 (nibble arithmetic) — the
+    identical bits, portably."""
+    votes = []
+    for j in range(bits):
+        p = 15 - j // 4
+        bit = (
+            f"(((strpos('0123456789abcdef', substring(h, {p}, 1)) - 1)"
+            f" >> {j % 4}) & 1)"
+        )
+        votes.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS v{j}")
+    fp = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits)
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents
+        ),
+        t AS (SELECT doc_id, md5(w) AS h FROM toks WHERE length(w) > 0),
+        votes AS (SELECT doc_id, {', '.join(votes)} FROM t GROUP BY doc_id)
+        SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _dot_sql(vec_expr: str, plane: list[float]) -> str:
+    lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {len(plane) + 1}), "
+        f"i -> {vec_expr}[i]::DOUBLE * ({lits}::DOUBLE[])[i]))"
+    )
+
+
+def _build_ann_sql() -> str:
+    """Mirror of similarity.lsh_topk over the persisted signature table:
+    the planes and multi-probe bucket set are deterministic (md5-derived),
+    so the oracle reproduces the exact bucket filter + cosine rerank."""
+    import math
+
+    from tiger_etl_spark.operators.similarity import _planes, probe_signatures
+
+    planes = _planes(8, 64)
+    probes = probe_signatures(_QUERY_VEC, 8, max_hamming=2)
+    bit_cols = ", ".join(
+        f"CASE WHEN {_dot_sql('embedding', p)} >= 0 THEN '1' ELSE '0' END AS b{i}"
+        for i, p in enumerate(planes)
+    )
+    sig = " || ".join(f"b{i}" for i in range(8))
+    probe_list = ", ".join(f"'{s}'" for s in probes)
+    qn = math.sqrt(sum(float(x) * float(x) for x in _QUERY_VEC))
+    return f"""
+        WITH sigs AS (SELECT vec_id, embedding, {bit_cols} FROM embeddings),
+        cand AS (
+            SELECT vec_id, embedding FROM sigs WHERE ({sig}) IN ({probe_list})
+        ),
+        scored AS (
+            SELECT vec_id,
+                   {_dot_sql('embedding', _QUERY_VEC)}
+                   / (sqrt(list_sum(list_transform(embedding,
+                          x -> x::DOUBLE * x::DOUBLE))) * {qn!r}) AS c
+            FROM cand
+        )
+        SELECT vec_id, round(c, 6) AS cosine FROM scored
+        ORDER BY c DESC, vec_id LIMIT 10
+    """
+
+
+def _build_neardup_lsh_sql(
+    threshold: float = 0.4, n_bands: int = 16, rows_per_band: int = 2
+) -> str:
+    """Mirror of similarity.neardup_pairs_lsh: identical deterministic
+    banding (so candidate pruning matches bit-for-bit), exact cosine
+    verify."""
+    from tiger_etl_spark.operators.similarity import _planes
+
+    planes = _planes(n_bands * rows_per_band, 64)
+    bit_cols = ", ".join(
+        f"CASE WHEN {_dot_sql('embedding', p)} >= 0 THEN '1' ELSE '0' END AS b{i}"
+        for i, p in enumerate(planes)
+    )
+    bands = ", ".join(
+        " || ".join(f"b{b * rows_per_band + r}" for r in range(rows_per_band))
+        for b in range(n_bands)
+    )
+    band_ids = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+        WITH sigs AS (
+            SELECT vec_id, embedding, {bit_cols} FROM embeddings
+            WHERE list_sum(list_transform(embedding,
+                x -> x::DOUBLE * x::DOUBLE)) > 0
+        ),
+        banded AS (
+            SELECT vec_id, UNNEST([{bands}]) AS band_hash,
+                   UNNEST([{band_ids}]) AS band_id
+            FROM sigs
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+            SELECT id_a, id_b,
+                   list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                       i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(ea.embedding,
+                          x -> x::DOUBLE * x::DOUBLE)))
+                      * sqrt(list_sum(list_transform(eb.embedding,
+                          x -> x::DOUBLE * x::DOUBLE)))) AS c
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = id_a
+            JOIN embeddings eb ON eb.vec_id = id_b
+        )
+        SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs
+        WHERE c >= {threshold!r}
+    """
+
+
+# media_feature_stats oracle — mirrors multimodal._fake_decode_features
+# (np.array_split chunked byte means over the utf-8 blob): bytes are
+# extracted portably from the hex encoding via nibble arithmetic; chunk 0
+# is the first L//8 (+1 if L%8>0) bytes, chunk 7 the last L//8 bytes.
+# Integer sums are exact in float64, so the means match bit-for-bit.
+_MEDIA_SQL = """
+WITH b AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS L
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id, i, L,
+           (strpos('0123456789ABCDEF', substring(hx, 2 * i + 1, 1)) - 1) * 16
+         + (strpos('0123456789ABCDEF', substring(hx, 2 * i + 2, 1)) - 1) AS v
+    FROM b, UNNEST(range(0, L)) AS t(i)
+),
+feats AS (
+    SELECT doc_id,
+           avg(v) FILTER (WHERE i < (L // 8)
+               + CASE WHEN L % 8 > 0 THEN 1 ELSE 0 END) AS m0,
+           avg(v) FILTER (WHERE i >= L - (L // 8)) AS m7
+    FROM bytes GROUP BY doc_id
+)
+SELECT b.doc_id,
+       8 AS n_features,
+       round(coalesce(f.m0, 0.0), 6) AS f0,
+       round(coalesce(f.m7, 0.0), 6) AS f7
+FROM b LEFT JOIN feats f ON b.doc_id = f.doc_id
+"""
+
 _LANG_DETECT_SQL = _build_lang_detect_sql()
 _QUALITY_SQL = _build_quality_sql()
+_SIMHASH_SQL = _build_simhash_sql()
+_ANN_SQL = _build_ann_sql()
+_NEARDUP_LSH_SQL = _build_neardup_lsh_sql()
 
 _LSH_BANDS_SQL = r"""
 WITH words AS (

@@ -97,6 +97,60 @@ def test_fused_cdc_path_single_exchange(spark, tmp_path):
     assert "REPARTITION_BY_NUM" in plan, plan
 
 
+def test_pagination_no_global_window(spark):
+    """OFFSET/LIMIT pagination must plan TakeOrderedAndProject
+    (per-partition heaps), never a row_number over an unpartitioned
+    Window (which moves every row to one task)."""
+    plan = plan_of(entrymod.orders_page3(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_zset_rank_window_bounded_by_topk(spark):
+    """zset rank-range: the global sort is a TakeOrdered top-(stop+1);
+    the single-task Window only ever sees ≤ stop+1 rows."""
+    plan = plan_of(entrymod.supplier_zset_top10(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_neardup_pairs_never_collects_or_broadcasts(spark, monkeypatch):
+    """The exact near-dup operator must be a distributed block join:
+    no driver-side collect of the corpus, no corpus broadcast, scoring
+    inside applyInPandas (FlatMapGroupsInPandas)."""
+    import pyspark.sql
+
+    from tiger_etl_spark.operators import similarity
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+    def no_collect(self):
+        raise AssertionError("neardup_pairs must not collect() the corpus")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", no_collect)
+    df = similarity.neardup_pairs(e, "vec_id", "embedding", 0.4, n_blocks=4)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Broadcast" not in plan, plan
+
+
+def test_neardup_pairs_block_decomposition_invariant(spark):
+    """Same exact pair set whatever the block count (incl. the G=1
+    degenerate single-group case)."""
+    from tiger_etl_spark.operators import similarity
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = {
+        g: sorted(
+            (r.id_a, r.id_b, round(r.cosine, 9))
+            for r in similarity.neardup_pairs(
+                e, "vec_id", "embedding", 0.4, n_blocks=g
+            ).collect()
+        )
+        for g in (1, 5)
+    }
+    assert got[1] == got[5] and len(got[1]) > 0
+
+
 def test_semi_anti_joins_stay_joins(spark):
     """Existence probes must compile to semi/anti joins, never to
     per-row lookups or exists-subquery re-scans."""

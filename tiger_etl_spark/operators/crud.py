@@ -83,15 +83,14 @@ def time_range(df: DataFrame, ts_col: str, start, end) -> DataFrame:
 def paginate(
     df: DataFrame, order_cols: list[str], limit: int, offset: int = 0
 ) -> DataFrame:
-    """O1/O2 — keyset-stable pagination. The reference slices a full
-    client-side fetch (``user_management.py:544-547``); here offset is a
-    row_number filter so only limit+offset rows materialize per task."""
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-        .drop("_rn")
-    )
+    """O1/O2 — pagination. The reference slices a full client-side fetch
+    (``user_management.py:544-547``); here ORDER BY + OFFSET/LIMIT plans
+    a single TakeOrderedAndProject(offset+limit) — per-partition heaps of
+    offset+limit rows, NO global sort and NO single-task window (a
+    ``row_number`` over an unpartitioned Window would move every row to
+    one task; pinned in tests/test_plans.py). For deep pages at scale,
+    prefer keyset pagination (WHERE key > last_seen ORDER BY key LIMIT n)."""
+    return df.orderBy(*[F.col(c) for c in order_cols]).offset(offset).limit(limit)
 
 
 def top_k(df: DataFrame, order_exprs: list[Column], k: int) -> DataFrame:
@@ -117,14 +116,30 @@ def id_partition(
 
 
 def zset_range(
-    df: DataFrame, score_col: str, start: int, stop: int, desc: bool = False
+    df: DataFrame,
+    score_col: str,
+    start: int,
+    stop: int,
+    desc: bool = False,
+    tiebreak: list[str] | None = None,
+    with_rank: bool = False,
 ) -> DataFrame:
     """S7 — Redis ZRANGE analog (``redis_db.py:78-132``): rank-range over
-    a score ordering, inclusive 0-based [start, stop]."""
-    order = F.col(score_col).desc() if desc else F.col(score_col).asc()
-    w = Window.orderBy(order)
-    return (
-        df.withColumn("_rank", F.row_number().over(w))
-        .where((F.col("_rank") >= start + 1) & (F.col("_rank") <= stop + 1))
-        .drop("_rank")
+    a score ordering, inclusive 0-based [start, stop].
+
+    Scale shape: top-(stop+1) first via TakeOrderedAndProject
+    (per-partition heaps bounded by stop+1 — never a global sort), THEN
+    rank the ≤ stop+1 surviving rows with a window. The window runs on a
+    single task by construction, but over at most stop+1 rows — the
+    Redis-rank contract itself bounds it. Pinned in tests/test_plans.py."""
+    order = [F.col(score_col).desc() if desc else F.col(score_col).asc()] + [
+        F.col(c) for c in (tiebreak or [])
+    ]
+    top = df.orderBy(*order).limit(stop + 1)
+    w = Window.orderBy(*order)
+    ranked = top.withColumn("_rank", F.row_number().over(w)).where(
+        F.col("_rank") >= start + 1
     )
+    if with_rank:
+        return ranked.withColumnRenamed("_rank", "rank")
+    return ranked.drop("_rank")

@@ -67,51 +67,164 @@ def cosine_pair(vec_a: Column, vec_b: Column) -> Column:
 
 
 def neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int | None = None,
+    block_rows: int = 8192,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) with
-    cosine ≥ threshold — exact, computed as a distributed block-matrix
-    product: the normalized corpus is broadcast (ids + float64 matrix),
-    each Arrow batch of rows multiplies against it with one BLAS matmul
-    (`block @ all.T`), and only above-threshold upper-triangle entries
-    are emitted. 100× faster than a per-pair expression join (one
-    interpreted fold per pair) and the standard scale shape: the
-    broadcast side holds to ~10M×dim float32; past that, block the join
-    by LSH signature (`lsh_signature_col`) and run this scorer per
-    bucket."""
-    import numpy as np
+    cosine ≥ threshold — exact, as a distributed triangle block join.
+
+    Rows are hashed into G blocks; each row is replicated to the G
+    block-pair groups (min(g,j), max(g,j)) it participates in, and each
+    group scores its two sub-matrices with one BLAS matmul inside
+    `applyInPandas`, emitting only above-threshold (a < b) entries.
+    Nothing is collected to the driver and nothing is broadcast: shuffle
+    volume is N·G rows, per-task memory is two (N/G)×dim float64
+    blocks, and the G·(G+1)/2 tasks spread across the cluster. The
+    O(N²) dot-products are inherent to the *exact* semantics; for the
+    approximate scale path that prunes candidate pairs first, see
+    `neardup_pairs_lsh`. Zero-norm vectors carry no cosine and are
+    filtered out."""
     import pandas as pd
 
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    spark = df.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    filtered = df.select(F.col(id_col), F.col(vec_col)).where(
+        _norm(F.col(vec_col)) > 0
+    )
+    if n_blocks is None:
+        n = filtered.count()
+        # enough blocks that a block fits comfortably in a task AND the
+        # triangle gives at least ~2×cores tasks of parallelism
+        par = filtered.sparkSession.sparkContext.defaultParallelism
+        g_mem = -(-n // block_rows)  # ceil
+        g_par = 1
+        while g_par * (g_par + 1) // 2 < 2 * par and g_par < 64:
+            g_par += 1
+        n_blocks = max(g_mem, min(g_par, max(1, n)))
+    G = int(n_blocks)
     thr = float(threshold)
 
-    def op(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            block = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if block.size == 0:
-                continue
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ all_mat.T
-            bid = pdf[id_col].to_numpy(dtype=np.int64)
-            li, ri = np.nonzero((sims >= thr) & (bid[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": bid[li],
-                    "id_b": all_ids[ri],
-                    "cosine": sims[li, ri],
-                }
-            )
-
-    return df.select(id_col, vec_col).mapInPandas(
-        op, schema="id_a long, id_b long, cosine double"
+    tagged = filtered.withColumn(
+        "_g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(G)).cast("int")
     )
+    # replicate each row to every block-pair group it belongs to
+    exploded = tagged.withColumn(
+        "_bp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(G - 1)),
+                lambda j: F.struct(
+                    F.least(F.col("_g"), j).alias("gi"),
+                    F.greatest(F.col("_g"), j).alias("gj"),
+                ),
+            )
+        ),
+    ).select(
+        F.col("_bp.gi").alias("_gi"),
+        F.col("_bp.gj").alias("_gj"),
+        F.col("_g"),
+        F.col(id_col),
+        F.col(vec_col),
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        gi, gj = int(pdf["_gi"].iloc[0]), int(pdf["_gj"].iloc[0])
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        g = pdf["_g"].to_numpy()
+        if gi == gj:
+            sims = mat @ mat.T
+            li, ri = np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame(
+                {"id_a": ids[li], "id_b": ids[ri], "cosine": sims[li, ri]}
+            )
+        lm, rm = g == gi, g == gj
+        if not lm.any() or not rm.any():
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        sims = mat[lm] @ mat[rm].T
+        lid, rid = ids[lm], ids[rm]
+        li, ri = np.nonzero(sims >= thr)
+        a, b = lid[li], rid[ri]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": sims[li, ri],
+            }
+        )
+
+    return exploded.groupBy("_gi", "_gj").applyInPandas(
+        score, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_bands: int = 16,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Approximate near-dup pairs — the 100 TB path: banded
+    random-hyperplane LSH prunes candidates, exact cosine verifies.
+
+    Each row gets `n_bands` band signatures (each the sign-bit string of
+    `rows_per_band` deterministic hyperplanes); rows sharing any band
+    collide into a candidate pair; candidates are verified with the
+    exact JVM-side cosine. The self-join is keyed on (band_id,
+    band_hash) — shuffle fan-out is bucket sizes, never N². Recall is
+    1-(1-p^r)^b with p = 1-θ/π (≈0.9997 for cosine 0.4 with 16×2);
+    misses are possible by design. Everything is JVM expressions — no
+    Python, no broadcast of random state (planes derive from md5)."""
+    planes = _planes(n_bands * rows_per_band, dim)
+    base = df.select(F.col(id_col), F.col(vec_col)).where(
+        _norm(F.col(vec_col)) > 0
+    )
+    band_cols = [
+        lsh_signature_col(
+            F.col(vec_col),
+            planes[b * rows_per_band : (b + 1) * rows_per_band],
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = base.select(id_col, vec_col, *band_cols)
+    exploded = banded.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        cosine_pair(F.col("_va"), F.col("_vb")).alias("cosine"),
+    ).where(F.col("cosine") >= F.lit(float(threshold)))
 
 
 def _plane_component(plane: int, dim: int) -> float:
@@ -142,19 +255,22 @@ def signature_py(vec: list[float], planes: list[list[float]]) -> str:
     )
 
 
-def lsh_topk(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    query: list[float],
-    k: int,
-    n_planes: int = 8,
-    max_hamming: int = 1,
+def build_lsh_signatures(
+    df: DataFrame, vec_col: str, n_planes: int, dim: int
 ) -> DataFrame:
-    """ANN: restrict the exact cosine re-rank to rows whose LSH bucket is
-    within `max_hamming` bits of the query's bucket. At scale the
-    signature is precomputed/persisted and the probe is a bucket-list
-    IN-filter (partition-prunable); here it's computed in the scan."""
+    """Attach the persisted-signature column `_sig` (sign bits over the
+    deterministic hyperplanes). At scale this is computed ONCE at ingest
+    and stored/partitioned in the table, so every ANN probe prunes on it
+    instead of re-scanning vectors — see `lsh_topk(sig_df=...)`."""
+    planes = _planes(n_planes, dim)
+    return df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+
+
+def probe_signatures(
+    query: list[float], n_planes: int, max_hamming: int
+) -> list[str]:
+    """The query's bucket plus all buckets within `max_hamming` bit
+    flips (multi-probe)."""
     import itertools
 
     planes = _planes(n_planes, len(query))
@@ -166,7 +282,26 @@ def lsh_topk(
             for i in idxs:
                 bits[i] = "0" if bits[i] == "1" else "1"
             probe_sigs.append("".join(bits))
-    cands = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes)).where(
-        F.col("_sig").isin(probe_sigs)
-    )
+    return probe_sigs
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """ANN: restrict the exact cosine re-rank to rows whose LSH bucket is
+    within `max_hamming` bits of the query's bucket. Pass `sig_df` (from
+    `build_lsh_signatures`, persisted) so the probe is a bucket-list
+    IN-filter over the precomputed `_sig` column — no vector arithmetic
+    on the scan side; without it the signature is computed inline."""
+    probe_sigs = probe_signatures(query, n_planes, max_hamming)
+    if sig_df is None:
+        sig_df = build_lsh_signatures(df, vec_col, n_planes, len(query))
+    cands = sig_df.where(F.col("_sig").isin(probe_sigs))
     return cosine_topk(cands, id_col, vec_col, query, k)
