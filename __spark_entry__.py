@@ -224,6 +224,38 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — partial-column update, the Mongo `$set` analog
+    (mongo_db.py:93): events as an I/U/D change stream where `U` sets
+    only its non-null columns. signup → I (sets both columns), click →
+    U{val_a}, view → U{val_b}, purchase → U{} (bumps row recency only),
+    error → D. Resolved column-wise by one associative hash agg
+    (operators/partial.py) — the same resolution LakeTable uses for
+    merge_policy='partial'."""
+    from tiger_etl_spark.operators.partial import partial_lww_state
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        _epoch_us("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        F.when(
+            F.col("event_type").isin("signup", "click"), F.round("value", 6)
+        ).alias("val_a"),
+        F.when(F.col("event_type") == "view", F.round("value", 6)).alias("val_b"),
+    )
+    state = partial_lww_state(
+        ev, "user_id", ["ts_us", "event_id"], "op", ["val_a", "val_b"],
+        deleted_col="_del",
+    )
+    return state.where(~F.col("_del")).select(
+        "user_id", "ts_us", "event_id", "val_a", "val_b"
+    )
+
+
 def part_relevance_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 — relevance scoring (exact=10/prefix=5/contains=2) + top-N."""
     p = _t(spark, sf_dir, "part")
@@ -511,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_order_rollup": monthly_order_rollup,
         "latest_event_per_user": latest_event_per_user,
         "cdc_final_state": cdc_final_state,
+        "cdc_partial_update_state": cdc_partial_update_state,
         "part_relevance_top20": part_relevance_top20,
         "orders_page3": orders_page3,
         "supplier_zset_top10": supplier_zset_top10,
@@ -625,6 +658,42 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events
             ) WHERE rn = 1 AND event_type != 'error'
+        """,
+        "cdc_partial_update_state": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       CASE WHEN event_type = 'error' THEN 'D'
+                            WHEN event_type = 'signup' THEN 'I'
+                            ELSE 'U' END AS op,
+                       CASE WHEN event_type IN ('signup', 'click')
+                            THEN round(value, 6) END AS val_a,
+                       CASE WHEN event_type = 'view'
+                            THEN round(value, 6) END AS val_b
+                FROM events
+            ),
+            agg AS (
+                SELECT user_id,
+                    max({'ts_us': ts_us, 'event_id': event_id})
+                        FILTER (WHERE op = 'D') AS m_del,
+                    max({'ts_us': ts_us, 'event_id': event_id})
+                        FILTER (WHERE op != 'D') AS m_row,
+                    max({'o': {'ts_us': ts_us, 'event_id': event_id}, 'v': val_a})
+                        FILTER (WHERE op != 'D' AND (op = 'I' OR val_a IS NOT NULL))
+                        AS m_a,
+                    max({'o': {'ts_us': ts_us, 'event_id': event_id}, 'v': val_b})
+                        FILTER (WHERE op != 'D' AND (op = 'I' OR val_b IS NOT NULL))
+                        AS m_b
+                FROM ev GROUP BY user_id
+            )
+            SELECT user_id,
+                   m_row.ts_us AS ts_us,
+                   m_row.event_id AS event_id,
+                   CASE WHEN m_a IS NOT NULL AND (m_del IS NULL OR m_a.o > m_del)
+                        THEN m_a.v END AS val_a,
+                   CASE WHEN m_b IS NOT NULL AND (m_del IS NULL OR m_b.o > m_del)
+                        THEN m_b.v END AS val_b
+            FROM agg
+            WHERE m_row IS NOT NULL AND (m_del IS NULL OR m_row > m_del)
         """,
         "part_relevance_top20": """
             SELECT p_partkey, p_name, score FROM (

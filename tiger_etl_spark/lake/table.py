@@ -48,7 +48,12 @@ from pyspark.sql import functions as F
 _BUCKET_COL = "_bucket"
 _SEQ_COL = "_op_seq"
 _DELETED_COL = "_deleted"
-INTERNAL_COLS = (_SEQ_COL, _DELETED_COL)
+_OP_COL = "_op"  # partial-policy tables only: 'I' | 'U' | 'D' per row
+INTERNAL_COLS = (_SEQ_COL, _DELETED_COL, _OP_COL)
+# identifies pmod(murmur3(key), B) — Spark's HashPartitioning hash. Part
+# of the on-disk format (manifest "bucket_hash_fn"); changing the
+# bucketing hash requires a new name here and a table rewrite.
+BUCKET_HASH_FN = "murmur3_pmod"
 
 
 @dataclass
@@ -89,19 +94,34 @@ class LakeTable:
         order_cols: tuple[str, ...] = ("warc_ts",),
         num_buckets: int = 16,
         props: dict | None = None,
+        merge_policy: str = "lww",
     ) -> "LakeTable":
         """`order_cols` + the internal `_op_seq` form the LWW total order
-        (ties on event time broken by sequence — SURVEY.md §7 risk #1)."""
+        (ties on event time broken by sequence — SURVEY.md §7 risk #1).
+
+        merge_policy='lww': whole-row last-writer-wins (the CDC default).
+        merge_policy='partial': column-wise LWW — `U` events set only
+        their non-null columns (the Mongo `$set` analog,
+        mongo_db.py:93); see operators/partial.py for the semantics.
+        """
+        if merge_policy not in ("lww", "partial"):
+            raise ValueError(f"unknown merge_policy {merge_policy!r}")
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "meta"), exist_ok=True)
         manifest = {
-            "format_version": 1,
+            "format_version": 2,
             "version": 0,
             "snapshot_id": 0,
             "parent_version": None,
             "key_col": key_col,
             "order_cols": list(order_cols),
             "num_buckets": num_buckets,
+            # the hash behind bucket(B, key) is part of the on-disk
+            # format: opening a table with a different hash would split
+            # keys across old/new buckets and break clean-bucket scans.
+            # Recorded here; load() refuses on mismatch.
+            "bucket_hash_fn": BUCKET_HASH_FN,
+            "merge_policy": merge_policy,
             "current_schema_id": 2,
             # schema registry: physical read schema per schema_id +
             # rename map into the live schema (Iceberg field-id analog)
@@ -118,7 +138,17 @@ class LakeTable:
         with open(os.path.join(path, "meta", "_current")) as f:
             version = int(f.read().strip())
         with open(os.path.join(path, "meta", f"v{version}.json")) as f:
-            return cls(path, json.load(f))
+            manifest = json.load(f)
+        recorded = manifest.get("bucket_hash_fn", "unrecorded(format v1)")
+        if recorded != BUCKET_HASH_FN:
+            raise RuntimeError(
+                f"table {path} was bucketed with hash {recorded!r} but this "
+                f"code uses {BUCKET_HASH_FN!r}; opening it would split keys "
+                "across buckets (stale rows surviving LWW). Rewrite the "
+                "table (scan with the writing version, re-create, merge) "
+                "to migrate."
+            )
+        return cls(path, manifest)
 
     @classmethod
     def exists(cls, path: str) -> bool:
@@ -148,13 +178,18 @@ class LakeTable:
     def props(self) -> dict:
         return self.manifest["props"]
 
+    @property
+    def merge_policy(self) -> str:
+        return self.manifest.get("merge_policy", "lww")
+
     def _order_exprs(self) -> list:
         return [F.col(c).desc() for c in self.manifest["order_cols"]] + [
             F.col(_SEQ_COL).desc()
         ]
 
     def bucket_expr(self, col=None):
-        """bucket(B, key) = pmod(murmur3(key), B) — deliberately the SAME
+        """bucket(B, key) = pmod(murmur3(key), B) (see BUCKET_HASH_FN,
+        recorded in the manifest) — deliberately the SAME
         function Spark's HashPartitioning uses, so
         ``df.repartition(B, key)`` lands every row in the shuffle
         partition whose id equals its bucket: one even task per bucket,
@@ -164,7 +199,10 @@ class LakeTable:
         return F.pmod(F.hash(col), F.lit(self.num_buckets)).cast("int")
 
     def _physical_ddl(self) -> str:
-        return f"{self.schema_ddl}, {_SEQ_COL} long, {_DELETED_COL} boolean"
+        ddl = f"{self.schema_ddl}, {_SEQ_COL} long, {_DELETED_COL} boolean"
+        if self.merge_policy == "partial":
+            ddl += f", {_OP_COL} string"
+        return ddl
 
     def _abs(self, rel: str) -> str:
         return os.path.join(self.path, rel)
@@ -176,6 +214,35 @@ class LakeTable:
         return spark.read.schema(self._physical_ddl()).parquet(*paths)
 
     def _resolve(self, df: DataFrame) -> DataFrame:
+        if self.merge_policy == "partial":
+            return self._resolve_partial(df)
+        return self._resolve_lww(df)
+
+    def _resolve_partial(self, df: DataFrame) -> DataFrame:
+        """Column-wise LWW ($set analog) — delegates to
+        operators.partial.partial_lww_state: each column keeps the value
+        from its newest setter (any I, or a U with the column non-null)
+        that postdates the key's last D. Same associative one-hash-agg
+        scale shape as `_resolve_lww`. The resolved row is a full row, so
+        it re-enters the table as an 'I'."""
+        from tiger_etl_spark.operators.partial import partial_lww_state
+
+        ocols = self.manifest["order_cols"] + [_SEQ_COL]
+        set_cols = [
+            c
+            for c in df.columns
+            if c not in (self.key_col, *ocols, _DELETED_COL, _OP_COL, _BUCKET_COL)
+        ]
+        resolved = partial_lww_state(
+            df, self.key_col, ocols, _OP_COL, set_cols, deleted_col=_DELETED_COL
+        ).withColumn(
+            _OP_COL, F.when(F.col(_DELETED_COL), F.lit("D")).otherwise(F.lit("I"))
+        )
+        if _BUCKET_COL in df.columns:
+            resolved = resolved.withColumn(_BUCKET_COL, self.bucket_expr())
+        return resolved
+
+    def _resolve_lww(self, df: DataFrame) -> DataFrame:
         """LWW: keep the max-(order_cols, _op_seq) row per key (SURVEY.md
         §2.5 W3).
 
@@ -239,7 +306,11 @@ class LakeTable:
         mode='mor' (merge-on-read): append delta files per bucket — one
         shuffle by bucket, write cost ∝ batch size. The 10^10-scale path.
         mode='cow' (copy-on-write): rewrite touched buckets to unique-key
-        base files — read cost stays minimal.
+        base files — read cost stays minimal. Under merge_policy=
+        'partial', cow collapses each batch into current state at write
+        time, which is only order-correct when batches arrive in event-
+        time order; out-of-order tails must use mor (resolution deferred
+        to scan/compact, which see every raw event).
 
         prepared=True: the caller already normalized (physical columns +
         `_op_seq`/`_deleted`/`_bucket`), deduped per key, AND hash-
@@ -252,6 +323,8 @@ class LakeTable:
         atomic commit as the data files.
         """
         if prepared:
+            if self.merge_policy != "lww":
+                raise ValueError("prepared merges require merge_policy='lww'")
             deduped = batch
         else:
             normalized = (
@@ -259,12 +332,23 @@ class LakeTable:
                 .withColumn(_DELETED_COL, F.col("op") == "D")
                 .withColumn(_BUCKET_COL, self.bucket_expr())
             )
-            deduped = self._resolve(normalized).select(
-                *[f.name for f in spark.createDataFrame([], self.schema_ddl).schema.fields],
-                _SEQ_COL,
-                _DELETED_COL,
-                _BUCKET_COL,
-            )
+            fields = [
+                f.name
+                for f in spark.createDataFrame([], self.schema_ddl).schema.fields
+            ]
+            if self.merge_policy == "partial":
+                # $set semantics: events are written RAW (op preserved).
+                # A batch-local collapse to one full row would stamp the
+                # winner's order on columns it never set and clobber
+                # newer table state — resolution is deferred to
+                # scan()/compact(), which see every event.
+                deduped = normalized.withColumn(_OP_COL, F.col("op")).select(
+                    *fields, _SEQ_COL, _DELETED_COL, _OP_COL, _BUCKET_COL
+                )
+            else:
+                deduped = self._resolve(normalized).select(
+                    *fields, _SEQ_COL, _DELETED_COL, _BUCKET_COL
+                )
 
         if mode == "mor":
             write_df = deduped
