@@ -114,12 +114,17 @@ def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
             ),
             reverse=True,
         )
+        import statistics
+
         return {
             "cdc_events": n_in,
             "cdc_batches": res.batches_applied,
             "cdc_sec": round(elapsed, 3),
             "events_per_sec": round(n_in / elapsed, 1),
             "best_batch_events_per_sec": batch_rates[0] if batch_rates else 0.0,
+            "median_batch_events_per_sec": (
+                round(statistics.median(batch_rates), 1) if batch_rates else 0.0
+            ),
             "batch_rates": batch_rates,
             "final_rows": table.scan(spark).count(),
         }
@@ -145,6 +150,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    # bench opts into tmpfs scratch (measured 1.6x on this sandbox's
+    # virtio disk); the library default leaves spark.local.dir alone
+    os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")

@@ -123,7 +123,21 @@ def main() -> None:
     bb_big = max(r.get("best_batch_events_per_sec", 0) for r in runs_big)
     eff = (med_big / med_small) / 4.0
     eff_peak = (max_big / max_small) / 4.0
-    eff_batch = (bb_big / bb_small) / 4.0 if bb_small else 0.0
+    # PRIMARY batch statistic: efficiency of each interleaved round PAIR
+    # (same host phase), median across rounds — an efficiency some actual
+    # paired run achieved. Cross-round maxima are reported only as a
+    # diagnostic upper bound.
+    paired = [
+        (
+            runs_big[i].get("best_batch_events_per_sec", 0)
+            / runs_small[i]["best_batch_events_per_sec"]
+        )
+        / 4.0
+        for i in range(len(runs_small))
+        if runs_small[i].get("best_batch_events_per_sec")
+    ]
+    eff_batch = statistics.median(paired) if paired else 0.0
+    eff_batch_max = (bb_big / bb_small) / 4.0 if bb_small else 0.0
 
     def row(cpus, runs, med):
         rates = ", ".join(f"{r['events_per_sec']:,.0f}" for r in runs)
@@ -150,10 +164,13 @@ for {rounds} rounds and medians compared.
 {row(n_small, runs_small, med_small)}
 {row(n_big, runs_big, med_big)}
 
-**Scaling efficiency: {eff_batch:.3f} (best-batch), {eff_peak:.3f}
-(peak run), {eff:.3f} (median run)** — target ≥ 0.8
+**Scaling efficiency: {eff_batch:.3f} (median of per-round paired
+best-batch efficiencies — primary), {eff:.3f} (median run),
+{eff_peak:.3f} (peak run), {eff_batch_max:.3f} (cross-round best-batch
+ratio — diagnostic upper bound only)** — target ≥ 0.8.
+Per-round paired best-batch efficiencies: {', '.join(f'{p:.3f}' for p in paired)}.
 
-Why three numbers: this sandbox VM exhibits multi-second kernel-time
+Why several numbers: this sandbox VM exhibits multi-second kernel-time
 interference episodes (70%+ `sy` in vmstat during the stall, normal
 user-dominated profile otherwise; raw userspace CPU scaling on the same
 box is stable) that strike runs one-sidedly — they only ever slow a
@@ -213,6 +230,8 @@ local[{n_big}]: `{json.dumps(runs_big)}`
                 "efficiency": round(eff, 3),
                 "efficiency_peak": round(eff_peak, 3),
                 "efficiency_best_batch": round(eff_batch, 3),
+                "efficiency_best_batch_rounds": [round(p, 3) for p in paired],
+                "efficiency_best_batch_crossround_max": round(eff_batch_max, 3),
                 **ceilings,
                 "best_batch_n": bb_small,
                 "best_batch_4n": bb_big,

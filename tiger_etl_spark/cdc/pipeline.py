@@ -192,30 +192,16 @@ def apply_changes(
         batch_id=batch_id, offset_start="", offset_end="", snapshot_id=0
     )
 
-    # quarantine (dead-letter) split runs as a CONCURRENT Spark job while
-    # the main merge-write job runs — it shares the scan but not the
-    # shuffle, so its latency hides entirely behind the merge; joined
-    # before the commit so a reader never sees a committed batch without
-    # its quarantine rows
-    import threading
-
     qdir = os.path.join(table.path, "_quarantine", f"batch_id={batch_id}")
-    q_err: list[Exception] = []
-
-    def write_quarantine() -> None:
-        try:
-            with_validation(events).where(~is_valid).withColumn(
-                "_invalid_reasons", F.array_join("_invalid_reasons", ",")
-            ).write.mode("overwrite").parquet(qdir)
-        except Exception as e:  # surfaced at join time
-            q_err.append(e)
-
-    q_thread = threading.Thread(target=write_quarantine, daemon=True)
-    q_thread.start()
 
     def commit_props() -> dict:
         """Runs after the write job, before the atomic commit: fold the
-        observed metrics into the same commit as the data files."""
+        observed metrics into the same commit as the data files. The
+        quarantine (dead-letter) write happens HERE, gated on the
+        observed count: the common all-valid batch pays neither a second
+        source scan nor an empty parquet dir, and nothing ever writes
+        into the table directory after a failed merge (the commit only
+        proceeds if this function returns)."""
         m = obs.get
         mark("observe")
         record.offset_start = m["offset_start"] or ""
@@ -224,9 +210,10 @@ def apply_changes(
         record.rows_quarantined = m["n_quarantined"] or 0
         record.rows_late = m["n_late"] or 0
         record.bytes_in = m["bytes_in"] or 0
-        q_thread.join()
-        if q_err:
-            raise q_err[0]
+        if record.rows_quarantined:
+            with_validation(events).where(~is_valid).withColumn(
+                "_invalid_reasons", F.array_join("_invalid_reasons", ",")
+            ).write.mode("overwrite").parquet(qdir)
         mark("quarantine")
         high_wm = m["max_ts"]
         if prev_wm is not None and (high_wm is None or str(high_wm) < prev_wm):
@@ -313,5 +300,16 @@ def read_lineage(spark: SparkSession, table: LakeTable) -> DataFrame:
 
 
 def read_quarantine(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Dead-letter rows. Batches with nothing invalid write no
+    quarantine dir at all (the common case), so absence = empty."""
     qdir = os.path.join(table.path, "_quarantine")
+    if not os.path.isdir(qdir):
+        from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+
+        return spark.createDataFrame([], EVENTS_READ_SCHEMA).withColumns(
+            {
+                "_invalid_reasons": F.lit(None).cast("string"),
+                "batch_id": F.lit(None).cast("long"),
+            }
+        )
     return spark.read.option("basePath", qdir).parquet(qdir)
