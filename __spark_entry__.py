@@ -284,6 +284,29 @@ def supplier_zset_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "s_suppkey", "s_name", "acctbal")
 
 
+def user_value_zset_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (mutation side) — zadd/zrem semantics over the events stream:
+    every event zadds (user_id → value), 'error' events zrem the member;
+    final ranked range [0,9] by score desc (operators/zset.py:
+    resolve_updates + crud.zset_range)."""
+    from tiger_etl_spark.operators import zset
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("member"),
+        _epoch_us("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", zset.ZREM)
+        .otherwise(zset.ZADD)
+        .alias("zop"),
+        F.round("value", 6).alias("score"),
+    )
+    final = zset.resolve_updates(ev, "member", ["ts_us", "event_id"], "zop", "score")
+    out = crud.zset_range(
+        final, "score", 0, 9, desc=True, tiebreak=["member"], with_rank=True
+    )
+    return out.select("rank", "member", "score")
+
+
 def user_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/A5 — per-user first/last event and duration seconds."""
     ev = _t(spark, sf_dir, "events")
@@ -547,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_relevance_top20": part_relevance_top20,
         "orders_page3": orders_page3,
         "supplier_zset_top10": supplier_zset_top10,
+        "user_value_zset_top10": user_value_zset_top10,
         "user_session_spans": user_session_spans,
         "customer_name_hashes": customer_name_hashes,
         "customer_name_validation": customer_name_validation,
@@ -717,6 +741,22 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY round(s_acctbal, 2) DESC, s_suppkey
                        ) AS rank
                 FROM supplier
+            ) WHERE rank <= 10
+        """,
+        "user_value_zset_top10": """
+            WITH w AS (
+                SELECT user_id AS member,
+                       max({'o': {'ts_us': epoch_us(ts), 'event_id': event_id},
+                            'op': CASE WHEN event_type = 'error'
+                                       THEN 'Z_REM' ELSE 'Z_ADD' END,
+                            's': round(value, 6)}) AS w
+                FROM events GROUP BY user_id
+            ),
+            final AS (SELECT member, w.s AS score FROM w WHERE w.op = 'Z_ADD')
+            SELECT rank, member, score FROM (
+                SELECT member, score,
+                       row_number() OVER (ORDER BY score DESC, member) AS rank
+                FROM final
             ) WHERE rank <= 10
         """,
         "user_session_spans": """

@@ -155,10 +155,15 @@ class LakeTable:
         return os.path.exists(os.path.join(path, "meta", "_current"))
 
     @staticmethod
-    def _write_manifest(path: str, manifest: dict) -> None:
+    def _write_manifest(path: str, manifest: dict, flip_pointer: bool = True) -> None:
         mpath = os.path.join(path, "meta", f"v{manifest['version']}.json")
         _atomic_write(mpath, json.dumps(manifest, indent=1))
-        _atomic_write(os.path.join(path, "meta", "_current"), str(manifest["version"]))
+        if flip_pointer:
+            LakeTable._write_pointer(path, manifest["version"])
+
+    @staticmethod
+    def _write_pointer(path: str, version: int) -> None:
+        _atomic_write(os.path.join(path, "meta", "_current"), str(version))
 
     # ------------------------------------------------------------ helpers
     @property
@@ -548,11 +553,21 @@ class LakeTable:
     def _commit(self, files: list[dict], summary: dict) -> None:
         """Snapshot-isolated commit: new manifest written, then the
         pointer atomically replaced. Optimistic single-writer check —
-        a concurrent commit (version moved) raises and the batch retries."""
+        a concurrent commit (version moved) raises and the batch retries.
+
+        Inside a LakeTransaction (``_defer_pointer`` set by lake/txn.py)
+        the pointer flip is withheld: the manifest is staged on disk but
+        readers keep seeing the old snapshot until the transaction's
+        commit point publishes every staged table's pointer together."""
+        deferred = getattr(self, "_defer_pointer", False)
         cur_path = os.path.join(self.path, "meta", "_current")
         with open(cur_path) as f:
             on_disk = int(f.read().strip())
-        if on_disk != self.manifest["version"]:
+        # in a txn the on-disk pointer legitimately lags staged versions
+        stale = on_disk > self.manifest["version"] if deferred else (
+            on_disk != self.manifest["version"]
+        )
+        if stale:
             raise RuntimeError(
                 f"concurrent commit: loaded v{self.manifest['version']} "
                 f"but table is at v{on_disk}"
@@ -563,7 +578,7 @@ class LakeTable:
         new["snapshot_id"] = self.manifest["snapshot_id"] + 1
         new["files"] = files
         new["summary"] = {**summary, "committed_at": time.time()}
-        self._write_manifest(self.path, new)
+        self._write_manifest(self.path, new, flip_pointer=not deferred)
         self.manifest = new
 
     def update_props(self, updates: dict) -> None:
