@@ -192,16 +192,34 @@ def apply_changes(
         batch_id=batch_id, offset_start="", offset_end="", snapshot_id=0
     )
 
+    # quarantine (dead-letter) split runs as a CONCURRENT Spark job while
+    # the main merge-write job runs — serializing it after the merge
+    # costs 0.3-2 s/batch (measured). Discipline: the thread is ALWAYS
+    # joined before apply_changes returns or raises; an all-valid batch
+    # leaves no (empty) dir behind; a failed merge removes the batch's
+    # dead-letter dir so nothing stray outlives an uncommitted batch.
+    import shutil
+    import threading
+
     qdir = os.path.join(table.path, "_quarantine", f"batch_id={batch_id}")
+    q_err: list[Exception] = []
+
+    def write_quarantine() -> None:
+        try:
+            with_validation(events).where(~is_valid).withColumn(
+                "_invalid_reasons", F.array_join("_invalid_reasons", ",")
+            ).write.mode("overwrite").parquet(qdir)
+        except Exception as e:  # surfaced at join time
+            q_err.append(e)
+
+    q_thread = threading.Thread(target=write_quarantine)
+    q_thread.start()
 
     def commit_props() -> dict:
         """Runs after the write job, before the atomic commit: fold the
-        observed metrics into the same commit as the data files. The
-        quarantine (dead-letter) write happens HERE, gated on the
-        observed count: the common all-valid batch pays neither a second
-        source scan nor an empty parquet dir, and nothing ever writes
-        into the table directory after a failed merge (the commit only
-        proceeds if this function returns)."""
+        observed metrics into the same commit as the data files, and
+        join the quarantine job so a reader never sees a committed batch
+        without its dead-letter rows."""
         m = obs.get
         mark("observe")
         record.offset_start = m["offset_start"] or ""
@@ -210,10 +228,11 @@ def apply_changes(
         record.rows_quarantined = m["n_quarantined"] or 0
         record.rows_late = m["n_late"] or 0
         record.bytes_in = m["bytes_in"] or 0
-        if record.rows_quarantined:
-            with_validation(events).where(~is_valid).withColumn(
-                "_invalid_reasons", F.array_join("_invalid_reasons", ",")
-            ).write.mode("overwrite").parquet(qdir)
+        q_thread.join()
+        if q_err:
+            raise q_err[0]
+        if not record.rows_quarantined:
+            shutil.rmtree(qdir, ignore_errors=True)
         mark("quarantine")
         high_wm = m["max_ts"]
         if prev_wm is not None and (high_wm is None or str(high_wm) < prev_wm):
@@ -225,23 +244,30 @@ def apply_changes(
             "high_watermark": str(high_wm) if high_wm else None,
         }
 
-    if merge_mode == "mor":
-        batch = _fused_dedup_extract(table, mapped)
-        stats = table.merge(
-            spark, batch, mode="mor", prepared=True, props_updates_fn=commit_props
-        )
-        mark("merge")
-    else:
-        from tiger_etl_spark.functions.text import extract_text_udf
+    try:
+        if merge_mode == "mor":
+            batch = _fused_dedup_extract(table, mapped)
+            stats = table.merge(
+                spark, batch, mode="mor", prepared=True, props_updates_fn=commit_props
+            )
+            mark("merge")
+        else:
+            from tiger_etl_spark.functions.text import extract_text_udf
 
-        batch = mapped.withColumn(
-            "text", extract_text_udf(F.col("html"))
-        ).select(
-            "op", "op_seq", "url", "warc_ts", "html", "text", "lang", "content_len"
-        )
-        stats = table.merge(
-            spark, batch, mode=merge_mode, props_updates_fn=commit_props
-        )
+            batch = mapped.withColumn(
+                "text", extract_text_udf(F.col("html"))
+            ).select(
+                "op", "op_seq", "url", "warc_ts", "html", "text", "lang", "content_len"
+            )
+            stats = table.merge(
+                spark, batch, mode=merge_mode, props_updates_fn=commit_props
+            )
+    except BaseException:
+        # failed (uncommitted) batch: no thread outlives this call, no
+        # dead-letter rows remain for a batch that never committed
+        q_thread.join()
+        shutil.rmtree(qdir, ignore_errors=True)
+        raise
 
     record.snapshot_id = stats.snapshot_id
     record.rows_applied = stats.rows_upserted

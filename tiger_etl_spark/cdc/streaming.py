@@ -60,10 +60,17 @@ def run_stream(
         .withWatermark("warc_ts", f"{watermark_hours} hours")
     )
 
+    # one manifest load per stream, not per batch: merge() keeps the
+    # in-memory handle at the committed snapshot, so re-parsing the
+    # (file-list-sized) manifest JSON every trigger is pure fixed cost.
+    # Invalidated on failure — the retry reloads from disk.
+    cache: dict[str, LakeTable] = {}
+
     def handle(batch_df, batch_id: int):
-        table = LakeTable.load(table_path)
+        table = cache.pop("table", None) or LakeTable.load(table_path)
         if str(batch_id) in table.props.get("applied_batches", {}):
             result.batches_skipped += 1
+            cache["table"] = table
             return
         rec = apply_changes(
             spark,
@@ -77,6 +84,7 @@ def run_stream(
         result.batches_applied += 1
         if compact_every and (result.batches_applied % compact_every == 0):
             table.compact(spark)
+        cache["table"] = table
 
     writer = (
         source.writeStream.foreachBatch(handle)

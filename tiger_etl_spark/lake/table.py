@@ -157,7 +157,9 @@ class LakeTable:
     @staticmethod
     def _write_manifest(path: str, manifest: dict, flip_pointer: bool = True) -> None:
         mpath = os.path.join(path, "meta", f"v{manifest['version']}.json")
-        _atomic_write(mpath, json.dumps(manifest, indent=1))
+        # compact JSON: the file list dominates manifest size, and the
+        # manifest is (de)serialized on every commit
+        _atomic_write(mpath, json.dumps(manifest, separators=(",", ":")))
         if flip_pointer:
             LakeTable._write_pointer(path, manifest["version"])
 
