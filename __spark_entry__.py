@@ -515,10 +515,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding near-dup, 100 TB path): banded hyperplane-LSH
     candidate pruning + exact cosine verify. Deterministic planes, so the
-    DuckDB oracle reproduces the identical banding."""
+    DuckDB oracle reproduces the identical banding. The synthetic corpus
+    only has low-cosine near-dups (max ≈ 0.6), where hyperplane LSH
+    discriminates weakly — 8×6 bands trade recall for pruning here; the
+    production ≥0.9 regime (defaults 16×8, recall ≈ 0.996) is covered by
+    the planted-pair test in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.neardup_pairs_lsh(
-        e, "vec_id", "embedding", threshold=0.4, dim=64, n_bands=16, rows_per_band=2
+        e, "vec_id", "embedding", threshold=0.4, dim=64, n_bands=8, rows_per_band=6
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -1064,16 +1068,16 @@ def _build_ann_sql() -> str:
 
 
 def _build_neardup_lsh_sql(
-    threshold: float = 0.4, n_bands: int = 16, rows_per_band: int = 2
+    threshold: float = 0.4, n_bands: int = 8, rows_per_band: int = 6
 ) -> str:
-    """Mirror of similarity.neardup_pairs_lsh: identical deterministic
-    banding (so candidate pruning matches bit-for-bit), exact cosine
-    verify."""
+    """Mirror of similarity.neardup_pairs_lsh — the SAME arithmetic in
+    the SAME order (normalize once per vector, sign bits + dot over the
+    normalized values), so banding and cosines match bit-for-bit."""
     from tiger_etl_spark.operators.similarity import _planes
 
     planes = _planes(n_bands * rows_per_band, 64)
     bit_cols = ", ".join(
-        f"CASE WHEN {_dot_sql('embedding', p)} >= 0 THEN '1' ELSE '0' END AS b{i}"
+        f"CASE WHEN {_dot_sql('nv', p)} >= 0 THEN '1' ELSE '0' END AS b{i}"
         for i, p in enumerate(planes)
     )
     bands = ", ".join(
@@ -1082,11 +1086,19 @@ def _build_neardup_lsh_sql(
     )
     band_ids = ", ".join(str(b) for b in range(n_bands))
     return f"""
-        WITH sigs AS (
-            SELECT vec_id, embedding, {bit_cols} FROM embeddings
-            WHERE list_sum(list_transform(embedding,
-                x -> x::DOUBLE * x::DOUBLE)) > 0
+        WITH nrm AS (
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(embedding,
+                       x -> x::DOUBLE * x::DOUBLE))) AS n,
+                   embedding
+            FROM embeddings
         ),
+        norm AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> x::DOUBLE / n) AS nv
+            FROM nrm WHERE n > 0
+        ),
+        sigs AS (SELECT vec_id, nv, {bit_cols} FROM norm),
         banded AS (
             SELECT vec_id, UNNEST([{bands}]) AS band_hash,
                    UNNEST([{band_ids}]) AS band_id
@@ -1100,15 +1112,11 @@ def _build_neardup_lsh_sql(
         ),
         pairs AS (
             SELECT id_a, id_b,
-                   list_sum(list_transform(range(1, len(ea.embedding) + 1),
-                       i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
-                   / (sqrt(list_sum(list_transform(ea.embedding,
-                          x -> x::DOUBLE * x::DOUBLE)))
-                      * sqrt(list_sum(list_transform(eb.embedding,
-                          x -> x::DOUBLE * x::DOUBLE)))) AS c
+                   list_sum(list_transform(range(1, len(na.nv) + 1),
+                       i -> na.nv[i] * nb.nv[i])) AS c
             FROM cand
-            JOIN embeddings ea ON ea.vec_id = id_a
-            JOIN embeddings eb ON eb.vec_id = id_b
+            JOIN norm na ON na.vec_id = id_a
+            JOIN norm nb ON nb.vec_id = id_b
         )
         SELECT id_a, id_b, round(c, 6) AS cosine FROM pairs
         WHERE c >= {threshold!r}

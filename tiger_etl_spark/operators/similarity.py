@@ -172,22 +172,47 @@ def neardup_pairs_lsh(
     threshold: float,
     dim: int,
     n_bands: int = 16,
-    rows_per_band: int = 2,
+    rows_per_band: int = 8,
 ) -> DataFrame:
     """Approximate near-dup pairs — the 100 TB path: banded
     random-hyperplane LSH prunes candidates, exact cosine verifies.
 
     Each row gets `n_bands` band signatures (each the sign-bit string of
     `rows_per_band` deterministic hyperplanes); rows sharing any band
-    collide into a candidate pair; candidates are verified with the
-    exact JVM-side cosine. The self-join is keyed on (band_id,
-    band_hash) — shuffle fan-out is bucket sizes, never N². Recall is
-    1-(1-p^r)^b with p = 1-θ/π (≈0.9997 for cosine 0.4 with 16×2);
-    misses are possible by design. Everything is JVM expressions — no
-    Python, no broadcast of random state (planes derive from md5)."""
+    collide into a candidate pair; candidates are deduped as bare id
+    pairs (vectors re-joined afterwards, so duplicate band collisions
+    never shuffle vector payloads) and verified with the exact JVM-side
+    cosine. The self-join is keyed on (band_id, band_hash) — shuffle
+    fan-out is bucket sizes, never N².
+
+    Recall = 1-(1-p^r)^b with p = 1-θ/π. The defaults (16 bands × 8
+    planes) target the production near-dup regime: cosine ≥ 0.9 →
+    recall ≈ 0.996 while random pairs (p = 0.5) collide with only ~6%
+    probability. At LOW thresholds hyperplane LSH discriminates weakly
+    (p barely above 0.5) — wider bands then trade recall for pruning,
+    and exact `neardup_pairs` is usually the better tool.
+
+    Plan shape: normalized vectors ride the band join (shuffle volume =
+    n_bands × vector column — linear; for very wide vectors project to
+    ids and re-join instead), the cosine is ONE dot-product fold inline
+    in the join, the threshold filters BEFORE the pair dedup so only
+    true near-dups reach the final exchange. Everything is JVM
+    expressions — no Python, no broadcast of random state (planes derive
+    from md5)."""
     planes = _planes(n_bands * rows_per_band, dim)
-    base = df.select(F.col(id_col), F.col(vec_col)).where(
-        _norm(F.col(vec_col)) > 0
+    # normalize ONCE per vector (norms dominate fold cost — computing
+    # them per candidate pair would triple the verify work); signatures
+    # are sign bits, unaffected by positive scaling
+    base = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_nrm", _norm(F.col(vec_col)))
+        .where(F.col("_nrm") > 0)
+        .select(
+            id_col,
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias(vec_col),
+        )
     )
     band_cols = [
         lsh_signature_col(
@@ -196,16 +221,21 @@ def neardup_pairs_lsh(
         ).alias(f"band{b}")
         for b in range(n_bands)
     ]
-    banded = base.select(id_col, vec_col, *band_cols)
-    exploded = banded.select(
+    banded = base.select(
         id_col,
         vec_col,
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)])).alias(
-            "band_id", "band_hash"
-        ),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    cands = (
+    a, b = banded.alias("a"), banded.alias("b")
+    # vectors are unit-norm → cosine is a single dot-product fold
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -215,16 +245,11 @@ def neardup_pairs_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
+            dot.alias("cosine"),
         )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cands.select(
-        "id_a",
-        "id_b",
-        cosine_pair(F.col("_va"), F.col("_vb")).alias("cosine"),
-    ).where(F.col("cosine") >= F.lit(float(threshold)))
 
 
 def _plane_component(plane: int, dim: int) -> float:
