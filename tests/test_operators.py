@@ -199,3 +199,27 @@ def test_scalar_functions(spark):
     assert row["bad_ip"] is False and row["good_ip"] is True
     assert row["dev"] == "Windows 10"
     assert row["neg"] is None and row["pos"] == 42
+
+
+def test_multimodal_resize_plumbing(spark):
+    from tiger_etl_spark.operators import multimodal
+
+    rows = [(1, bytes(range(100))), (2, b""), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    out = multimodal.resize_media(df, "media_id", "blob", width=4, height=2)
+    got = {r.media_id: (bytes(r.resized) if r.resized is not None else None) for r in out.collect()}
+    assert len(got[1]) == 8
+    assert got[1] == multimodal._fake_resize(bytes(range(100)), 4, 2)
+    assert got[2] == bytes(8)  # empty blob -> zero frame
+    assert got[3] is None
+
+
+def test_multimodal_frame_sampling_fans_out(spark):
+    from tiger_etl_spark.operators import multimodal
+
+    blob = bytes(range(90))
+    df = spark.createDataFrame([(7, blob), (8, None)], "media_id long, blob binary")
+    out = multimodal.sample_frames(df, "media_id", "blob", n_frames=3).collect()
+    by_idx = {(r.media_id, r.frame_idx): bytes(r.frame) for r in out}
+    assert len(out) == 3  # null blob contributes no frames
+    assert by_idx[(7, 0)] == blob[:30] and by_idx[(7, 2)] == blob[60:]
