@@ -181,3 +181,64 @@ def test_load_refuses_foreign_bucket_hash(spark, tmp_path):
         json.dump(m, f)
     with pytest.raises(RuntimeError, match="bucketed with hash"):
         LakeTable.load(table.path)
+
+
+def test_apply_changes_routes_partial_tables_through_raw_merge(spark, tmp_path):
+    """The batch-apply core works on merge_policy='partial' pages tables:
+    U events coalesce column-wise instead of nulling absent columns."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tiger_etl_spark.cdc.pipeline import apply_changes
+    from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA, PAGES_SCHEMA
+    from tiger_etl_spark.lake import LakeTable
+
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in PAGES_SCHEMA.fields
+    )
+    table = LakeTable.create(
+        str(tmp_path / "pages"),
+        ddl,
+        key_col="url",
+        num_buckets=4,
+        merge_policy="partial",
+    )
+    t = dt.datetime(2024, 3, 1)
+
+    def ev(op, seq, url, sec, html, lang):
+        return (
+            op, seq, url, t + dt.timedelta(seconds=sec), None, html, lang,
+            None, 2, f"f{seq}",
+        )
+
+    events = spark.createDataFrame(
+        [
+            ev("I", 1, "u1", 1, b"<p>one</p>", "en"),
+            # U sets only lang — html (and its text) must survive
+            ev("U", 2, "u1", 2, None, "de"),
+            ev("I", 3, "u2", 1, b"<p>two</p>", "fr"),
+            ev("D", 4, "u2", 2, None, None),
+            # U after D recreates a partial row
+            ev("U", 5, "u2", 3, None, "es"),
+        ],
+        EVENTS_READ_SCHEMA,
+    )
+    rec = apply_changes(spark, table, events, batch_id=0)
+    assert rec.rows_applied == 5  # raw events stored (no collapse)
+    got = {
+        r.url: (bytes(r.html) if r.html is not None else None, r.text, r.lang)
+        for r in table.scan(spark).collect()
+    }
+    assert got["u1"] == (b"<p>one</p>", "one", "de")
+    assert got["u2"] == (None, None, "es")
+    # exactly-once: replaying the batch is a no-op
+    rec2 = apply_changes(spark, table, events, batch_id=0)
+    assert rec2.rows_applied == 0
+    # compaction collapses to resolved base rows, same state
+    table.compact(spark)
+    got2 = {
+        r.url: (bytes(r.html) if r.html is not None else None, r.text, r.lang)
+        for r in LakeTable.load(table.path).scan(spark).collect()
+    }
+    assert got2 == got

@@ -245,13 +245,16 @@ def apply_changes(
         }
 
     try:
-        if merge_mode == "mor":
+        if merge_mode == "mor" and table.merge_policy == "lww":
             batch = _fused_dedup_extract(table, mapped)
             stats = table.merge(
                 spark, batch, mode="mor", prepared=True, props_updates_fn=commit_props
             )
             mark("merge")
         else:
+            # partial-policy tables store raw events (no batch collapse;
+            # see LakeTable.merge) — the fused winners-only path does
+            # not apply, so every event pays extraction
             from tiger_etl_spark.functions.text import extract_text_udf
 
             batch = mapped.withColumn(
