@@ -499,7 +499,12 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4).select(
         "id_a", "id_b"
     )
-    out = dedup.ngram_jaccard(d, cands, "doc_id", "text", k=3)
+    shingles = _shared(
+        spark,
+        ("shingles", sf_dir),
+        lambda: dedup.distinct_shingles(d, "doc_id", "text", k=3),
+    )
+    out = dedup.ngram_jaccard(d, cands, "doc_id", "text", k=3, shingles=shingles)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

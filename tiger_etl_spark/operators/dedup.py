@@ -114,20 +114,30 @@ def lsh_candidate_pairs(
     return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
+def distinct_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(doc, shingle) distinct pairs — the shared intermediate of the
+    Jaccard verify; persist it when several operators run over the same
+    corpus (signatures, banding and verification all derive from it)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-word-shingle Jaccard for candidate pairs (the verify step
     after LSH): join each side to its distinct shingle set, count
-    intersection / union. Shuffles are by doc id and shingle — linear."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
-    )
+    intersection / union. Shuffles are by doc id and shingle — linear.
+    Pass a persisted `shingles` (from `distinct_shingles`) to reuse the
+    explode across operators."""
+    sh = shingles if shingles is not None else distinct_shingles(df, id_col, text_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     shared = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a"), "id_a")
