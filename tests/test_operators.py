@@ -223,3 +223,16 @@ def test_multimodal_frame_sampling_fans_out(spark):
     by_idx = {(r.media_id, r.frame_idx): bytes(r.frame) for r in out}
     assert len(out) == 3  # null blob contributes no frames
     assert by_idx[(7, 0)] == blob[:30] and by_idx[(7, 2)] == blob[60:]
+
+
+def test_iso_format_serialization(spark):
+    """F9 — ISO-8601 with UTC offset, matching Python isoformat()."""
+    import datetime as dt
+
+    from tiger_etl_spark.functions import scalar
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 5, 14, 30, 9),)], "ts timestamp"
+    )
+    [row] = df.select(scalar.iso_format(F.col("ts")).alias("iso")).collect()
+    assert row.iso == "2024-03-05T14:30:09Z"  # session tz is UTC
