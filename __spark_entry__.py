@@ -527,7 +527,7 @@ def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted-pair test in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.neardup_pairs_lsh(
-        e, "vec_id", "embedding", threshold=0.4, dim=64, n_bands=8, rows_per_band=6
+        e, "vec_id", "embedding", threshold=0.4, dim=64, n_bands=8, rows_per_band=8
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -1073,7 +1073,7 @@ def _build_ann_sql() -> str:
 
 
 def _build_neardup_lsh_sql(
-    threshold: float = 0.4, n_bands: int = 8, rows_per_band: int = 6
+    threshold: float = 0.4, n_bands: int = 8, rows_per_band: int = 8
 ) -> str:
     """Mirror of similarity.neardup_pairs_lsh — the SAME arithmetic in
     the SAME order (normalize once per vector, sign bits + dot over the

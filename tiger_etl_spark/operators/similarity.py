@@ -200,12 +200,18 @@ def neardup_pairs_lsh(
     expressions — no Python, no broadcast of random state (planes derive
     from md5)."""
     planes = _planes(n_bands * rows_per_band, dim)
+    # signature folds are per-row CPU work: spread a narrow source (one
+    # small parquet file → one task) across the cluster before paying
+    # n_bands × rows_per_band plane dots per row
+    src = df.select(F.col(id_col), F.col(vec_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
     # normalize ONCE per vector (norms dominate fold cost — computing
     # them per candidate pair would triple the verify work); signatures
     # are sign bits, unaffected by positive scaling
     base = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("_nrm", _norm(F.col(vec_col)))
+        src.withColumn("_nrm", _norm(F.col(vec_col)))
         .where(F.col("_nrm") > 0)
         .select(
             id_col,
