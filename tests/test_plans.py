@@ -133,6 +133,20 @@ def test_neardup_pairs_never_collects_or_broadcasts(spark, monkeypatch):
     assert "Broadcast" not in plan, plan
 
 
+def test_lsh_neardup_band_join_is_keyed(spark):
+    """The banded near-dup self-join must be an equi-join on (band_id,
+    band_hash) — never a cartesian product or broadcast nested loop."""
+    from tiger_etl_spark.operators import similarity
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    df = similarity.neardup_pairs_lsh(
+        e, "vec_id", "embedding", 0.9, dim=64, n_bands=4, rows_per_band=4
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_neardup_pairs_block_decomposition_invariant(spark):
     """Same exact pair set whatever the block count (incl. the G=1
     degenerate single-group case)."""
