@@ -508,6 +508,28 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def doc_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (clustering): connected components over verified near-dup
+    pairs (3-word-shingle Jaccard ≥ 0.5 on LSH candidates) → one row
+    per member doc with its cluster id (min doc id in the component) —
+    the keep-one-per-cluster grouping step of a corpus dedup pipeline.
+    Iterative min-label propagation (operators/dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(spark, sf_dir)
+    cands = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4).select(
+        "id_a", "id_b"
+    )
+    shingles = _shared(
+        spark,
+        ("shingles", sf_dir),
+        lambda: dedup.distinct_shingles(d, "doc_id", "text", k=3),
+    )
+    verified = dedup.ngram_jaccard(
+        d, cands, "doc_id", "text", k=3, shingles=shingles
+    ).where(F.col("jaccard") >= 0.5)
+    return dedup.duplicate_clusters(verified)
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding-cosine near-dup): EXACT pairs with cosine ≥ 0.4,
     computed as a distributed triangle block join (no driver collect, no
@@ -597,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_top10": embedding_ann_top10,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+        "doc_duplicate_clusters": doc_duplicate_clusters,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
         "media_feature_stats": media_feature_stats,
@@ -819,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs_lsh": _NEARDUP_LSH_SQL,
         "media_feature_stats": _MEDIA_SQL,
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
+        "doc_duplicate_clusters": _CLUSTERS_SQL,
         "doc_ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "embedding_neardup_pairs": f"""
             WITH p AS (
@@ -928,6 +952,75 @@ FROM cand c
 LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
+"""
+
+# connected components over verified near-dup pairs — mirrors
+# operators.dedup.duplicate_clusters via a recursive reachability CTE
+# (cluster id = min doc id reachable, incl. self). Same candidate +
+# verify chain as _NGRAM_JACCARD_SQL, with the ≥0.5 filter applied to
+# the UNROUNDED jaccard exactly as the Spark side does.
+_CLUSTERS_SQL = r"""
+WITH RECURSIVE words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+    FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+sig AS (
+    SELECT doc_id,
+           min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1,
+           min(md5('2|' || sh)) AS mh2, min(md5('3|' || sh)) AS mh3,
+           min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
+           min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
+    FROM sh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, band_id, band_hash FROM (
+        SELECT doc_id,
+               UNNEST([md5(mh0 || '|' || mh1), md5(mh2 || '|' || mh3),
+                       md5(mh4 || '|' || mh5), md5(mh6 || '|' || mh7)]) AS band_hash,
+               UNNEST([0, 1, 2, 3]) AS band_id
+        FROM sig
+    )
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+shared AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_shared
+    FROM cand c
+    JOIN dsh a ON a.doc_id = c.id_a
+    JOIN dsh b ON b.doc_id = c.id_b AND a.sh = b.sh
+    GROUP BY c.id_a, c.id_b
+),
+verified AS (
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE coalesce(s.n_shared, 0)
+          / (sa.n_sh + sb.n_sh - coalesce(s.n_shared, 0)) >= 0.5
+),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM verified
+    UNION
+    SELECT id_b, id_a FROM verified
+),
+reach AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+FROM reach GROUP BY s
 """
 
 _MINHASH_SQL = r"""

@@ -236,3 +236,36 @@ def test_iso_format_serialization(spark):
     )
     [row] = df.select(scalar.iso_format(F.col("ts")).alias("iso")).collect()
     assert row.iso == "2024-03-05T14:30:09Z"  # session tz is UTC
+
+
+def test_duplicate_clusters_match_union_find(spark):
+    """Connected components vs a plain union-find replay on a random
+    pair set (chains, triangles, singial pairs)."""
+    import random
+
+    rng = random.Random(99)
+    pairs = set()
+    while len(pairs) < 40:
+        a, b = rng.randrange(60), rng.randrange(60)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {x for p in pairs for x in p}
+    expected = {x: find(x) for x in members}
+
+    df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()
+    }
+    assert got == expected

@@ -165,6 +165,68 @@ def ngram_jaccard(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over verified duplicate pairs → one row per
+    member doc with its cluster id (the min doc id in the component) —
+    the grouping step that turns pairwise near-dup matches into
+    keep-one-per-cluster decisions.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors (two keyed shuffles per
+    round), converging in graph-diameter rounds — near-dup components
+    are overwhelmingly pairs/triples, so 2–4 rounds in practice; the
+    driver only checks a scalar changed-count per round. For adversarial
+    long-chain graphs at extreme scale, swap the propagation body for
+    the large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce") — same join primitives, O(log n) rounds.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("_nmin", "label")).alias(
+                    "label"
+                ),
+            )
+        )
+        # truncate lineage each round: without this the logical plan
+        # doubles per iteration and Catalyst re-analysis dominates
+        # (minutes for a 60-node graph). localCheckpoint materializes to
+        # executor storage; on a cluster where executor loss matters,
+        # use a reliable checkpoint dir instead.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over word tokens: token hash bits vote ±1 per
     position; sign of the sum forms the fingerprint. md5-derived token
