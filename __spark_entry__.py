@@ -447,6 +447,40 @@ def doc_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrubbing — per-doc PII hit counts (email/phone/IPv4) and
+    the md5 of the redacted text (typed placeholders). JVM regex only;
+    patterns chosen to match identically under Java regex and RE2."""
+    from tiger_etl_spark.functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        counts["n_email"].alias("n_email"),
+        counts["n_phone"].alias("n_phone"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering — Gopher/C4-style repetition signals: word
+    count, distinct-word ratio, top-word share, duplicate-bigram
+    fraction."""
+    from tiger_etl_spark.functions.text import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_metrics(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("distinct_word_ratio", 6).alias("distinct_word_ratio"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (SimHash) — 32-bit fingerprints; DuckDB oracle reproduces
     the md5-derived token-hash bits via hex-nibble arithmetic."""
@@ -614,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_quality_scores": doc_quality_scores,
         "doc_lang_detect": doc_lang_detect,
+        "doc_pii_scan": doc_pii_scan,
+        "doc_repetition_metrics": doc_repetition_metrics,
         "doc_simhash": doc_simhash,
         "embedding_cosine_top10": embedding_cosine_top10,
         "embedding_ann_top10": embedding_ann_top10,
@@ -837,6 +873,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lsh_bands": _LSH_BANDS_SQL,
         "doc_quality_scores": _QUALITY_SQL,
         "doc_lang_detect": _LANG_DETECT_SQL,
+        "doc_pii_scan": _PII_SQL,
+        "doc_repetition_metrics": _REPETITION_SQL,
         "doc_simhash": _SIMHASH_SQL,
         "embedding_ann_top10": _ANN_SQL,
         "embedding_neardup_pairs_lsh": _NEARDUP_LSH_SQL,
@@ -1095,6 +1133,63 @@ def _build_quality_sql() -> str:
     """
 
 
+def _build_pii_sql() -> str:
+    """Mirror of functions.text pii_counts/redact_pii — generated from
+    the SAME rule list so patterns cannot drift."""
+    from tiger_etl_spark.functions.text import _PII_RULES
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in _PII_RULES
+    )
+    redacted = "text"
+    for _, pat, repl in _PII_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5
+        FROM documents
+    """
+
+
+_REPETITION_SQL = r"""
+WITH base AS (
+    SELECT doc_id,
+           string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+static AS (
+    SELECT doc_id,
+           len(list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> w[i] || ' ' || w[i + 1]))) AS db,
+           greatest(len(w) - 1, 0) AS nb
+    FROM base
+),
+wc AS (
+    SELECT doc_id, uw AS word, count(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS uw FROM base)
+    WHERE length(uw) > 0
+    GROUP BY doc_id, uw
+),
+per_doc AS (
+    SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS n_distinct
+    FROM wc GROUP BY doc_id
+)
+SELECT s.doc_id,
+       coalesce(p.total, 0) AS n_words,
+       round(CASE WHEN coalesce(p.total, 0) > 0
+                  THEN p.n_distinct / CAST(p.total AS DOUBLE)
+                  ELSE 0.0 END, 6) AS distinct_word_ratio,
+       round(CASE WHEN coalesce(p.total, 0) > 0
+                  THEN p.top / CAST(p.total AS DOUBLE)
+                  ELSE 0.0 END, 6) AS top_word_frac,
+       round(CASE WHEN s.nb > 0
+                  THEN 1.0 - s.db / CAST(s.nb AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM static s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+"""
+
+
 def _build_simhash_sql(bits: int = 32) -> str:
     """Mirror of operators.dedup.simhash: Spark derives the 60-bit token
     hash via conv(md5[:15], 16, 10); DuckDB has no conv, so bit j is read
@@ -1254,6 +1349,7 @@ FROM b LEFT JOIN feats f ON b.doc_id = f.doc_id
 
 _LANG_DETECT_SQL = _build_lang_detect_sql()
 _QUALITY_SQL = _build_quality_sql()
+_PII_SQL = _build_pii_sql()
 _SIMHASH_SQL = _build_simhash_sql()
 _ANN_SQL = _build_ann_sql()
 _NEARDUP_LSH_SQL = _build_neardup_lsh_sql()

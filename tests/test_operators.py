@@ -269,3 +269,62 @@ def test_duplicate_clusters_match_union_find(spark):
         r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()
     }
     assert got == expected
+
+
+def test_pii_scan_and_redaction(spark):
+    from tiger_etl_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a@b.co or c.d+x@e-f.org, call 555-123-4567, ip 10.0.0.1"),
+        (2, "clean text with version 1.2 and a dot."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts(F.col("text"))
+    out = df.select(
+        "doc_id",
+        counts["n_email"].alias("e"),
+        counts["n_phone"].alias("p"),
+        counts["n_ipv4"].alias("i"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert (by_id[1].e, by_id[1].p, by_id[1].i) == (2, 1, 1)
+    assert by_id[1].red == "mail <EMAIL> or <EMAIL>, call <PHONE>, ip <IP>"
+    assert (by_id[2].e, by_id[2].p, by_id[2].i) == (0, 0, 0)
+    assert by_id[2].red == rows[1][1]
+
+
+def test_repetition_metrics(spark):
+    from tiger_etl_spark.functions.text import repetition_metrics
+
+    rows = [
+        (1, "a a a b"),          # top 'a'=3/4, distinct 2/4, bigrams: [a a, a a, a b] -> 2/3 distinct
+        (2, ""),                  # empty doc
+        (3, "x y z"),            # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    assert got[1].n_words == 4
+    assert abs(got[1].top_word_frac - 0.75) < 1e-9
+    assert abs(got[1].distinct_word_ratio - 0.5) < 1e-9
+    assert abs(got[1].dup_bigram_frac - (1 - 2 / 3)) < 1e-9
+    assert got[2].n_words == 0 and got[2].top_word_frac == 0.0
+    assert got[3].distinct_word_ratio == 1.0 and got[3].dup_bigram_frac == 0.0
+
+
+def test_word_shingles_short_docs_yield_empty(spark):
+    """Regression: sequence(1, 0) steps downward in Spark — docs with
+    fewer than k words must produce an empty shingle array, not an
+    invalid slice(0) error."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one"), (3, ""), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c"]

@@ -162,3 +162,90 @@ def content_hash(text: Column) -> Column:
     used where the DuckDB oracle must reproduce the value exactly."""
     norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------- PII
+# Patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_RULES = [
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+    ("ipv4", PII_IPV4_RE, "<IP>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document PII hit counts (training-data scrubbing signal).
+    JVM-side regexp_count — no Python."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat))
+        for name, pat, _ in _PII_RULES
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII spans with typed placeholders (the redaction step of
+    a corpus scrubber). Order matters: emails first so their domain
+    dots never half-match the IP pattern."""
+    out = text
+    for _, pat, repl in _PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+# ------------------------------------------------- repetition metrics
+def repetition_metrics(df, id_col: str, text_col: str):
+    """Gopher/C4-style repetition quality signals per document:
+    `n_words`, `distinct_word_ratio`, `top_word_frac` (most frequent
+    word's share of all words) and `dup_bigram_frac` (1 − distinct/total
+    word bigrams). Two-level hash aggregation — count per (doc, word),
+    then per doc — associative and map-side combining; the bigram stats
+    are per-row array expressions, no extra shuffle."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # guard: sequence(1, 0) steps downward in Spark → invalid slice(0)
+    bigrams = F.when(
+        F.size(words) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        )
+    )
+    nb = F.greatest(F.size(words) - 1, F.lit(0))
+    static = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(bigrams)).alias("_db"),
+        nb.alias("_nb"),
+    )
+    word_counts = (
+        df.select(F.col(id_col), F.explode(words).alias("_w"))
+        .where(F.length("_w") > 0)
+        .groupBy(id_col, "_w")
+        .count()
+    )
+    per_doc = word_counts.groupBy(id_col).agg(
+        F.sum("count").alias("_total"),
+        F.max("count").alias("_top"),
+        F.count("*").alias("_distinct"),
+    )
+    out = static.join(per_doc, id_col, "left")
+    total = F.coalesce(F.col("_total"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        total.alias("n_words"),
+        F.when(total > 0, F.col("_distinct") / total.cast("double"))
+        .otherwise(0.0)
+        .alias("distinct_word_ratio"),
+        F.when(total > 0, F.col("_top") / total.cast("double"))
+        .otherwise(0.0)
+        .alias("top_word_frac"),
+        F.when(
+            F.col("_nb") > 0,
+            1.0 - F.col("_db") / F.col("_nb").cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+    )

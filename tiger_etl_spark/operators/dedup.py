@@ -25,12 +25,16 @@ def _words(text: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (empty when the doc has < k words)."""
+    """Array of k-word shingles (empty when the doc has < k words).
+    Guarded: `sequence(1, 0)` steps DOWNWARD in Spark, which would feed
+    slice() an invalid 0 index for short docs."""
     w = _words(text)
-    n = F.greatest(F.size(w) - (k - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    n = F.size(w) - (k - 1)
+    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        )
     )
 
 
