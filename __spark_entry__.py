@@ -542,6 +542,27 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination — per corpus doc (sources != 'src0'), the
+    fraction of its distinct 3-word shingles appearing anywhere in the
+    benchmark set (source = 'src0'); docs over threshold are eval-set
+    leaks. Shingle-keyed semi-join, linear (operators/dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.contamination_overlap(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        k=3,
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        F.round("overlap", 6).alias("overlap"),
+        (F.col("overlap") >= 0.5).alias("contaminated"),
+    )
+
+
 def doc_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (clustering): connected components over verified near-dup
     pairs (3-word-shingle Jaccard ≥ 0.5 on LSH candidates) → one row
@@ -656,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
         "doc_duplicate_clusters": doc_duplicate_clusters,
+        "doc_contamination": doc_contamination,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
         "media_feature_stats": media_feature_stats,
@@ -881,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "media_feature_stats": _MEDIA_SQL,
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "doc_duplicate_clusters": _CLUSTERS_SQL,
+        "doc_contamination": _CONTAMINATION_SQL,
         "doc_ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "embedding_neardup_pairs": f"""
             WITH p AS (
@@ -990,6 +1013,41 @@ FROM cand c
 LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
+"""
+
+# benchmark decontamination — mirrors dedup.contamination_overlap
+# (distinct 3-word shingles, semi-join against the src0 benchmark set)
+_CONTAMINATION_SQL = r"""
+WITH words AS (
+    SELECT doc_id, source,
+           string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, source, array_to_string(w[i:i+2], ' ') AS sh
+    FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+dsh AS (SELECT DISTINCT doc_id, source, sh FROM sh),
+bset AS (SELECT DISTINCT sh FROM dsh WHERE source = 'src0'),
+corpus AS (SELECT doc_id, sh FROM dsh WHERE source != 'src0'),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (
+    SELECT c.doc_id, count(*) AS n_hit
+    FROM corpus c JOIN bset b ON c.sh = b.sh
+    GROUP BY c.doc_id
+),
+base AS (SELECT DISTINCT doc_id FROM documents WHERE source != 'src0')
+SELECT b.doc_id,
+       coalesce(s.n_shingles, 0) AS n_shingles,
+       round(CASE WHEN coalesce(s.n_shingles, 0) > 0
+                  THEN coalesce(h.n_hit, 0) / CAST(s.n_shingles AS DOUBLE)
+                  ELSE 0.0 END, 6) AS overlap,
+       (CASE WHEN coalesce(s.n_shingles, 0) > 0
+             THEN coalesce(h.n_hit, 0) / CAST(s.n_shingles AS DOUBLE)
+             ELSE 0.0 END) >= 0.5 AS contaminated
+FROM base b
+LEFT JOIN sizes s ON s.doc_id = b.doc_id
+LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
 
 # connected components over verified near-dup pairs — mirrors

@@ -328,3 +328,28 @@ def test_word_shingles_short_docs_yield_empty(spark):
     }
     assert got[1] == [] and got[2] == [] and got[3] == []
     assert got[4] == ["a b c"]
+
+
+def test_contamination_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares shingles with bench
+            (2, "completely different words here now"),
+            (3, "hi"),                          # < k words -> 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shingles, round(r.overlap, 6))
+        for r in dedup.contamination_overlap(
+            corpus, bench, "doc_id", "text", k=3
+        ).collect()
+    }
+    # doc1 shingles: {the quick brown, quick brown fox, brown fox jumps};
+    # bench contains the first two -> 2/3
+    assert got[1] == (3, round(2 / 3, 6))
+    assert got[2] == (3, 0.0)
+    assert got[3] == (0, 0.0)

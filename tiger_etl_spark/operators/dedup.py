@@ -169,6 +169,52 @@ def ngram_jaccard(
     )
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, the fraction of
+    its distinct k-word shingles that appear anywhere in the benchmark
+    set. Docs above a threshold are eval-set leaks and get dropped from
+    training data.
+
+    Shape: corpus shingles LEFT SEMI JOIN benchmark shingles on the
+    shingle key — linear in corpus + benchmark size, shuffles keyed by
+    shingle (never doc×doc); a small benchmark side broadcasts
+    automatically. Docs with < k words have no shingles → overlap 0."""
+    c_sh = distinct_shingles(corpus, id_col, text_col, k)
+    b_sh = (
+        distinct_shingles(benchmark, id_col, text_col, k)
+        .select("sh")
+        .distinct()
+    )
+    sizes = c_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        c_sh.join(b_sh, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_hit"))
+    )
+    base = corpus.select(id_col).distinct()
+    return (
+        base.join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.coalesce("_n_hit", F.lit(0))
+                / F.col("n_shingles").cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("overlap"),
+        )
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
