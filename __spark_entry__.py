@@ -307,6 +307,26 @@ def user_value_zset_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "member", "score")
 
 
+def user_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (the reference's sessions_management analog): a new
+    session per user when the inter-event gap exceeds 30 minutes; one
+    row per session with index, start/end (epoch_us) and event count
+    (operators/windows.py: sessionize — keyed window, no global sort)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"), "event_id"
+    )
+    out = windows.sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800, tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )
+
+
 def user_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/A5 — per-user first/last event and duration seconds."""
     ev = _t(spark, sf_dir, "events")
@@ -657,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_page3": orders_page3,
         "supplier_zset_top10": supplier_zset_top10,
         "user_value_zset_top10": user_value_zset_top10,
+        "user_gap_sessions": user_gap_sessions,
         "user_session_spans": user_session_spans,
         "customer_name_hashes": customer_name_hashes,
         "customer_name_validation": customer_name_validation,
@@ -848,6 +869,29 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY score DESC, member) AS rank
                 FROM final
             ) WHERE rank <= 10
+        """,
+        "user_gap_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            idx AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS session_idx
+                FROM marked
+            )
+            SELECT user_id, session_idx,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events
+            FROM idx GROUP BY user_id, session_idx
         """,
         "user_session_spans": """
             SELECT user_id,

@@ -27,6 +27,52 @@ def latest_per_key(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization (the reference's sessions_management
+    analog, model.py:196-200 duration + login/logout pairing,
+    generalized): a new session starts when the gap to the previous
+    event of the same key exceeds `gap_seconds`. Output: one row per
+    session with `session_idx` (0-based per key), start/end timestamps
+    and event count.
+
+    This is a genuinely order-dependent computation, so it uses a
+    per-key window (lag + running sum) — partitioned by key, which is
+    exactly the keyed distribution a cluster shuffle provides; there is
+    no global window. For the streaming variant with state + timeouts
+    see cdc/sessionize.py."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds)
+    ).cast("long")
+    with_idx = df.withColumn(
+        "_session_idx",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+    return (
+        with_idx.groupBy(*key_cols, "_session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumnRenamed("_session_idx", "session_idx")
+    )
+
+
 def relevance_score(col: Column, term: str, exact: int = 10, prefix: int = 5, contains: int = 2) -> Column:
     """W1 — reference scoring: exact=10 / prefix=5 / contains=2
     (``user_group_management.py:611-630``)."""
