@@ -568,12 +568,18 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark set (source = 'src0'); docs over threshold are eval-set
     leaks. Shingle-keyed semi-join, linear (operators/dedup.py)."""
     d = _t(spark, sf_dir, "documents")
+    shingles = _shared(
+        spark,
+        ("shingles", sf_dir),
+        lambda: dedup.distinct_shingles(d, "doc_id", "text", k=3),
+    )
     out = dedup.contamination_overlap(
         d.where(F.col("source") != "src0"),
         d.where(F.col("source") == "src0"),
         "doc_id",
         "text",
         k=3,
+        shingles=shingles,
     )
     return out.select(
         "doc_id",

@@ -175,6 +175,7 @@ def contamination_overlap(
     id_col: str,
     text_col: str,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus doc, the fraction of
     its distinct k-word shingles that appear anywhere in the benchmark
@@ -184,13 +185,25 @@ def contamination_overlap(
     Shape: corpus shingles LEFT SEMI JOIN benchmark shingles on the
     shingle key — linear in corpus + benchmark size, shuffles keyed by
     shingle (never doc×doc); a small benchmark side broadcasts
-    automatically. Docs with < k words have no shingles → overlap 0."""
-    c_sh = distinct_shingles(corpus, id_col, text_col, k)
-    b_sh = (
-        distinct_shingles(benchmark, id_col, text_col, k)
-        .select("sh")
-        .distinct()
-    )
+    automatically. Docs with < k words have no shingles → overlap 0.
+
+    Pass `shingles` (a persisted `distinct_shingles` table over the
+    UNION of both sets) to reuse the explode: the corpus/benchmark
+    split then happens by doc-id semi/anti joins against the benchmark
+    id list instead of re-shingling."""
+    if shingles is not None:
+        b_ids = benchmark.select(id_col).distinct()
+        c_sh = shingles.join(b_ids, id_col, "left_anti")
+        b_sh = (
+            shingles.join(b_ids, id_col, "left_semi").select("sh").distinct()
+        )
+    else:
+        c_sh = distinct_shingles(corpus, id_col, text_col, k)
+        b_sh = (
+            distinct_shingles(benchmark, id_col, text_col, k)
+            .select("sh")
+            .distinct()
+        )
     sizes = c_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     hits = (
         c_sh.join(b_sh, "sh", "left_semi")
