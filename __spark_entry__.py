@@ -307,6 +307,38 @@ def user_value_zset_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "member", "score")
 
 
+def purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal operator Spark lacks natively): each
+    purchase event picks up the user's most recent click at-or-before
+    its timestamp (ties among clicks: max event_id). Union + keyed
+    window carry-forward — linear, no inequality-join blowup
+    (operators/asof.py). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from tiger_etl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _epoch_us("ts").alias("ts_us"),
+        "event_type", F.round("value", 6).alias("value"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts_us",
+        value_cols=["event_id", "value"],
+        tiebreak_cols=["event_id"],
+        prefix="click_",
+    )
+    return out.select(
+        "user_id", "event_id", "ts_us", "click_event_id", "click_value"
+    )
+
+
 def user_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (the reference's sessions_management analog): a new
     session per user when the inter-event gap exceeds 30 minutes; one
@@ -684,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_zset_top10": supplier_zset_top10,
         "user_value_zset_top10": user_value_zset_top10,
         "user_gap_sessions": user_gap_sessions,
+        "purchase_asof_last_click": purchase_asof_last_click,
         "user_session_spans": user_session_spans,
         "customer_name_hashes": customer_name_hashes,
         "customer_name_validation": customer_name_validation,
@@ -875,6 +908,27 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY score DESC, member) AS rank
                 FROM final
             ) WHERE rank <= 10
+        """,
+        "purchase_asof_last_click": """
+            WITH p AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'
+            ),
+            craw AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       round(value, 6) AS value
+                FROM events WHERE event_type = 'click'
+            ),
+            c AS (
+                SELECT user_id, ts_us,
+                       max(event_id) AS click_event_id,
+                       max_by(value, event_id) AS click_value
+                FROM craw GROUP BY user_id, ts_us
+            )
+            SELECT p.user_id, p.event_id, p.ts_us,
+                   c.click_event_id, c.click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
         """,
         "user_gap_sessions": """
             WITH marked AS (

@@ -353,3 +353,44 @@ def test_contamination_overlap(spark):
     assert got[1] == (3, round(2 / 3, 6))
     assert got[2] == (3, 0.0)
     assert got[3] == (0, 0.0)
+
+
+def test_asof_join_backward_semantics(spark):
+    from tiger_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10, 100), ("k", 5, 101), ("k", 2, 102), ("j", 7, 103)],
+        "key string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", 3, 1, 30.0),
+            ("k", 5, 2, 50.0),   # equal-ts -> inclusive match for left ts=5
+            ("k", 5, 9, 55.0),   # tie at ts=5 -> max rid (9) wins
+            ("k", 8, 3, 80.0),
+        ],
+        "key string, ts long, rid long, rv double",
+    )
+    got = {
+        r.lid: (r.a_rid, r.a_rv)
+        for r in asof_join(
+            left, right, on=["key"], ts_col="ts", value_cols=["rid", "rv"],
+            tiebreak_cols=["rid"], prefix="a_",
+        ).collect()
+    }
+    assert got[100] == (3, 80.0)     # ts=10 -> latest right at ts=8
+    assert got[101] == (9, 55.0)     # ts=5 inclusive; tie at 5 -> max rid
+    assert got[102] == (None, None)  # ts=2 precedes every right row
+    assert got[103] == (None, None)  # key j has no right rows at all
+
+
+def test_asof_join_no_match_is_null(spark):
+    from tiger_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 2, 1)], "key string, ts long, lid long")
+    right = spark.createDataFrame([("k", 3, 7, 1.0)], "key string, ts long, rid long, rv double")
+    [row] = asof_join(
+        left, right, on=["key"], ts_col="ts", value_cols=["rid"],
+        tiebreak_cols=["rid"],
+    ).collect()
+    assert row.asof_rid is None
