@@ -339,6 +339,37 @@ def purchase_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval/time-window join): per purchase, the number
+    of clicks by the same user within the following 30 minutes
+    (inclusive bounds). Banded equi-join on (user, time-band) + exact
+    post-filter — never an inequality-only join (no
+    BroadcastNestedLoop; pinned in tests/test_plans.py)
+    (operators/rangejoin.py)."""
+    from tiger_etl_spark.operators.rangejoin import time_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", _epoch_us("ts").alias("p_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", _epoch_us("ts").alias("c_ts")
+    )
+    win_us = 1800 * 1_000_000
+    joined = time_range_join(
+        purchases, clicks, ["user_id"], "p_ts", "c_ts", 0, win_us
+    )
+    counts = joined.groupBy("user_id", "event_id", "p_ts").agg(
+        F.count("*").alias("n_clicks_30m")
+    )
+    return purchases.join(counts, ["user_id", "event_id", "p_ts"], "left").select(
+        "user_id",
+        "event_id",
+        F.col("p_ts").alias("ts_us"),
+        F.coalesce("n_clicks_30m", F.lit(0)).alias("n_clicks_30m"),
+    )
+
+
 def user_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (the reference's sessions_management analog): a new
     session per user when the inter-event gap exceeds 30 minutes; one
@@ -717,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_zset_top10": user_value_zset_top10,
         "user_gap_sessions": user_gap_sessions,
         "purchase_asof_last_click": purchase_asof_last_click,
+        "purchase_click_followups": purchase_click_followups,
         "user_session_spans": user_session_spans,
         "customer_name_hashes": customer_name_hashes,
         "customer_name_validation": customer_name_validation,
@@ -929,6 +961,22 @@ def oracle_sql() -> dict[str, str]:
                    c.click_event_id, c.click_value
             FROM p ASOF LEFT JOIN c
               ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+        """,
+        "purchase_click_followups": """
+            WITH p AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, epoch_us(ts) AS cts
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.event_id, p.ts_us,
+                   count(c.cts) AS n_clicks_30m
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id
+             AND c.cts BETWEEN p.ts_us AND p.ts_us + 1800000000
+            GROUP BY p.user_id, p.event_id, p.ts_us
         """,
         "user_gap_sessions": """
             WITH marked AS (

@@ -394,3 +394,34 @@ def test_asof_join_no_match_is_null(spark):
         tiebreak_cols=["rid"],
     ).collect()
     assert row.asof_rid is None
+
+
+def test_time_range_join_matches_bruteforce(spark):
+    import random
+
+    from tiger_etl_spark.operators.rangejoin import time_range_join
+
+    rng = random.Random(5)
+    lrows = [("k%d" % rng.randrange(3), rng.randrange(1000), i) for i in range(40)]
+    rrows = [("k%d" % rng.randrange(3), rng.randrange(1000), 100 + i) for i in range(60)]
+    left = spark.createDataFrame(lrows, "key string, lts long, lid long")
+    right = spark.createDataFrame(rrows, "key string, rts long, rid long")
+    got = {
+        (r.lid, r.rid)
+        for r in time_range_join(
+            left, right, ["key"], "lts", "rts", lower=10, upper=75
+        ).collect()
+    }
+    expected = {
+        (lid, rid)
+        for (lk, lts, lid) in lrows
+        for (rk, rts, rid) in rrows
+        if lk == rk and lts + 10 <= rts <= lts + 75
+    }
+    assert got == expected and expected  # non-trivial match set
+
+    # left join keeps unmatched left rows with null right columns
+    lj = time_range_join(
+        left, right, ["key"], "lts", "rts", lower=10, upper=75, how="left"
+    )
+    assert {r.lid for r in lj.collect()} == {lid for (_, _, lid) in lrows}

@@ -147,6 +147,15 @@ def test_lsh_neardup_band_join_is_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_range_join_is_equi_join(spark):
+    """The banded range join must plan a keyed equi-join (band column),
+    never the BroadcastNestedLoop/cartesian an inequality-only join
+    degenerates to."""
+    plan = plan_of(entrymod.purchase_click_followups(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_neardup_pairs_block_decomposition_invariant(spark):
     """Same exact pair set whatever the block count (incl. the G=1
     degenerate single-group case)."""
