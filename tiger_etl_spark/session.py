@@ -73,6 +73,15 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # JVM (not ICU) case mappings for UTF8_BINARY lower()/upper():
+        # the first ICU-path call pays a one-time ~200 s static init
+        # (CollationAwareUTF8String builds a title-case lookup table by
+        # calling UCharacter.toTitleCase for all 1,114,112 code points,
+        # each allocating a BreakIterator under icu4j 77). JVM simple
+        # case mapping is identical for ASCII (the web-corpus hot path)
+        # and matches the DuckDB parity oracle; users needing ICU
+        # full-Unicode case edge cases can flip it back via extra_conf.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         # Throughput GC with a fixed heap: no concurrent-cycle overhead,
