@@ -1,0 +1,162 @@
+"""Unit tests for sampling/split, vocabulary/TF-IDF search, SimHash
+Hamming pairs, and IVF ANN operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.operators import dedup, sampling, search, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+# ------------------------------------------------------------- hash_split
+def test_hash_split_total_and_determinism(docs):
+    out = sampling.hash_split(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    assert out.count() == docs.count()
+    # assignment is a pure function of the id: repartitioning must not
+    # move any row between splits
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(
+            docs.repartition(7), "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.8 < frac_train < 0.97
+
+
+def test_hash_split_no_shuffle(docs):
+    out = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ----------------------------------------------------- stratified_sample
+def test_stratified_sample_matches_full_rank(docs):
+    """The hash-threshold prefilter must not change the selected set:
+    compare against the unbounded rank over the full stratum."""
+    got = sampling.stratified_sample(docs, "lang", "doc_id", 10)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= 10)
+        .drop("_rk")
+    )
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in want.select("doc_id").collect()
+    )
+    per = got.groupBy("lang").count().collect()
+    full = dict(docs.groupBy("lang").count().collect())
+    for r in per:
+        assert r["count"] == min(10, full[r["lang"]])
+
+
+# ------------------------------------------------------------ top_tokens
+def test_top_tokens_matches_python(docs):
+    got = search.top_tokens(docs, "doc_id", "text", k=5).collect()
+    import collections
+    import re
+
+    occ: collections.Counter = collections.Counter()
+    dfreq: dict[str, set] = {}
+    for row in docs.select("doc_id", "text").collect():
+        toks = [t for t in re.split("[^a-z0-9]+", row["text"].lower()) if t]
+        occ.update(toks)
+        for t in set(toks):
+            dfreq.setdefault(t, set()).add(row["doc_id"])
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["token"], r["occurrences"]) for r in got] == want
+    for r in got:
+        assert r["doc_freq"] == len(dfreq[r["token"]])
+
+
+def test_tfidf_search_prefers_term_heavy_docs(docs):
+    out = search.tfidf_search(docs, "doc_id", "text", ["vector", "merge"], k=5)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # top hit must actually contain a query term
+    top_doc = docs.where(F.col("doc_id") == rows[0]["doc_id"]).collect()[0]
+    assert "vector" in top_doc["text"] or "merge" in top_doc["text"]
+
+
+# --------------------------------------------------------- simhash_pairs
+def test_simhash_pairs_banding_is_exact(spark, docs):
+    """Banded pruning (d < bands) must find exactly the brute-force
+    pair set."""
+    sigs = dedup.simhash(docs, "doc_id", "text", bits=32).persist()
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(sigs, "doc_id", max_hamming=3).collect()
+    }
+    rows = sigs.collect()
+    want = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            x, y = (a, b) if a["doc_id"] < b["doc_id"] else (b, a)
+            h = bin(x["simhash"] ^ y["simhash"]).count("1")
+            if h <= 3:
+                want.add((x["doc_id"], y["doc_id"], h))
+    assert got == want
+    sigs.unpersist()
+
+
+def test_simhash_pairs_rejects_unsound_band_config(spark, docs):
+    sigs = dedup.simhash(docs, "doc_id", "text", bits=32)
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(sigs, "doc_id", max_hamming=4, bands=4)
+
+
+# -------------------------------------------------------------- ivf_topk
+_QUERY = [((i * 37) % 17 - 8) / 8.0 for i in range(64)]
+
+
+def test_ivf_full_probe_equals_exact(embeddings):
+    """Probing every cell degenerates to exact brute-force top-k."""
+    exact = similarity.cosine_topk(embeddings, "vec_id", "embedding", _QUERY, 10)
+    ivf = similarity.ivf_topk(
+        embeddings, "vec_id", "embedding", _QUERY, 10, n_cells=16, nprobe=16
+    )
+    assert [r["vec_id"] for r in ivf.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+
+
+def test_ivf_partial_probe_recall(embeddings):
+    """nprobe=4/16 must still recover most of the exact top-10 (the
+    cells are random, not learned, so demand a loose bound) and scan
+    only a fraction of the corpus."""
+    exact = {r["vec_id"] for r in similarity.cosine_topk(
+        embeddings, "vec_id", "embedding", _QUERY, 10).collect()}
+    cells = similarity.build_ivf_cells(embeddings, "embedding", 16, 64).persist()
+    got = {r["vec_id"] for r in similarity.ivf_topk(
+        embeddings, "vec_id", "embedding", _QUERY, 10,
+        n_cells=16, nprobe=8, cell_df=cells).collect()}
+    # random (unlearned) centroids: probing 8/16 cells recovers well
+    # over the ~50% base rate because neighbors correlate with the
+    # query's cells; learned k-means centroids would tighten this
+    assert len(got & exact) >= 4
+    probe = similarity.ivf_probe_cells(_QUERY, 16, 8)
+    n_scanned = cells.where(F.col("_cell").isin(probe)).count()
+    assert n_scanned < embeddings.count()
+    cells.unpersist()

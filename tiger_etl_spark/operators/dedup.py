@@ -311,3 +311,65 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(bits)
     )
     return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ `max_hamming`,
+    found with a banded self-join instead of all-pairs comparison.
+
+    The fingerprint is cut into `bands` contiguous bit-slices; two
+    fingerprints within `max_hamming` < `bands` bit flips must agree on
+    at least one slice (pigeonhole), so joining on (band_id, slice
+    value) finds EVERY qualifying pair — the band join is a pruning
+    step, not an approximation, and the Hamming filter afterwards makes
+    the result exact. Shuffle is keyed by slice value: fan-out is
+    bucket sizes (corpus-linear for non-degenerate fingerprints),
+    never n². This is the Manku/Jain/Sarma web-dedup layout expressed
+    as one DataFrame self-join.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded pruning is exact only for max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("int")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,108 @@
+"""Deterministic sampling / dataset-splitting operators.
+
+Training-data pipelines need reproducible row selection: train/val/test
+splits that stay stable across reruns and cluster sizes, and per-stratum
+quota samples (e.g. N docs per language) for balanced eval sets. The
+reference has no sampling surface (its pagination slices,
+`/root/reference/system/system/database_functions/user_management/user_management.py:544-547`,
+are the closest analog); these operators provide the content-addressed
+equivalent at corpus scale.
+
+Determinism contract: selection depends only on row ids (md5-derived
+buckets), never on partitioning, task order, or RNG state — the same
+row lands in the same split on 1 core or 1000 executors, and the
+DuckDB oracle reproduces the exact assignment from the same md5.
+
+Scale notes: `hash_split` is a pure per-row projection (no shuffle).
+`stratified_sample` bounds its per-stratum sort: a hash-threshold
+prefilter keeps ~oversample×n rows per stratum before the window rank,
+so the sort input is O(n) per stratum instead of the stratum size —
+the standard sample-then-rank trick for top-n-per-group at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 3 hex chars of md5 → uniform bucket in [0, 4096)
+_BUCKET_SPACE = 4096
+
+
+def hash_bucket(id_col: Column, space: int = _BUCKET_SPACE) -> Column:
+    """Deterministic uniform bucket from an id: first 3 hex chars of
+    md5(id as string). Engine-portable (DuckDB reproduces it with
+    strpos-nibble arithmetic on the same md5 hex)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 3), 16, 10)
+        .cast("int")
+        % space
+    )
+
+
+def split_assign(
+    id_col: Column, weights: dict[str, float], space: int = _BUCKET_SPACE
+) -> Column:
+    """Split label from cumulative weight thresholds over the hash
+    bucket. `weights` maps label → fraction (must sum to ≤ 1; remainder
+    falls into the last label)."""
+    bucket = hash_bucket(id_col, space)
+    expr = None
+    cum = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        cum += w
+        cond = bucket < int(round(cum * space))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = labels[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame, id_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Attach a `split` column (train/val/test style) — a pure
+    projection, no shuffle, stable under replay and repartitioning."""
+    return df.withColumn("split", split_assign(F.col(id_col), weights))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Deterministic quota sample: the `n_per_stratum` rows with the
+    smallest (md5(id), id) order within each stratum.
+
+    Two phases: (1) per-stratum counts (tiny agg, broadcast back) set a
+    hash-bucket cutoff keeping ~oversample×n rows, so (2) the window
+    rank sorts only the survivors — per-task memory is O(n·oversample)
+    per stratum regardless of stratum size. Selection is by hash order,
+    so it is uniform over the stratum and identical on any cluster.
+    """
+    bucket = hash_bucket(F.col(id_col))
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_n"))
+    cutoff = F.when(
+        F.col("_n") <= F.lit(int(n_per_stratum * oversample)),
+        F.lit(_BUCKET_SPACE),
+    ).otherwise(
+        F.ceil(
+            F.lit(float(_BUCKET_SPACE * oversample * n_per_stratum))
+            / F.col("_n")
+        ).cast("int")
+    )
+    pre = (
+        df.join(F.broadcast(counts.select(strata_col, cutoff.alias("_cut"))), strata_col)
+        .where(bucket < F.col("_cut"))
+        .drop("_cut")
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

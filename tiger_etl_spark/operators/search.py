@@ -1,0 +1,83 @@
+"""Corpus-frequency analysis and TF-IDF relevance search.
+
+The reference's search surface is substring scoring + top-N
+(`/root/reference/system/system/database_functions/user_group_management/user_group_management.py:611-630`,
+relevance weights exact=10/prefix=5/contains=2 — re-expressed as
+`operators/windows.relevance_topn`). These operators add the
+corpus-statistics layer a web-scale text pipeline needs on top:
+vocabulary heavy hitters (stopword mining, tokenizer vocab seeding) and
+TF-IDF-weighted document retrieval.
+
+Scale shape: everything is explode → hash-aggregate → broadcast-join.
+Token counts combine map-side (associative), document frequencies are
+one distinct-pair aggregation, and the per-term IDF table is tiny (the
+query's terms only) so it broadcasts; no sort touches the full corpus —
+top-k is TakeOrderedAndProject (per-partition heaps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) rows: lowercase, split on non-alphanumeric runs,
+    drop empties. One token per occurrence (not distinct) so downstream
+    term frequencies are occurrence counts."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)).alias("token"),
+    ).where(F.col("token") != "")
+
+
+def top_tokens(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20
+) -> DataFrame:
+    """Corpus heavy hitters: top-k tokens by total occurrence count
+    (ties by token). groupBy(token) combines partially map-side; the
+    top-k never materializes a global sort."""
+    return (
+        tokens(df, id_col, text_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("occurrences"), F.countDistinct(id_col).alias("doc_freq"))
+        .orderBy(F.desc("occurrences"), F.col("token"))
+        .limit(k)
+    )
+
+
+def tfidf_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query, scored by
+    sum over query terms of tf(term, doc) × ln(N / df(term)).
+
+    tf is the raw occurrence count; df is the number of documents
+    containing the term; N is the corpus size. The token table is
+    filtered to the query's terms *before* any aggregation, so the
+    shuffled volume is proportional to query-term occurrences, not the
+    corpus vocabulary; the per-term IDF table (≤ len(terms) rows) is
+    broadcast into the scoring join. Scores are rounded to 6 decimals
+    for cross-engine hash stability.
+    """
+    tok = tokens(df, id_col, text_col).where(F.col("token").isin(list(terms)))
+    n_docs = df.count()
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    idf = (
+        tok.groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .select("token", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf"))
+    )
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

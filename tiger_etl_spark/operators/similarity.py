@@ -316,6 +316,87 @@ def probe_signatures(
     return probe_sigs
 
 
+def _centroid_component(cell: int, dim: int) -> float:
+    """Deterministic pseudo-random IVF centroid component in [-1, 1)
+    (distinct md5 namespace from the LSH planes)."""
+    h = hashlib.md5(f"ivf{cell}:{dim}".encode()).hexdigest()
+    return int(h[:12], 16) / float(16**12) * 2.0 - 1.0
+
+
+def ivf_centroids(n_cells: int, n_dims: int) -> list[list[float]]:
+    """Unit-norm deterministic centroids. Real IVF learns these with
+    k-means over a sample; the coarse-quantizer *plumbing* (assign →
+    probe → re-rank) is identical, so deterministic centroids keep the
+    operator oracle-checkable while the learned variant only swaps this
+    function."""
+    cents = [
+        [_centroid_component(c, d) for d in range(n_dims)]
+        for c in range(n_cells)
+    ]
+    out = []
+    for c in cents:
+        nrm = math.sqrt(sum(x * x for x in c))
+        out.append([x / nrm for x in c])
+    return out
+
+
+def ivf_cell_col(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """1-based id of the nearest centroid by cosine. Centroids are
+    unit-norm, so argmax of the raw dot equals argmax of cosine — the
+    row vector never needs normalizing for assignment. First-max wins
+    on ties (deterministic)."""
+    dots = F.array(*[_dot(vec_col, c) for c in centroids])
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def build_ivf_cells(
+    df: DataFrame, vec_col: str, n_cells: int, dim: int
+) -> DataFrame:
+    """Attach the persisted coarse-quantizer column `_cell`. At scale
+    this is computed once at ingest and the table is partitioned by it,
+    so a probe reads only nprobe/n_cells of the data (partition
+    pruning), never a full scan."""
+    return df.withColumn(
+        "_cell", ivf_cell_col(F.col(vec_col), ivf_centroids(n_cells, dim))
+    )
+
+
+def ivf_probe_cells(
+    query: list[float], n_cells: int, nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest the query (1-based), ties by id."""
+    cents = ivf_centroids(n_cells, len(query))
+    scored = sorted(
+        (
+            (-sum(v * c for v, c in zip(query, cent)), i + 1)
+            for i, cent in enumerate(cents)
+        ),
+    )
+    return [i for _, i in scored[:nprobe]]
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    cell_df: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize rows to their nearest centroid
+    cell, probe only the `nprobe` cells nearest the query, exact-rerank
+    the survivors by cosine. Pass `cell_df` (from `build_ivf_cells`,
+    persisted/partitioned) so the probe is a cell-id IN-filter with no
+    vector arithmetic on the scan side."""
+    probe = ivf_probe_cells(query, n_cells, nprobe)
+    if cell_df is None:
+        cell_df = build_ivf_cells(df, vec_col, n_cells, len(query))
+    cands = cell_df.where(F.col("_cell").isin(probe))
+    return cosine_topk(cands, id_col, vec_col, query, k)
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
