@@ -21,7 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tiger_etl_spark.functions import scalar  # noqa: E402
 from tiger_etl_spark.functions.text import token_count  # noqa: E402
-from tiger_etl_spark.operators import crud, dedup, similarity, windows  # noqa: E402
+from tiger_etl_spark.operators import (  # noqa: E402
+    crud,
+    dedup,
+    sampling,
+    search,
+    similarity,
+    windows,
+)
 
 
 def _epoch_us(col) -> F.Column:
@@ -717,6 +724,106 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset splitting — deterministic hash-based train/val/test
+    assignment (90/5/5 on md5 buckets), summarized per (split, lang).
+    Pure projection + hash agg, no shuffle beyond the rollup; the same
+    row lands in the same split on any cluster size
+    (operators/sampling.py)."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.hash_split(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+def doc_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling — 20 docs per language by deterministic
+    md5-hash order; the hash-threshold prefilter bounds the per-stratum
+    sort to ~oversample×n rows (operators/sampling.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "lang", "doc_id", 20).select(
+        "doc_id", "lang"
+    )
+
+
+def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters — top-20 tokens by occurrence count with
+    document frequency (stopword mining / vocab seeding;
+    operators/search.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return search.top_tokens(d, "doc_id", "text", k=20)
+
+
+def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance search — top-10 docs for a bag-of-terms query,
+    tf × ln(N/df) scoring; term filter before aggregation, IDF table
+    broadcast (operators/search.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return search.tfidf_search(
+        d, "doc_id", "text", terms=["vector", "merge", "stream"], k=10
+    )
+
+
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup (SimHash Hamming pairs) — all pairs within Hamming ≤ 3 on
+    the 32-bit fingerprint, found by the exact banded self-join
+    (pigeonhole over 4 × 8-bit slices); the O(n²) DuckDB oracle checks
+    the pruning loses nothing (operators/dedup.py)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash(d, "doc_id", "text", bits=32)
+    out = dedup.simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32, bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF coarse-quantizer assignment (`_cell`) — computed
+    once per corpus; every probe prunes on it."""
+    return _shared(
+        spark,
+        ("ivf", sf_dir),
+        lambda: similarity.build_ivf_cells(
+            _t(spark, sf_dir, "embeddings"), "embedding", n_cells=16, dim=64
+        ),
+    )
+
+
+def embedding_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (IVF variant) — coarse-quantize to 16
+    deterministic centroids, probe the 4 cells nearest the query, exact
+    cosine re-rank. Deterministic centroids keep the DuckDB oracle
+    exact; a learned k-means quantizer swaps only the centroid source
+    (operators/similarity.py)."""
+    out = similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        _QUERY_VEC,
+        10,
+        n_cells=16,
+        nprobe=4,
+        cell_df=_ivf_cells(spark, sf_dir),
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (6-hour windows per
+    event_type) — the batch twin of the watermarked streaming window
+    operator (cdc/windowed.py; the streaming variant shares the same
+    F.window expression and is exercised in tests/test_timetravel.py)."""
+    from tiger_etl_spark.cdc.windowed import windowed_counts_batch
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    out = windowed_counts_batch(ev, "ts", "event_type", "6 hours")
+    return out.select(
+        _epoch_us(F.col("window_start")).alias("window_start_us"),
+        _epoch_us(F.col("window_end")).alias("window_end_us"),
+        "event_type",
+        "n_events",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -747,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_zset_top10": supplier_zset_top10,
         "user_value_zset_top10": user_value_zset_top10,
         "user_gap_sessions": user_gap_sessions,
+        "event_window_counts": event_window_counts,
         "purchase_asof_last_click": purchase_asof_last_click,
         "purchase_click_followups": purchase_click_followups,
         "user_session_spans": user_session_spans,
@@ -763,9 +871,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_detect": doc_lang_detect,
         "doc_pii_scan": doc_pii_scan,
         "doc_repetition_metrics": doc_repetition_metrics,
+        "doc_split_counts": doc_split_counts,
+        "doc_lang_sample": doc_lang_sample,
+        "doc_top_tokens": doc_top_tokens,
+        "doc_tfidf_search": doc_tfidf_search,
         "doc_simhash": doc_simhash,
+        "doc_simhash_pairs": doc_simhash_pairs,
         "embedding_cosine_top10": embedding_cosine_top10,
         "embedding_ann_top10": embedding_ann_top10,
+        "embedding_ivf_top10": embedding_ivf_top10,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
         "doc_duplicate_clusters": doc_duplicate_clusters,
@@ -1050,6 +1164,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scan": _PII_SQL,
         "doc_repetition_metrics": _REPETITION_SQL,
         "doc_simhash": _SIMHASH_SQL,
+        "doc_simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "event_window_counts": """
+            SELECT (epoch(ts)::BIGINT // 21600 * 21600) * 1000000 AS window_start_us,
+                   ((epoch(ts)::BIGINT // 21600 + 1) * 21600) * 1000000 AS window_end_us,
+                   event_type, count(*) AS n_events
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
+        "doc_split_counts": _SPLIT_SQL,
+        "doc_lang_sample": _LANG_SAMPLE_SQL,
+        "doc_top_tokens": _TOP_TOKENS_SQL,
+        "doc_tfidf_search": _TFIDF_SQL,
+        "embedding_ivf_top10": _IVF_SQL,
         "embedding_ann_top10": _ANN_SQL,
         "embedding_neardup_pairs_lsh": _NEARDUP_LSH_SQL,
         "media_feature_stats": _MEDIA_SQL,
@@ -1588,3 +1715,122 @@ SELECT doc_id,
        md5(mh6 || '|' || mh7) AS band3
 FROM sig
 """
+
+# deterministic hash split — mirrors operators.sampling.hash_split
+# (md5 first-3-hex-chars bucket in [0,4096); 90/5/5 thresholds 3686/3891)
+_SPLIT_SQL = """
+WITH b AS (
+    SELECT lang,
+           (strpos('0123456789abcdef', md5(cast(doc_id AS VARCHAR))[1:1]) - 1) * 256
+         + (strpos('0123456789abcdef', md5(cast(doc_id AS VARCHAR))[2:2]) - 1) * 16
+         + (strpos('0123456789abcdef', md5(cast(doc_id AS VARCHAR))[3:3]) - 1) AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 3686 THEN 'train'
+            WHEN bucket < 3891 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+# stratified sample — mirrors operators.sampling.stratified_sample
+# (20 per lang by (md5(id), id) order; the engine's hash prefilter only
+# bounds the sort, it never changes the selected set)
+_LANG_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+) WHERE rn <= 20
+"""
+
+# vocabulary heavy hitters — mirrors operators.search.top_tokens
+_TOP_TOKENS_SQL = """
+WITH tok AS (
+    SELECT doc_id, t.token
+    FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(token)
+    WHERE t.token <> ''
+)
+SELECT token, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+FROM tok GROUP BY token
+ORDER BY occurrences DESC, token
+LIMIT 20
+"""
+
+# TF-IDF search — mirrors operators.search.tfidf_search
+_TFIDF_SQL = """
+WITH tok AS (
+    SELECT doc_id, t.token
+    FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(token)
+    WHERE t.token IN ('vector', 'merge', 'stream')
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+idf AS (
+    SELECT token,
+           ln((SELECT count(*) FROM documents)::DOUBLE
+              / count(DISTINCT doc_id)) AS idf
+    FROM tok GROUP BY token
+)
+SELECT doc_id, round(sum(tf * idf), 6) AS score
+FROM tf JOIN idf USING (token)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+# SimHash Hamming pairs — full O(n^2) oracle over the same fingerprints;
+# checks the engine's banded pruning (pigeonhole-exact for d < bands)
+# loses no pair
+_SIMHASH_PAIRS_SQL = f"""
+WITH sims AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT))::BIGINT AS hamming
+FROM sims a, sims b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+"""
+
+
+def _build_ivf_sql() -> str:
+    """IVF ANN oracle: embed the deterministic unit centroids and probe
+    cell ids as literals; assignment = 1-based argmax of the per-cell
+    dot (first max wins, same as array_position), then exact cosine
+    re-rank of the probed cells."""
+    from tiger_etl_spark.operators.similarity import ivf_centroids, ivf_probe_cells
+
+    cents = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]"
+        for c in ivf_centroids(16, 64)
+    ) + "]"
+    probe = ", ".join(str(i) for i in ivf_probe_cells(_QUERY_VEC, 16, 4))
+    qvec = "[" + ", ".join(str(x) for x in _QUERY_VEC) + "]"
+    return f"""
+WITH dots AS (
+    SELECT vec_id, embedding,
+           list_transform({cents},
+               c -> list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * c[i]))) AS ds
+    FROM embeddings
+),
+assigned AS (
+    SELECT vec_id, embedding, list_position(ds, list_max(ds)) AS cell
+    FROM dots
+),
+scored AS (
+    SELECT vec_id,
+           list_sum(list_transform(range(1, len(embedding) + 1),
+               i -> embedding[i]::DOUBLE * coalesce(qv[i], 0.0)))
+           / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS c
+    FROM assigned, (SELECT {qvec}::DOUBLE[] AS qv)
+    WHERE cell IN ({probe})
+)
+SELECT vec_id, round(c, 6) AS cosine FROM scored
+ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+_IVF_SQL = _build_ivf_sql()

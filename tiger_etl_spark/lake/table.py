@@ -270,16 +270,31 @@ class LakeTable:
         )
 
     # --------------------------------------------------------------- scan
+    def at_version(self, version: int) -> "LakeTable":
+        """Time travel: a read-only handle pinned to snapshot `version`
+        (its own manifest — file list, schema, merge policy — so reads
+        resolve exactly as that snapshot did). Raises FileNotFoundError
+        if the version was expired by `expire_snapshots`."""
+        with open(os.path.join(self.path, "meta", f"v{version}.json")) as f:
+            return LakeTable(self.path, json.load(f))
+
     def scan(
         self,
         spark: SparkSession,
         include_internal: bool = False,
         include_tombstones: bool = False,
+        version: int | None = None,
     ) -> DataFrame:
-        """Read the current snapshot. Buckets whose files are all 'base'
-        (compacted: unique keys) stream straight through; buckets with
-        delta files get LWW-resolved. Tombstones are filtered at the end.
+        """Read the current snapshot (or a historical one via
+        `version` — Iceberg time-travel analog). Buckets whose files are
+        all 'base' (compacted: unique keys) stream straight through;
+        buckets with delta files get LWW-resolved. Tombstones are
+        filtered at the end.
         """
+        if version is not None and version != self.manifest["version"]:
+            return self.at_version(version).scan(
+                spark, include_internal, include_tombstones
+            )
         files = self.manifest["files"]
         dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
         clean = [f for f in files if f["bucket"] not in dirty_buckets]
@@ -292,6 +307,62 @@ class LakeTable:
         if not include_internal:
             df = df.drop(*INTERNAL_COLS)
         return df
+
+    def changes_between(
+        self, spark: SparkSession, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Change data feed (Iceberg/Delta CDF analog): the net per-key
+        changes between two snapshots, as rows tagged `_change_op` ∈
+        {I, U, D} — what a downstream incremental consumer applies to
+        stay in sync without rescanning the table.
+
+        Semantics are net-effect (state diff), not event history: a key
+        inserted and deleted between the snapshots emits nothing; N
+        updates collapse to one U carrying the final row. Computed as a
+        full-outer join of the two resolved snapshots on the merge key —
+        both sides are bucket-partitioned on that key, so the join
+        shuffles each side once by its existing layout.
+        """
+        a = self.scan(
+            spark, include_internal=True, include_tombstones=True, version=v_from
+        )
+        b = self.scan(
+            spark, include_internal=True, include_tombstones=True, version=v_to
+        )
+        k = self.key_col
+        ocols = self.manifest["order_cols"] + [_SEQ_COL]
+        af = a.select(
+            F.col(k), F.struct(*[c for c in a.columns if c != k]).alias("_a")
+        )
+        bf = b.select(
+            F.col(k), F.struct(*[c for c in b.columns if c != k]).alias("_b")
+        )
+        j = af.join(bf, k, "full_outer")
+        a_ord = F.struct(*[F.col(f"_a.{c}") for c in ocols])
+        b_ord = F.struct(*[F.col(f"_b.{c}") for c in ocols])
+        # an absent key reads as "deleted since forever"
+        a_del = F.when(F.col("_a").isNull(), F.lit(True)).otherwise(
+            F.col(f"_a.{_DELETED_COL}")
+        )
+        b_del = F.when(F.col("_b").isNull(), F.lit(True)).otherwise(
+            F.col(f"_b.{_DELETED_COL}")
+        )
+        newer = F.col("_b").isNotNull() & (
+            F.col("_a").isNull() | (b_ord > a_ord)
+        )
+        op = (
+            F.when(~a_del & b_del & newer, "D")
+            .when(a_del & ~b_del & newer, "I")
+            .when(~a_del & ~b_del & newer, "U")
+        )
+        payload = [
+            F.col(f"_b.{c}").alias(c)
+            for c in b.columns
+            if c != k and c not in INTERNAL_COLS
+        ]
+        return j.where(op.isNotNull()).select(
+            op.alias("_change_op"), F.col(k), *payload
+        )
 
     # -------------------------------------------------------------- merge
     def merge(
