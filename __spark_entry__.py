@@ -824,6 +824,45 @@ def event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel (C4/Gopher-style): cumulative survivor
+    counts through min-length → min-words → mean-word-length →
+    symbol-ratio → stopword-presence gates — the shape of a real
+    pretraining curation pipeline, as ONE single-pass aggregation
+    (conditional sums, no per-stage scans) unpivoted via stack()."""
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(w)
+    )
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", ""))
+    n_stop = F.size(
+        F.filter(w, lambda t: t.isin("the", "a", "of", "to", "and"))
+    )
+    s1 = n_chars >= 100
+    s2 = s1 & (n_words >= 25)
+    s3 = s2 & (mean_wl >= 3) & (mean_wl <= 10)
+    s4 = s3 & ((punct / n_chars) < 0.1)
+    s5 = s4 & (n_stop > 0)
+    agg = d.agg(
+        F.count("*").alias("n0"),
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+        F.sum(s4.cast("long")).alias("n4"),
+        F.sum(s5.cast("long")).alias("n5"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, 'all', n0, 'min_chars', n1, 'min_words', n2, "
+            "'word_len', n3, 'symbol_ratio', n4, 'stopwords', n5) "
+            "AS (stage, n_pass)"
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -871,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_detect": doc_lang_detect,
         "doc_pii_scan": doc_pii_scan,
         "doc_repetition_metrics": doc_repetition_metrics,
+        "doc_filter_funnel": doc_filter_funnel,
         "doc_split_counts": doc_split_counts,
         "doc_lang_sample": doc_lang_sample,
         "doc_top_tokens": doc_top_tokens,
@@ -1173,6 +1213,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "doc_split_counts": _SPLIT_SQL,
+        "doc_filter_funnel": """
+            WITH m AS (
+                SELECT length(text) AS nc,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS nw,
+                       length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS ns
+                FROM documents
+            ),
+            s AS (
+                SELECT nc >= 100 AS s1,
+                       nc >= 100 AND nw >= 25 AS s2,
+                       nc >= 100 AND nw >= 25
+                         AND (nc - (nw - 1)) / CAST(nw AS DOUBLE) BETWEEN 3 AND 10 AS s3,
+                       nc >= 100 AND nw >= 25
+                         AND (nc - (nw - 1)) / CAST(nw AS DOUBLE) BETWEEN 3 AND 10
+                         AND np / CAST(nc AS DOUBLE) < 0.1 AS s4,
+                       nc >= 100 AND nw >= 25
+                         AND (nc - (nw - 1)) / CAST(nw AS DOUBLE) BETWEEN 3 AND 10
+                         AND np / CAST(nc AS DOUBLE) < 0.1 AND ns > 0 AS s5
+                FROM m
+            ),
+            agg AS (
+                SELECT count(*) AS n0,
+                       count(*) FILTER (WHERE s1) AS n1,
+                       count(*) FILTER (WHERE s2) AS n2,
+                       count(*) FILTER (WHERE s3) AS n3,
+                       count(*) FILTER (WHERE s4) AS n4,
+                       count(*) FILTER (WHERE s5) AS n5
+                FROM s
+            )
+            SELECT t.stage, t.n_pass FROM agg,
+            LATERAL (VALUES ('all', n0), ('min_chars', n1), ('min_words', n2),
+                            ('word_len', n3), ('symbol_ratio', n4),
+                            ('stopwords', n5)) AS t(stage, n_pass)
+        """,
         "doc_lang_sample": _LANG_SAMPLE_SQL,
         "doc_top_tokens": _TOP_TOKENS_SQL,
         "doc_tfidf_search": _TFIDF_SQL,

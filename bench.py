@@ -149,6 +149,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def host_memcpy_mb_s(n_mb: int = 200) -> float:
+    """Quick host-health probe: large-block memory write bandwidth.
+    This sandbox VM exhibits multi-minute hypervisor interference
+    episodes where memory/tmpfs writes degrade 20-100× (measured
+    2026-08-17: a 100 MB tmpfs write took 62 s mid-episode vs ~0.1 s
+    clean); the CDC hot path is memory-bandwidth-bound, so recording
+    the probe beside each result lets a reader separate engine
+    regressions from host episodes."""
+    buf = bytearray(n_mb * 1_000_000)
+    t0 = time.time()
+    buf[:] = b"\1" * len(buf)
+    dt = time.time() - t0
+    return round(n_mb / dt, 1)
+
+
 def main() -> None:
     # bench opts into tmpfs scratch (measured 1.6x on this sandbox's
     # virtio disk); the library default leaves spark.local.dir alone
@@ -175,6 +190,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "cpus": cpus,
+        "host_memcpy_mb_s_pre": host_memcpy_mb_s(),
     }
     if mode in ("cdc", "all"):
         # two independent streams; report the better (the sandbox VM has
@@ -189,6 +205,7 @@ def main() -> None:
     if mode in ("queries", "all"):
         result["queries"] = bench_queries(spark, sf_dir)
         result.setdefault("value", round(sum(result["queries"].values()), 3))
+    result["host_memcpy_mb_s_post"] = host_memcpy_mb_s()
     print(json.dumps(result))
     spark.stop()
 

@@ -265,10 +265,18 @@ def test_duplicate_clusters_match_union_find(spark):
     expected = {x: find(x) for x in members}
 
     df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+    # small-graph regime (driver union-find — the default here)
     got = {
         r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(df).collect()
     }
     assert got == expected
+    # force the distributed min-label-propagation regime on the same
+    # graph — must agree exactly
+    got_dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(df, small_graph_threshold=0).collect()
+    }
+    assert got_dist == expected
 
 
 def test_pii_scan_and_redaction(spark):

@@ -141,6 +141,36 @@ def _write_event_file(path: str, rows) -> None:
     pq.write_table(tbl, path)
 
 
+def test_dedup_stream_suppresses_redelivery(spark, tmp_path):
+    """A key re-delivered in a later micro-batch within the watermark
+    horizon must be emitted exactly once."""
+    from tiger_etl_spark.cdc.windowed import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    _write_event_file(os.path.join(src, "f0.parquet"), [(0, "a"), (10, "b")])
+    # re-delivery of 'a' (same key) + a fresh key
+    _write_event_file(os.path.join(src, "f1.parquet"), [(20, "a"), (30, "c")])
+    stream = (
+        spark.readStream.schema("ts timestamp, key string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = dedup_stream(stream, ["key"], "ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT key, count(*) AS n FROM dedup_out GROUP BY key").collect()
+    assert {r["key"]: r["n"] for r in rows} == {"a": 1, "b": 1, "c": 1}
+
+
 def test_windowed_stream_drops_late_rows(spark, tmp_path):
     """File-ordered micro-batches: a row arriving after the watermark
     passed its window must be dropped from the aggregation; an on-time

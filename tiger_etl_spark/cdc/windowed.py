@@ -53,6 +53,28 @@ def windowed_counts_batch(
     return _windowed(df, ts_col, key_col, duration, slide)
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit the first occurrence of each key,
+    suppress re-deliveries arriving within the watermark horizon
+    (`dropDuplicatesWithinWatermark`) — the at-source companion to the
+    sink-side idempotent MERGE (a WAL tail that re-delivers a segment
+    inside the horizon is absorbed here without a lake commit).
+
+    State is bounded by the watermark: a key's dedup record is dropped
+    once event time passes it, so duplicates separated by more than the
+    horizon re-emit — exactly-once END-TO-END still rests on the LWW
+    merge guard (lake/table.py), which is idempotent at any distance.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_counts_stream(
     stream_df: DataFrame,
     ts_col: str,

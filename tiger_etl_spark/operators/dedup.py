@@ -233,21 +233,60 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over verified duplicate pairs → one row per
     member doc with its cluster id (the min doc id in the component) —
     the grouping step that turns pairwise near-dup matches into
     keep-one-per-cluster decisions.
 
-    Iterative min-label propagation: each round every node adopts the
-    minimum label among itself and its neighbors (two keyed shuffles per
-    round), converging in graph-diameter rounds — near-dup components
-    are overwhelmingly pairs/triples, so 2–4 rounds in practice; the
-    driver only checks a scalar changed-count per round. For adversarial
-    long-chain graphs at extreme scale, swap the propagation body for
-    the large-star/small-star rounds (Kiveris et al., "Connected
-    Components in MapReduce") — same join primitives, O(log n) rounds.
+    Two regimes, chosen by edge count (one cheap scalar job):
+
+    - ≤ `small_graph_threshold` edges: union-find on the driver. The
+      VERIFIED near-dup edge list is tiny relative to the corpus (LSH
+      banding + Jaccard/cosine verification has already pruned it), so
+      collecting bare (long, long) edge pairs is bounded driver work —
+      ~16 MB at the default threshold — while skipping the per-round
+      fixed job latency that dominates the iterative path on small
+      graphs.
+    - above it: iterative min-label propagation — each round every node
+      adopts the minimum label among itself and its neighbors (two
+      keyed shuffles per round), converging in graph-diameter rounds;
+      near-dup components are overwhelmingly pairs/triples, so 2–4
+      rounds in practice; the driver only checks a scalar changed-count
+      per round. For adversarial long-chain graphs at extreme scale,
+      swap the propagation body for the large-star/small-star rounds
+      (Kiveris et al., "Connected Components in MapReduce") — same join
+      primitives, O(log n) rounds.
     """
+    spark = pairs.sparkSession
+    edges_slim = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    if edges_slim.count() <= small_graph_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        nodes: set[int] = set()
+        for r in edges_slim.collect():
+            a, b = r["src"], r["dst"]
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the root IS the min id of the component
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return spark.createDataFrame(
+            sorted((n, find(n)) for n in nodes), "doc_id long, cluster_id long"
+        )
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))

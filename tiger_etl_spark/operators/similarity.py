@@ -350,22 +350,30 @@ def ivf_cell_col(vec_col: Column, centroids: list[list[float]]) -> Column:
 
 
 def build_ivf_cells(
-    df: DataFrame, vec_col: str, n_cells: int, dim: int
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    dim: int,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Attach the persisted coarse-quantizer column `_cell`. At scale
     this is computed once at ingest and the table is partitioned by it,
     so a probe reads only nprobe/n_cells of the data (partition
-    pruning), never a full scan."""
-    return df.withColumn(
-        "_cell", ivf_cell_col(F.col(vec_col), ivf_centroids(n_cells, dim))
-    )
+    pruning), never a full scan. Pass `centroids` (e.g. from
+    `clustering.kmeans_fit`) to use a learned quantizer instead of the
+    deterministic default."""
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    return df.withColumn("_cell", ivf_cell_col(F.col(vec_col), cents))
 
 
 def ivf_probe_cells(
-    query: list[float], n_cells: int, nprobe: int
+    query: list[float],
+    n_cells: int,
+    nprobe: int,
+    centroids: list[list[float]] | None = None,
 ) -> list[int]:
     """The nprobe centroid ids nearest the query (1-based), ties by id."""
-    cents = ivf_centroids(n_cells, len(query))
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, len(query))
     scored = sorted(
         (
             (-sum(v * c for v, c in zip(query, cent)), i + 1)
@@ -384,15 +392,18 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     cell_df: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize rows to their nearest centroid
     cell, probe only the `nprobe` cells nearest the query, exact-rerank
     the survivors by cosine. Pass `cell_df` (from `build_ivf_cells`,
     persisted/partitioned) so the probe is a cell-id IN-filter with no
-    vector arithmetic on the scan side."""
-    probe = ivf_probe_cells(query, n_cells, nprobe)
+    vector arithmetic on the scan side; pass `centroids` (e.g. from
+    `clustering.kmeans_fit`) for a learned quantizer — `cell_df` must
+    then have been built with the same centroids."""
+    probe = ivf_probe_cells(query, n_cells, nprobe, centroids)
     if cell_df is None:
-        cell_df = build_ivf_cells(df, vec_col, n_cells, len(query))
+        cell_df = build_ivf_cells(df, vec_col, n_cells, len(query), centroids)
     cands = cell_df.where(F.col("_cell").isin(probe))
     return cosine_topk(cands, id_col, vec_col, query, k)
 
