@@ -198,3 +198,47 @@ def test_whole_stage_codegen_in_hot_queries(spark):
             assert "Found 0 WholeStageCodegen" not in codegen and "*(1)" in codegen, q
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_tfidf_broadcasts_idf_and_filters_before_agg(spark):
+    plan = plan_of(entrymod.doc_tfidf_search(spark, SF_DIR))
+    # the tiny per-term IDF table broadcasts into the scoring join
+    assert "BroadcastHashJoin" in plan
+    # top-k is a heap, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_simhash_pairs_join_is_keyed(spark):
+    plan = plan_of(entrymod.doc_simhash_pairs(spark, SF_DIR))
+    # band self-join must be a keyed join (equality on band slice) —
+    # never a nested-loop over all pairs
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_prunes_on_cell_filter(spark):
+    from tiger_etl_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cells = similarity.build_ivf_cells(e, "embedding", 16, 64)
+    probe = similarity.ivf_probe_cells(entrymod._QUERY_VEC, 16, 4)
+    pruned = cells.where(F.col("_cell").isin(probe))
+    plan = plan_of(
+        similarity.cosine_topk(pruned, "vec_id", "embedding", entrymod._QUERY_VEC, 10)
+    )
+    # candidate filter applies before the re-rank; top-k is a heap
+    assert "Filter" in plan and "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_prefilter_before_window(spark):
+    from tiger_etl_spark.operators.sampling import stratified_sample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(stratified_sample(d, "lang", "doc_id", 10))
+    # the hash-bucket cutoff filter must sit below the window sort (the
+    # window's per-stratum sort input is bounded by it): the plan has a
+    # Filter containing the bucket conv() under the Window node
+    assert "Window" in plan
+    assert "conv" in plan  # bucket expression present somewhere
+    # and the per-stratum counts join broadcasts
+    assert "BroadcastHashJoin" in plan
