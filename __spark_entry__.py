@@ -681,6 +681,27 @@ def doc_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(verified)
 
 
+def doc_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup decision: LSH candidates → Jaccard verify →
+    connected components → one keeper (min id) per cluster; every other
+    member is dropped, unique docs kept. This is the row-level output a
+    corpus dedup pipeline actually applies (filter keep = true)."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = doc_duplicate_clusters(spark, sf_dir)
+    return (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding-cosine near-dup): EXACT pairs with cosine ≥ 0.4,
     computed as a distributed triangle block join (no driver collect, no
@@ -753,6 +774,13 @@ def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/search.py)."""
     d = _t(spark, sf_dir, "documents")
     return search.top_tokens(d, "doc_id", "text", k=20)
+
+
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram heavy hitters — top-20 word bigrams by occurrence
+    (collocation/vocab mining; operators/search.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return search.top_ngrams(d, "doc_id", "text", n=2, k=20)
 
 
 def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": doc_split_counts,
         "doc_lang_sample": doc_lang_sample,
         "doc_top_tokens": doc_top_tokens,
+        "doc_top_bigrams": doc_top_bigrams,
         "doc_tfidf_search": doc_tfidf_search,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -923,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
         "doc_duplicate_clusters": doc_duplicate_clusters,
+        "doc_dedup_keep_list": doc_dedup_keep_list,
         "doc_contamination": doc_contamination,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
@@ -1252,6 +1282,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_lang_sample": _LANG_SAMPLE_SQL,
         "doc_top_tokens": _TOP_TOKENS_SQL,
+        "doc_top_bigrams": """
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT array_to_string(w[i:i+1], ' ') AS ngram
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+            )
+            SELECT ngram, count(*) AS occurrences FROM grams
+            GROUP BY ngram ORDER BY occurrences DESC, ngram LIMIT 20
+        """,
         "doc_tfidf_search": _TFIDF_SQL,
         "embedding_ivf_top10": _IVF_SQL,
         "embedding_ann_top10": _ANN_SQL,
@@ -1259,6 +1302,12 @@ def oracle_sql() -> dict[str, str]:
         "media_feature_stats": _MEDIA_SQL,
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "doc_duplicate_clusters": _CLUSTERS_SQL,
+        "doc_dedup_keep_list": f"""
+            WITH members AS ({_CLUSTERS_SQL})
+            SELECT d.doc_id, m.cluster_id,
+                   (m.cluster_id IS NULL OR m.cluster_id = d.doc_id) AS keep
+            FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id
+        """,
         "doc_contamination": _CONTAMINATION_SQL,
         "doc_ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "embedding_neardup_pairs": f"""

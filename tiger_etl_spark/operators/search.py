@@ -48,6 +48,32 @@ def top_tokens(
     )
 
 
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus n-gram heavy hitters: top-k word n-grams by occurrence
+    count (ties by ngram) — LM vocabulary / collocation mining. Same
+    explode → map-side-combined hash agg → TakeOrdered shape as
+    `top_tokens`; n-grams are built per-row with JVM higher-order
+    functions (sequence + slice), no shuffle before the aggregate."""
+    toks = F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
+    toks = F.filter(toks, lambda t: t != "")
+    cnt = F.size(toks) - (n - 1)
+    grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.col("ngram"))
+        .limit(k)
+    )
+
+
 def tfidf_search(
     df: DataFrame,
     id_col: str,
