@@ -193,11 +193,27 @@ def main() -> None:
         "host_memcpy_mb_s_pre": host_memcpy_mb_s(),
     }
     if mode in ("cdc", "all"):
-        # two independent streams; report the better (the sandbox VM has
-        # one-sided multi-second interference episodes — see
-        # BENCH/BASELINE.md — and a single attempt can land inside one)
-        attempts = int(os.environ.get("SPARK_GRAFT_CDC_ATTEMPTS", "2"))
-        runs = [bench_cdc(spark, sf, cpus) for _ in range(attempts)]
+        # several independent stream-apply attempts over ONE pre-generated
+        # change stream; report the better (the sandbox VM has multi-minute
+        # interference episodes — see BENCH/BASELINE.md — and a single
+        # attempt can land inside one). Generating the stream once outside
+        # the attempts keeps each attempt cheap, so attempts can be many.
+        attempts = int(os.environ.get("SPARK_GRAFT_CDC_ATTEMPTS", "3"))
+        gen_dir = None
+        if not os.environ.get("SPARK_GRAFT_CHANGES_DIR"):
+            n = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "0")) or max(
+                50_000, int(64_000_000 * sf)
+            )
+            gen_dir = tempfile.mkdtemp(prefix="bench_stream_")
+            ev = gen_change_events(seed=42, n=n, n_hosts=max(100, n // 2000))
+            write_change_files(ev, gen_dir, n_files=256)
+            os.environ["SPARK_GRAFT_CHANGES_DIR"] = gen_dir
+        try:
+            runs = [bench_cdc(spark, sf, cpus) for _ in range(attempts)]
+        finally:
+            if gen_dir:
+                os.environ.pop("SPARK_GRAFT_CHANGES_DIR", None)
+                shutil.rmtree(gen_dir, ignore_errors=True)
         best = min(runs, key=lambda r: r["cdc_sec"])
         result.update(best)
         result["cdc_attempt_secs"] = [r["cdc_sec"] for r in runs]
