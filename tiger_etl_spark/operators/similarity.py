@@ -1,12 +1,8 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Baseline: brute-force cosine top-k — one scan, JVM-side arithmetic,
-TakeOrderedAndProject (per-partition heaps). Fixed-dim dot products are
-unrolled into flat arithmetic chains rather than
-`aggregate`/`zip_with` folds: higher-order functions evaluate
-interpreted per element, while the unrolled form runs inside
-whole-stage codegen at identical (bit-for-bit) float semantics — same
-left-to-right association. Scale path: random-hyperplane LSH — per-row signature, bucket
+Baseline: brute-force cosine top-k — one scan, JVM-side
+`aggregate`/`zip_with` arithmetic, TakeOrderedAndProject (per-partition
+heaps). Scale path: random-hyperplane LSH — per-row signature, bucket
 equi-join; candidates per query ∝ bucket size, never the corpus. An IVF
 variant would swap the plane signs for learned centroid ids; the
 plumbing (signature → bucket join → exact re-rank) is identical.
@@ -26,25 +22,15 @@ from pyspark.sql import functions as F
 
 
 def _dot(vec_col: Column, query: list[float]) -> Column:
-    # Unrolled fixed-length sum instead of aggregate(zip_with(...)):
-    # higher-order functions are interpreted per element (CodegenFallback),
-    # while a flat arithmetic chain stays inside whole-stage codegen.
-    # Association order matches the fold exactly — ((0.0 + t0) + t1) + …
-    # — so results are bit-identical to the previous implementation and
-    # to the DuckDB oracle mirrors.
-    acc = F.lit(0.0)
-    for i, x in enumerate(query):
-        acc = acc + vec_col.getItem(i).cast("double") * F.lit(float(x))
-    return acc
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
-def _norm(vec_col: Column, dim: int | None = None) -> Column:
-    if dim is not None:
-        acc = F.lit(0.0)
-        for i in range(dim):
-            e = vec_col.getItem(i).cast("double")
-            acc = acc + e * e
-        return F.sqrt(acc)
+def _norm(vec_col: Column) -> Column:
     return F.sqrt(
         F.aggregate(
             vec_col,
@@ -54,20 +40,9 @@ def _norm(vec_col: Column, dim: int | None = None) -> Column:
     )
 
 
-def _dot_pair(vec_a: Column, vec_b: Column, dim: int) -> Column:
-    """Unrolled dot of two fixed-dim array columns (codegen-able; same
-    left-to-right association as the aggregate/zip_with fold)."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + vec_a.getItem(i).cast("double") * vec_b.getItem(i).cast(
-            "double"
-        )
-    return acc
-
-
 def cosine_similarity(vec_col: Column, query: list[float]) -> Column:
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
-    return _dot(vec_col, query) / (_norm(vec_col, dim=len(query)) * F.lit(qn))
+    return _dot(vec_col, query) / (_norm(vec_col) * F.lit(qn))
 
 
 def cosine_topk(
@@ -236,17 +211,12 @@ def neardup_pairs_lsh(
     # them per candidate pair would triple the verify work); signatures
     # are sign bits, unaffected by positive scaling
     base = (
-        src.withColumn("_nrm", _norm(F.col(vec_col), dim=dim))
+        src.withColumn("_nrm", _norm(F.col(vec_col)))
         .where(F.col("_nrm") > 0)
         .select(
             id_col,
-            # unrolled (codegen-able) element-wise divide; same values as
-            # transform(x -> x / nrm)
-            F.array(
-                *[
-                    F.col(vec_col).getItem(i).cast("double") / F.col("_nrm")
-                    for i in range(dim)
-                ]
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
             ).alias(vec_col),
         )
     )
@@ -263,8 +233,14 @@ def neardup_pairs_lsh(
         F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    # vectors are unit-norm → cosine is a single unrolled dot product
-    dot = _dot_pair(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
+    # vectors are unit-norm → cosine is a single dot-product fold
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(
             b,
