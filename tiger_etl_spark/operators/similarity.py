@@ -193,21 +193,23 @@ def neardup_pairs_lsh(
     (p barely above 0.5) — wider bands then trade recall for pruning,
     and exact `neardup_pairs` is usually the better tool.
 
-    Plan shape: normalized vectors ride the band join (shuffle volume =
+    Plan shape: normalized vectors ride the band shuffle (volume =
     n_bands × vector column — linear; for very wide vectors project to
-    ids and re-join instead), the cosine is ONE dot-product fold inline
-    in the join, the threshold filters BEFORE the pair dedup so only
-    true near-dups reach the final exchange. Band signatures are the one
-    deliberate Python step: n_bands×rows_per_band plane dots per row is
-    a dense (N×dim)@(dim×planes) block product, which an Arrow-batched
-    pandas UDF does in one BLAS matmul — measured ~5× faster than the
-    equivalent per-plane `aggregate` folds, whose higher-order lambdas
-    evaluate interpreted per element (and unrolling them into flat
-    expressions overflows both py4j plan construction and Janino's
-    64 KB method limit). Sign bits at |dot| ≲ 1e-13 could in principle
-    differ from a sequential-sum engine, but candidate verification is
-    the exact JVM fold either way. No broadcast of random state (planes
-    derive from md5)."""
+    ids and re-join instead); each (band_id, band_hash) bucket is scored
+    by one BLAS mat @ mat.T triangle inside `applyInPandas` (the same
+    block-scorer shape as `neardup_pairs`), the threshold filters inside
+    the scorer so only true near-dups reach the final pair-dedup
+    exchange. The dense arithmetic deliberately lives in two
+    Arrow-batched numpy steps — plane signatures as one
+    (N×dim)@(dim×planes) product and per-bucket verification as one
+    matmul — because the equivalent per-element `aggregate` folds
+    evaluate interpreted (measured 2× slower end-to-end even with
+    bucket-collision candidate counts, far worse at lower selectivity),
+    and unrolling them into flat JVM expressions overflows both py4j
+    plan construction and Janino's 64 KB method limit. Values at a
+    rounding/sign boundary within ~1e-13 could in principle differ from
+    a sequential-sum engine; the DuckDB-oracle parity check covers
+    this. No broadcast of random state (planes derive from md5)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -251,28 +253,30 @@ def neardup_pairs_lsh(
         vec_col,
         F.posexplode(band_sigs(F.col(vec_col))).alias("band_id", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    # vectors are unit-norm → cosine is a single dot-product fold
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), lambda x, y: x * y
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # Per-bucket BLAS verify instead of a band self-join + per-pair fold
+    # dot: at low thresholds collisions far outnumber survivors, and an
+    # interpreted 'dim'-element fold per collision dominated the query.
+    # Grouping by (band_id, band_hash) shuffles each row once per band
+    # and scores the whole bucket with one mat @ mat.T — same triangle
+    # scorer shape as `neardup_pairs`. Work per bucket is O(|bucket|²·
+    # dim) BLAS; at production scale cap bucket size (sub-block skewed
+    # hashes) — random sign-bit hashes keep buckets even here.
+    thr = float(threshold)
+
+    def bucket_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        sims = mat @ mat.T  # unit-norm rows → cosines
+        li, ri = np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[li], "id_b": ids[ri], "cosine": sims[li, ri]}
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            dot.alias("cosine"),
-        )
-        .where(F.col("cosine") >= F.lit(float(threshold)))
+        banded.groupBy("band_id", "band_hash")
+        .applyInPandas(bucket_score, schema="id_a long, id_b long, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
 
