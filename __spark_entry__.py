@@ -726,6 +726,28 @@ def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def embedding_neardup_pairs_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same banding/threshold as `embedding_neardup_pairs_lsh`, with the
+    production skew guard engaged (bucket_cap=4, far below the real
+    ~thousands default so the sf0.01 corpus actually trips it): hot
+    (band_id, band_hash) buckets are split into ⌈size/cap⌉ hash
+    sub-blocks scored as triangle block-pair groups. The cap must not
+    change the answer, so the oracle is the SAME SQL as the uncapped
+    query — this is the parity gate for the sub-block path."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = similarity.neardup_pairs_lsh(
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        dim=64,
+        n_bands=8,
+        rows_per_band=8,
+        bucket_cap=4,
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing — opaque binary media column → fixed-length
     feature vector via Arrow-batched mapInPandas (deterministic fake
@@ -956,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": doc_contamination,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
+        "embedding_neardup_pairs_lsh_capped": embedding_neardup_pairs_lsh_capped,
         "media_feature_stats": media_feature_stats,
     }
 
@@ -1299,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_top10": _IVF_SQL,
         "embedding_ann_top10": _ANN_SQL,
         "embedding_neardup_pairs_lsh": _NEARDUP_LSH_SQL,
+        "embedding_neardup_pairs_lsh_capped": _NEARDUP_LSH_SQL,
         "media_feature_stats": _MEDIA_SQL,
         "doc_rolling_fingerprint": _ROLLING_FP_SQL,
         "doc_duplicate_clusters": _CLUSTERS_SQL,

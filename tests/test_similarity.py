@@ -109,3 +109,37 @@ def test_zero_norm_vectors_are_ignored(spark):
         df, "vec_id", "embedding", 0.5, dim=2, n_bands=4, rows_per_band=2
     ).collect()
     assert {(r.id_a, r.id_b) for r in got2} <= {(1, 3)}
+
+
+def test_lsh_bucket_cap_splits_hot_buckets_without_changing_pairs(spark):
+    """Skew guard: a planted duplicate mass (40 copies of one page's
+    embedding — every copy lands in ONE bucket per band) plus random
+    background. With bucket_cap far below the mass, hot buckets split
+    into triangle sub-blocks; the pair set and cosines must be
+    IDENTICAL to the uncapped run, including every intra-mass pair
+    (which now spans sub-block groups)."""
+    rng = random.Random(99)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(DIM)]) for i in range(60)]
+    mass = [rng.gauss(0, 1) for _ in range(DIM)]
+    rows += [(100 + i, list(mass)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.9, dim=DIM, n_bands=8, rows_per_band=4)
+    plain = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.neardup_pairs_lsh(
+            df, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.neardup_pairs_lsh(
+            df, "vec_id", "embedding", bucket_cap=8, **kw
+        ).collect()
+    }
+    assert set(capped) == set(plain)
+    for k in plain:
+        assert abs(capped[k] - plain[k]) < 1e-9
+    # the duplicate mass itself must be fully present: 40×39/2 pairs
+    mass_pairs = {k for k in capped if k[0] >= 100 and k[1] >= 100}
+    assert len(mass_pairs) == 40 * 39 // 2

@@ -174,6 +174,7 @@ def neardup_pairs_lsh(
     dim: int,
     n_bands: int = 16,
     rows_per_band: int = 8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs — the 100 TB path: banded
     random-hyperplane LSH prunes candidates, exact cosine verifies.
@@ -209,7 +210,25 @@ def neardup_pairs_lsh(
     plan construction and Janino's 64 KB method limit. Values at a
     rounding/sign boundary within ~1e-13 could in principle differ from
     a sequential-sum engine; the DuckDB-oracle parity check covers
-    this. No broadcast of random state (planes derive from md5)."""
+    this. No broadcast of random state (planes derive from md5).
+
+    `bucket_cap` is the skew guard for production corpora: a mass of
+    exact duplicates (one popular page crawled a million times) lands
+    the whole mass in ONE (band_id, band_hash) bucket in every band —
+    a single task holding an m×m score matrix. With a cap set, bucket
+    sizes are counted first (a narrow map-side-combined agg — the
+    vector column never rides that shuffle), only the buckets OVER the
+    cap (≤ total_rows/cap of them, small by construction) are
+    broadcast back, and each hot bucket is split into G = ⌈size/cap⌉
+    hash sub-blocks scored as the same triangle block-pair groups
+    `neardup_pairs` uses — per-task memory is capped at ~(2·cap)×dim
+    and hot buckets spread across G·(G+1)/2 tasks instead of one.
+    Non-hot buckets (G = 1) take the identical single-group path, and
+    the output is identical with or without a cap. The price is one
+    extra evaluation of the signature stage for the count pass;
+    persist the input upstream if that matters. Default None keeps the
+    single-pass plan — random sign-bit hashes keep buckets even unless
+    the corpus carries duplicate mass."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -268,17 +287,85 @@ def neardup_pairs_lsh(
 
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        if "_gi" in pdf.columns and int(pdf["_gi"].iloc[0]) != int(
+            pdf["_gj"].iloc[0]
+        ):
+            # cross sub-block group of a capped hot bucket: score the
+            # gi-rows × gj-rows rectangle only
+            gi, gj = int(pdf["_gi"].iloc[0]), int(pdf["_gj"].iloc[0])
+            g = pdf["_g"].to_numpy()
+            lm, rm = g == gi, g == gj
+            if not lm.any() or not rm.any():
+                return pd.DataFrame(
+                    {"id_a": [], "id_b": [], "cosine": []}
+                ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+            sims = mat[lm] @ mat[rm].T
+            lid, rid = ids[lm], ids[rm]
+            li, ri = np.nonzero(sims >= thr)
+            a, b = lid[li], rid[ri]
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(a, b),
+                    "id_b": np.maximum(a, b),
+                    "cosine": sims[li, ri],
+                }
+            )
         sims = mat @ mat.T  # unit-norm rows → cosines
         li, ri = np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame(
             {"id_a": ids[li], "id_b": ids[ri], "cosine": sims[li, ri]}
         )
 
-    return (
-        banded.groupBy("band_id", "band_hash")
-        .applyInPandas(bucket_score, schema="id_a long, id_b long, cosine double")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    if bucket_cap is not None:
+        cap = int(bucket_cap)
+        hot = (
+            banded.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_bn"))
+            .where(F.col("_bn") > cap)
+        )
+        blocked = (
+            banded.join(F.broadcast(hot), ["band_id", "band_hash"], "left")
+            .withColumn(
+                "_nblk",
+                F.coalesce(
+                    F.ceil(F.col("_bn") / F.lit(cap)).cast("int"), F.lit(1)
+                ),
+            )
+            .withColumn(
+                "_g",
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_nblk")).cast("int"),
+            )
+        )
+        grouped = (
+            blocked.withColumn(
+                "_bp",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("_nblk") - 1),
+                        lambda j: F.struct(
+                            F.least(F.col("_g"), j).alias("gi"),
+                            F.greatest(F.col("_g"), j).alias("gj"),
+                        ),
+                    )
+                ),
+            )
+            .select(
+                "band_id",
+                "band_hash",
+                F.col("_bp.gi").alias("_gi"),
+                F.col("_bp.gj").alias("_gj"),
+                "_g",
+                id_col,
+                vec_col,
+            )
+            .groupBy("band_id", "band_hash", "_gi", "_gj")
+        )
+    else:
+        grouped = banded.groupBy("band_id", "band_hash")
+
+    return grouped.applyInPandas(
+        bucket_score, schema="id_a long, id_b long, cosine double"
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def _plane_component(plane: int, dim: int) -> float:
