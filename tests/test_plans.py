@@ -242,3 +242,25 @@ def test_stratified_sample_prefilter_before_window(spark):
     assert "conv" in plan  # bucket expression present somewhere
     # and the per-stratum counts join broadcasts
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_bucket_cap_hot_join_is_broadcast(spark):
+    """The skew-guard's hot-bucket join must broadcast the (small by
+    construction: at most total_rows/cap buckets) over-cap list — never
+    shuffle the vector-carrying band rows a second time for it — and
+    still contain no cartesian/nested-loop join."""
+    from tiger_etl_spark.operators import similarity
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    df = similarity.neardup_pairs_lsh(
+        e, "vec_id", "embedding", 0.9, dim=64, n_bands=4, rows_per_band=4,
+        bucket_cap=8,
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # exactly one shuffle of the banded vector rows: the final
+    # (band, hash, gi, gj) group partitioning; the count pass shuffles
+    # only narrow partial-agg rows
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
