@@ -209,7 +209,30 @@ def main() -> None:
             write_change_files(ev, gen_dir, n_files=256)
             os.environ["SPARK_GRAFT_CHANGES_DIR"] = gen_dir
         try:
-            runs = [bench_cdc(spark, sf, cpus) for _ in range(attempts)]
+            # adaptive extension: interference episodes run multi-minute,
+            # so N back-to-back attempts can ALL land inside one (measured
+            # 2026-08-17: attempt secs [301, 148, 47] — even the best was
+            # ~2.5× the healthy 18.8 s for the same commit). Keep
+            # attempting while (a) the best rate is below an
+            # episode-detection floor, (b) the host probe confirms the
+            # box is still degraded (if it is healthy and the rate is
+            # still low, the engine is genuinely slow — stop and report
+            # it), and (c) a wall-clock budget remains. Every attempt
+            # time is disclosed in cdc_attempt_secs.
+            floor_evs = float(os.environ.get("SPARK_GRAFT_CDC_FLOOR_EVS", "150000"))
+            extend_budget_s = float(os.environ.get("SPARK_GRAFT_CDC_EXTEND_S", "600"))
+            max_attempts = int(os.environ.get("SPARK_GRAFT_CDC_MAX_ATTEMPTS", "8"))
+            runs = []
+            bench_t0 = time.time()
+            for i in range(max_attempts):
+                if i >= attempts:
+                    if max(r["events_per_sec"] for r in runs) >= floor_evs:
+                        break
+                    if time.time() - bench_t0 > extend_budget_s:
+                        break
+                    if host_memcpy_mb_s(50) > 1500:
+                        break
+                runs.append(bench_cdc(spark, sf, cpus))
         finally:
             if gen_dir:
                 os.environ.pop("SPARK_GRAFT_CHANGES_DIR", None)
@@ -219,6 +242,7 @@ def main() -> None:
         result["cdc_attempt_secs"] = [r["cdc_sec"] for r in runs]
         result["value"] = result["cdc_sec"]
     if mode in ("queries", "all"):
+        result["host_memcpy_mb_s_mid"] = host_memcpy_mb_s()
         result["queries"] = bench_queries(spark, sf_dir)
         result.setdefault("value", round(sum(result["queries"].values()), 3))
     result["host_memcpy_mb_s_post"] = host_memcpy_mb_s()
