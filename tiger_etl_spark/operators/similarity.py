@@ -318,8 +318,19 @@ def neardup_pairs_lsh(
 
     if bucket_cap is not None:
         cap = int(bucket_cap)
+        # The count pass only needs band hashes, and sign bits are
+        # invariant to positive scaling — so it runs band_sigs on the
+        # RAW vectors, skipping base's per-row normalization fold (the
+        # expensive part of the signature stage). Zero-norm rows (absent
+        # from `banded`) can only overcount a bucket, which splits it
+        # conservatively — never under-splits.
         hot = (
-            banded.groupBy("band_id", "band_hash")
+            src.select(
+                F.posexplode(band_sigs(F.col(vec_col))).alias(
+                    "band_id", "band_hash"
+                )
+            )
+            .groupBy("band_id", "band_hash")
             .agg(F.count("*").alias("_bn"))
             .where(F.col("_bn") > cap)
         )
