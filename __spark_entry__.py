@@ -790,6 +790,23 @@ def doc_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (C4/RefinedWeb corpus curation): keep at
+    most 10 docs per source, longest-first (n_chars desc, doc_id
+    tiebreak). Salted two-phase per-key top-K — no single task ever
+    holds a whole hot domain (operators/windows.py)."""
+    d = _t(spark, sf_dir, "documents")
+    out = windows.topk_per_key(
+        d.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        k=10,
+        salt_on=F.col("doc_id"),
+        n_salts=4,
+    )
+    return out.select("doc_id", "source", "n_chars", "rank")
+
+
 def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters — top-20 tokens by occurrence count with
     document frequency (stopword mining / vocab seeding;
@@ -963,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_funnel": doc_filter_funnel,
         "doc_split_counts": doc_split_counts,
         "doc_lang_sample": doc_lang_sample,
+        "doc_source_quota": doc_source_quota,
         "doc_top_tokens": doc_top_tokens,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_tfidf_search": doc_tfidf_search,
@@ -1304,6 +1322,16 @@ def oracle_sql() -> dict[str, str]:
                             ('stopwords', n5)) AS t(stage, n_pass)
         """,
         "doc_lang_sample": _LANG_SAMPLE_SQL,
+        "doc_source_quota": """
+            SELECT doc_id, source, n_chars, rank FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rank
+                FROM documents
+            ) WHERE rank <= 10
+        """,
         "doc_top_tokens": _TOP_TOKENS_SQL,
         "doc_top_bigrams": """
             WITH toks AS (

@@ -433,3 +433,30 @@ def test_time_range_join_matches_bruteforce(spark):
         left, right, ["key"], "lts", "rts", lower=10, upper=75, how="left"
     )
     assert {r.lid for r in lj.collect()} == {lid for (_, _, lid) in lrows}
+
+
+def test_topk_per_key_matches_naive_on_hot_key(spark):
+    """The salted two-phase per-key top-K must return exactly the naive
+    per-key top-K — including on a hot key holding 3/4 of all rows —
+    with ranks 1..K in order."""
+    from tiger_etl_spark.operators.windows import topk_per_key
+
+    rows = [("hot", i, (i * 37) % 100) for i in range(150)]
+    rows += [(f"k{j}", 1000 + j * 10 + i, (i * 13) % 50) for j in range(5) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, id long, score long")
+    got = topk_per_key(
+        df,
+        ["key"],
+        [F.col("score").desc(), F.col("id")],
+        k=5,
+        salt_on=F.col("id"),
+        n_salts=4,
+    ).collect()
+    expected = {}
+    for key, i, s in rows:
+        expected.setdefault(key, []).append((-s, i))
+    exp_rows = set()
+    for key, items in expected.items():
+        for rank, (negs, i) in enumerate(sorted(items)[:5], start=1):
+            exp_rows.add((key, i, -negs, rank))
+    assert {(r.key, r.id, r.score, r.rank) for r in got} == exp_rows

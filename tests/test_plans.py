@@ -264,3 +264,24 @@ def test_lsh_bucket_cap_hot_join_is_broadcast(spark):
     # (band, hash, gi, gj) group partitioning; the count pass shuffles
     # only narrow partial-agg rows
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_topk_per_key_first_window_is_salted(spark):
+    """The per-key top-K's first ranking window must partition by
+    (key, salt) — a window partitioned by key alone would put a whole
+    hot domain in one task."""
+    from tiger_etl_spark.operators.windows import topk_per_key
+
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    df = topk_per_key(
+        d.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        k=10,
+        salt_on=F.col("doc_id"),
+        n_salts=4,
+    )
+    plan = plan_of(df)
+    # two Window operators; the first (inner) one is keyed by the salt too
+    assert plan.count("Window") >= 2, plan
+    assert "_salt" in plan, plan

@@ -98,3 +98,48 @@ def relevance_top_n(
     scored = df.withColumn("score", relevance_score(F.col(col), term))
     order = [F.col("score").desc()] + [F.col(c) for c in (tiebreak or [])]
     return scored.where(F.col("score") > 0).orderBy(*order).limit(n)
+
+
+def topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    salt_on: Column | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-key top-K by a total order — the per-domain quota cap of
+    C4/RefinedWeb-style corpus curation (keep at most K pages per
+    domain, best-first), and the grouped generalization of W1's global
+    top-N.
+
+    Skew-robust two-phase plan: a single `row_number` window
+    partitioned only by key would move EVERY row of a hot key (a
+    domain with 10^8 pages) into one task. Instead rows are salted
+    into `n_salts` sub-partitions per key (`salt_on` supplies the
+    entropy, e.g. the document id), ranked locally — each (key, salt)
+    window holds ~1/n_salts of a hot key — and the ≤ n_salts·K
+    survivors per key are re-ranked in a second window over a frame
+    that is at most n_salts·K rows regardless of corpus size. Output
+    carries a 1-based `rank` per key; `order_cols` must be a total
+    order (add an id tiebreak) for deterministic results.
+    """
+    from pyspark.sql import Window
+
+    if salt_on is None:
+        salt_on = F.xxhash64(*[F.col(c) for c in df.columns])
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_on), F.lit(int(n_salts))).cast("int")
+    )
+    w_local = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("_r", F.row_number().over(w_local))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+    )
+    w_key = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_key))
+        .where(F.col("rank") <= k)
+        .drop("_salt")
+    )
