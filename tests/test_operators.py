@@ -460,3 +460,27 @@ def test_topk_per_key_matches_naive_on_hot_key(spark):
         for rank, (negs, i) in enumerate(sorted(items)[:5], start=1):
             exp_rows.add((key, i, -negs, rank))
     assert {(r.key, r.id, r.score, r.rank) for r in got} == exp_rows
+
+
+def test_canonicalize_url(spark):
+    """Crawl dedup-by-url: case, default ports, fragments, tracking
+    params, param order and trailing slashes must all collapse to one
+    canonical key; malformed input falls back to the trimmed original."""
+    cases = {
+        "HTTP://Ex.com/a?utm_x=1&b=2#f": "http://ex.com/a?b=2",
+        "http://ex.com/a?b=2": "http://ex.com/a?b=2",
+        "https://Ex.COM:443/path/": "https://ex.com/path",
+        "http://ex.com:80/": "http://ex.com/",
+        "http://ex.com": "http://ex.com/",
+        "https://ex.com/p?z=1&a=2&utm_source=x&fbclid=9": "https://ex.com/p?a=2&z=1",
+        "not a url": "not a url",
+        "http://ex.com/deep/path/?gclid=1": "http://ex.com/deep/path",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r.url: r.canon
+        for r in df.select(
+            "url", scalar.canonicalize_url(F.col("url")).alias("canon")
+        ).collect()
+    }
+    assert got == cases

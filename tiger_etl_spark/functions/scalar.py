@@ -103,3 +103,49 @@ def coerce_positive_long(col: Column) -> Column:
     NULLs to quarantine — Spark can't raise per-row)."""
     c = col.cast("long")
     return F.when(c > 0, c)
+
+
+# Tracking query params stripped by canonicalize_url (crawl-dedup
+# convention; extend per deployment).
+TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL for dedup-by-url at crawl ingest: lowercase
+    scheme+host, strip a default :80/:443 port, strip the fragment,
+    drop tracking query params (utm_* etc), sort the surviving params,
+    and strip one trailing slash from a non-root path. Two crawls of
+    `HTTP://Ex.com/a?utm_x=1&b=2#f` and `http://ex.com/a?b=2` then
+    share one merge key. All JVM-side (`parse_url` + array functions —
+    whole-stage codegen, no Python); malformed URLs fall back to the
+    trimmed input rather than null so no row loses its key."""
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(path) > 1) & path.endswith("/"),
+            F.substring(path, 1, F.length(path) - 1),
+        ).otherwise(path)
+    )
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (p != "")
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in TRACKING_PARAM_PREFIXES]),
+            lambda t: p.startswith(t),
+        ),
+    )
+    qnorm = F.array_join(F.array_sort(kept), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
+    )
+    return F.when(
+        scheme.isNotNull() & host.isNotNull(), rebuilt
+    ).otherwise(F.trim(url))
