@@ -632,6 +632,44 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment dedup — the CCNet/Dolma "line dedup" pass
+    (operators/dedup.py: segment_dedup): a segment appearing in ≥2
+    distinct docs is boilerplate and dropped; docs are rebuilt from
+    their surviving segments in order. This corpus has no newline
+    structure, so segments are non-overlapping 8-word chunks
+    (word_chunk_segments); real web pages use line_segments. Returns
+    per-doc totals plus md5 of the rebuilt text (NULL when everything
+    was dropped)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.segment_dedup(
+        d,
+        "doc_id",
+        "text",
+        segments=dedup.word_chunk_segments(F.col("text"), 8),
+        joiner=" ",
+    )
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_dup_segments",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup — cluster-then-dedup over embeddings
+    (operators/similarity.py: semantic_dedup_dropped): coarse-assign
+    each vector to its nearest of 16 deterministic centroids, score
+    within-cell pairs exactly (BLAS triangle sub-blocks, per-task memory
+    capped), drop the higher id of every pair with cosine ≥ 0.35.
+    Returns the dropped ids."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_dropped(
+        e, "vec_id", "embedding", threshold=0.35, n_cells=16, dim=64
+    ).orderBy("vec_id")
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination — per corpus doc (sources != 'src0'), the
     fraction of its distinct 3-word shingles appearing anywhere in the
@@ -993,10 +1031,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
         "doc_duplicate_clusters": doc_duplicate_clusters,
         "doc_dedup_keep_list": doc_dedup_keep_list,
+        "doc_segment_dedup": doc_segment_dedup,
         "doc_contamination": doc_contamination,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
         "embedding_neardup_pairs_lsh_capped": embedding_neardup_pairs_lsh_capped,
+        "embedding_semantic_dedup": embedding_semantic_dedup,
         "media_feature_stats": media_feature_stats,
     }
 
@@ -1349,6 +1389,40 @@ def oracle_sql() -> dict[str, str]:
         "doc_tfidf_search": _TFIDF_SQL,
         "embedding_ivf_top10": _IVF_SQL,
         "embedding_ann_top10": _ANN_SQL,
+        "embedding_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "doc_segment_dedup": r"""
+            WITH words AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents WHERE text IS NOT NULL
+            ),
+            idx AS (
+                SELECT doc_id, w,
+                       unnest(range(ceil(len(w) / 8.0)::BIGINT)) AS pos
+                FROM words
+            ),
+            segs AS (
+                SELECT doc_id, pos,
+                       array_to_string(w[(pos*8+1):(pos*8+8)], ' ') AS seg
+                FROM idx
+            ),
+            dup AS (
+                SELECT seg FROM (
+                    SELECT seg, count(DISTINCT doc_id) AS nd
+                    FROM segs GROUP BY seg
+                ) WHERE nd >= 2
+            ),
+            flagged AS (
+                SELECT s.doc_id, s.pos, s.seg, d.seg IS NOT NULL AS isdup
+                FROM segs s LEFT JOIN dup d USING (seg)
+            )
+            SELECT doc_id,
+                   count(*) AS n_segments,
+                   coalesce(sum(CASE WHEN isdup THEN 1 END), 0)::BIGINT
+                       AS n_dup_segments,
+                   md5(string_agg(CASE WHEN NOT isdup THEN seg END,
+                                  ' ' ORDER BY pos)) AS clean_md5
+            FROM flagged GROUP BY doc_id
+        """,
         "embedding_neardup_pairs_lsh": _NEARDUP_LSH_SQL,
         "embedding_neardup_pairs_lsh_capped": _NEARDUP_LSH_SQL,
         "media_feature_stats": _MEDIA_SQL,
@@ -2012,3 +2086,43 @@ ORDER BY c DESC, vec_id LIMIT 10
 
 
 _IVF_SQL = _build_ivf_sql()
+
+
+def _build_semantic_dedup_sql(threshold: float = 0.35) -> str:
+    """SemDeDup oracle: the IVF assignment CTE (same centroid literals
+    and first-max-wins argmax as `_build_ivf_sql`), then a within-cell
+    self-join — any row with a lower-id neighbor at cosine ≥ threshold
+    is dropped. Cosines use the same normalize-once-then-dot double
+    arithmetic as the near-dup oracles."""
+    from tiger_etl_spark.operators.similarity import ivf_centroids
+
+    cents = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]"
+        for c in ivf_centroids(16, 64)
+    ) + "]"
+    return f"""
+WITH dots AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE))) AS n,
+           list_transform({cents},
+               c -> list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * c[i]))) AS ds
+    FROM embeddings
+),
+assigned AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> x::DOUBLE / n) AS nv,
+           list_position(ds, list_max(ds)) AS cell
+    FROM dots WHERE n > 0
+)
+SELECT DISTINCT b.vec_id AS vec_id
+FROM assigned a JOIN assigned b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.nv) + 1),
+          i -> a.nv[i] * b.nv[i])) >= {threshold!r}
+ORDER BY b.vec_id
+"""
+
+
+_SEMANTIC_DEDUP_SQL = _build_semantic_dedup_sql()

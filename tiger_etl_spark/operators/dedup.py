@@ -329,6 +329,109 @@ def duplicate_clusters(
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def line_segments(text: Column, sep: str = "\n") -> Column:
+    """Array of struct(pos, seg): the document's lines (split on `sep`,
+    trailing empties kept — Spark's split(limit=-1) and DuckDB's
+    string_split agree on this)."""
+    parts = F.split(text, sep, -1)
+    return F.transform(
+        parts,
+        lambda s, i: F.struct(i.alias("pos"), s.alias("seg")),
+    )
+
+
+def word_chunk_segments(text: Column, width: int = 8) -> Column:
+    """Array of struct(pos, seg): non-overlapping `width`-word chunks of
+    the whitespace-tokenized text (the MassiveText-style segmentation
+    when a corpus carries no newline structure). Guarded against the
+    downward-stepping `sequence(0, -1)` for empty texts."""
+    w = F.split(F.trim(text), r"\s+")
+    n_chunks = F.ceil(F.size(w) / F.lit(width)).cast("int")
+    return F.when(
+        n_chunks < 1,
+        F.array().cast("array<struct<pos:int,seg:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(" ", F.slice(w, i * width + 1, width)).alias("seg"),
+            ),
+        )
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    segments: Column | None = None,
+    min_docs: int = 2,
+    joiner: str = "\n",
+) -> DataFrame:
+    """Corpus-level segment deduplication — the CCNet/Dolma "line dedup"
+    pass: a segment is *duplicated* when its exact form appears in at
+    least `min_docs` distinct documents; every document is rebuilt
+    keeping only its non-duplicated segments in original order.
+
+    `segments` is an array<struct<pos,seg>> column expression over
+    `text_col` (default `line_segments` = true newline splitting; pass
+    `word_chunk_segments(...)` for corpora without line structure).
+
+    Returns (id_col, n_segments, n_dup_segments, clean_text); clean_text
+    is NULL when every segment was dropped. NULL texts are excluded.
+
+    Scale shape (all linear, no driver collect, nothing broadcast):
+    one explode (narrow), one distinct + count shuffle keyed on the
+    segment (boilerplate segments repeated across millions of pages are
+    single groups of an associative count — no skew pathology), one
+    shuffle join of exploded segments against the over-threshold segment
+    set (1 row per key on the build side; AQE splits skewed probe keys),
+    and one groupBy(doc) rebuild. The duplicated-segment set is a
+    corpus-scale table — it is joined, never collected/broadcast.
+    """
+    seg_expr = segments if segments is not None else line_segments(F.col(text_col))
+    segs = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(seg_expr).alias("s")
+    ).select(id_col, F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+    dup = (
+        segs.select("seg", id_col)
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("seg", F.lit(True).alias("_dup"))
+    )
+    flagged = segs.join(dup, "seg", "left").select(
+        id_col,
+        "pos",
+        "seg",
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("_dup"),
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("_dup"), F.struct(F.col("pos"), F.col("seg")))
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("_dup").cast("long")).alias("n_dup_segments"),
+            kept.alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "n_dup_segments",
+            F.when(
+                F.size("_kept") > 0,
+                F.concat_ws(joiner, F.transform(F.col("_kept"), lambda s: s["seg"])),
+            ).alias("clean_text"),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over word tokens: token hash bits vote ±1 per
     position; sign of the sum forms the fingerprint. md5-derived token

@@ -379,6 +379,156 @@ def neardup_pairs_lsh(
     ).dropDuplicates(["id_a", "id_b"])
 
 
+def _triangle_scorer(id_col: str, vec_col: str, thr: float):
+    """Pandas scorer for triangle block-pair groups: normalizes the
+    group's vectors once, scores the same-block triangle (gi == gj) or
+    the cross-block rectangle (gi != gj) with one BLAS matmul, and emits
+    (id_a < id_b) pairs at cosine >= thr. Shared by the grouped near-dup
+    operators; the group keys beyond (_gi, _gj, _g) are ignored."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        gi, gj = int(pdf["_gi"].iloc[0]), int(pdf["_gj"].iloc[0])
+        if gi == gj:
+            sims = mat @ mat.T
+            li, ri = np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame(
+                {"id_a": ids[li], "id_b": ids[ri], "cosine": sims[li, ri]}
+            )
+        g = pdf["_g"].to_numpy()
+        lm, rm = g == gi, g == gj
+        if not lm.any() or not rm.any():
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        sims = mat[lm] @ mat[rm].T
+        lid, rid = ids[lm], ids[rm]
+        li, ri = np.nonzero(sims >= thr)
+        a, b = lid[li], rid[ri]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": sims[li, ri],
+            }
+        )
+
+    return score
+
+
+def neardup_pairs_grouped(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    group_cols: list[str],
+    block_rows: int = 8192,
+) -> DataFrame:
+    """Exact above-threshold cosine pairs WITHIN each group — the inner
+    step of cluster-then-dedup (SemDeDup). Per group the same triangle
+    block-pair decomposition as `neardup_pairs`: group sizes are counted
+    first (a narrow map-side-combined agg over the group keys — the
+    vector column never rides that shuffle), each group splits into
+    G = ⌈size/block_rows⌉ hash sub-blocks, rows replicate to the G
+    block-pair sub-groups they participate in, and each sub-group is
+    scored with one BLAS matmul inside `applyInPandas`. Per-task memory
+    is capped at ~(2·block_rows)×dim float64 regardless of group-size
+    skew; a hot group spreads across G·(G+1)/2 tasks instead of
+    serializing onto one. Zero-norm vectors carry no cosine and are
+    excluded. Nothing is collected or broadcast."""
+    thr = float(threshold)
+    gcols = list(group_cols)
+    filtered = df.select(*gcols, F.col(id_col), F.col(vec_col)).where(
+        _norm(F.col(vec_col)) > 0
+    )
+    counts = filtered.groupBy(*gcols).agg(F.count("*").alias("_gn"))
+    blocked = (
+        filtered.join(counts, gcols)
+        .withColumn(
+            "_nblk",
+            F.ceil(F.col("_gn") / F.lit(int(block_rows))).cast("int"),
+        )
+        .withColumn(
+            "_g", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nblk")).cast("int")
+        )
+    )
+    exploded = blocked.withColumn(
+        "_bp",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_nblk") - 1),
+                lambda j: F.struct(
+                    F.least(F.col("_g"), j).alias("gi"),
+                    F.greatest(F.col("_g"), j).alias("gj"),
+                ),
+            )
+        ),
+    ).select(
+        *gcols,
+        F.col("_bp.gi").alias("_gi"),
+        F.col("_bp.gj").alias("_gj"),
+        "_g",
+        id_col,
+        vec_col,
+    )
+    return exploded.groupBy(*gcols, "_gi", "_gj").applyInPandas(
+        _triangle_scorer(id_col, vec_col, thr),
+        schema="id_a long, id_b long, cosine double",
+    )
+
+
+def semantic_dedup_dropped(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_cells: int = 16,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+    cell_df: DataFrame | None = None,
+    block_rows: int = 8192,
+) -> DataFrame:
+    """SemDeDup (cluster-then-dedup over embeddings, Abbas et al. 2023):
+    coarse-assign every embedding to its nearest centroid cell, find
+    within-cell near-duplicate pairs (exact cosine ≥ threshold), and
+    drop the higher id of every pair — one distinct id per dropped row.
+
+    Pass `cell_df` (from `build_ivf_cells`, persisted / partitioned by
+    `_cell` at ingest) so the assignment is a stored column, or
+    `centroids` from `clustering.kmeans_fit` for a learned quantizer;
+    the deterministic default keeps the operator oracle-checkable.
+
+    Scale: pair scoring never crosses cells, so total work is
+    Σ|cell|²·dim instead of N²·dim; hot cells sub-block through
+    `neardup_pairs_grouped` (per-task memory capped at ~2·block_rows
+    vectors). The dropped-id set returns as a DataFrame — anti-join it
+    against the corpus (`semantic_dedup`), never collect it."""
+    if cell_df is None:
+        d = dim if dim is not None else len(df.select(vec_col).head()[0])
+        cell_df = build_ivf_cells(df, vec_col, n_cells, d, centroids)
+    pairs = neardup_pairs_grouped(
+        cell_df, id_col, vec_col, threshold, ["_cell"], block_rows
+    )
+    return pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    **kwargs,
+) -> DataFrame:
+    """Corpus rows surviving SemDeDup (see `semantic_dedup_dropped`):
+    keep every row with no lower-id near-duplicate in its cell."""
+    dropped = semantic_dedup_dropped(df, id_col, vec_col, threshold, **kwargs)
+    return df.join(dropped, id_col, "left_anti")
+
+
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1)."""
     h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()
