@@ -210,16 +210,51 @@ def _slice_table(ev: dict, idx: np.ndarray, schema_id: int, batch_file: str) -> 
     return pa.table(cols)
 
 
+def _slice_jsonl(ev: dict, idx: np.ndarray, schema_id: int, batch_file: str) -> str:
+    """JSONL rendering of a change-file slice — the text-WAL analog of
+    `_slice_table`. Binary payloads ride as base64 (`body_b64`/`html_b64`
+    per schema era), timestamps as epoch-microsecond longs."""
+    import base64
+    import json
+
+    lines = []
+    for i in idx:
+        rec: dict = {
+            "op": ev["op"][i],
+            "op_seq": int(ev["op_seq"][i]),
+            "url": ev["url"][i],
+            "warc_ts_us": None if ev["ts_null"][i] else int(ev["warc_ts_us"][i]),
+        }
+        html = ev["html"][i]
+        b64 = base64.b64encode(html).decode("ascii") if html is not None else None
+        clen = None if ev["content_len"][i] < 0 else int(ev["content_len"][i])
+        if schema_id == 1:
+            rec["body_b64"] = b64
+        else:
+            rec["html_b64"] = b64
+            rec["lang"] = ev["lang"][i]
+        rec["content_len"] = clen
+        rec["schema_id"] = schema_id
+        rec["batch_file"] = batch_file
+        lines.append(json.dumps(rec, separators=(",", ":")))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
 def write_change_files(
     ev: dict,
     out_dir: str,
     n_files: int,
     evolution_at: float = 0.5,
+    file_format: str = "parquet",
 ) -> list[str]:
     """Split events into lexicographically-ordered micro-batch files
     (offset order), injecting ~1% duplicates into the *next* file
     (idempotent-replay fixture) and switching to schema v2 at
-    `evolution_at` (FIXTURES.md §2–§3)."""
+    `evolution_at` (FIXTURES.md §2–§3). `file_format`: "parquet"
+    (columnar change files) or "jsonl" (text-WAL tail, one JSON object
+    per line, binary as base64)."""
+    if file_format not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported change-file format: {file_format}")
     os.makedirs(out_dir, exist_ok=True)
     n = len(ev["op_seq"])
     bounds = np.linspace(0, n, n_files + 1, dtype=np.int64)
@@ -235,10 +270,13 @@ def write_change_files(
             # at the evolution boundary
             carry = np.array([], dtype=np.int64)
         file_idx = np.concatenate([carry, idx]) if len(carry) else idx
-        name = f"batch-{f:05d}.parquet"
-        tbl = _slice_table(ev, file_idx, schema_id, name)
+        name = f"batch-{f:05d}.{file_format}"
         path = os.path.join(out_dir, name)
-        pq.write_table(tbl, path)
+        if file_format == "parquet":
+            pq.write_table(_slice_table(ev, file_idx, schema_id, name), path)
+        else:
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(_slice_jsonl(ev, file_idx, schema_id, name))
         paths.append(path)
         # exact duplicate rows re-appear in the next file
         carry = idx[[bool(ev["dup_next_file"][i]) for i in idx]]

@@ -56,11 +56,47 @@ def is_valid(e: dict) -> bool:
     )
 
 
+def _read_jsonl_rows(path: str) -> list[dict]:
+    """JSONL change lines → parquet-reader-shaped row dicts (base64 →
+    bytes, epoch-us → tz-aware datetime) so `normalize_event` is
+    format-agnostic."""
+    import base64
+    import json
+    from datetime import datetime, timedelta, timezone
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            us = rec.pop("warc_ts_us", None)
+            rec["warc_ts"] = (
+                epoch + timedelta(microseconds=us) if us is not None else None
+            )
+            for b64_key, bin_key in (("body_b64", "body"), ("html_b64", "html")):
+                if b64_key in rec:
+                    v = rec.pop(b64_key)
+                    rec[bin_key] = (
+                        base64.b64decode(v) if v is not None else None
+                    )
+            rows.append(rec)
+    return rows
+
+
 def read_change_files(change_dir: str) -> list[dict]:
     events = []
-    for path in sorted(glob.glob(os.path.join(change_dir, "*.parquet"))):
-        tbl = pq.read_table(path)
-        for row in tbl.to_pylist():
+    paths = sorted(
+        glob.glob(os.path.join(change_dir, "*.parquet"))
+        + glob.glob(os.path.join(change_dir, "*.jsonl"))
+    )
+    for path in paths:
+        if path.endswith(".jsonl"):
+            rows = _read_jsonl_rows(path)
+        else:
+            rows = pq.read_table(path).to_pylist()
+        for row in rows:
             events.append(normalize_event(row, row["schema_id"]))
     return events
 

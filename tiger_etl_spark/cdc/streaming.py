@@ -23,7 +23,7 @@ from tiger_etl_spark.cdc.pipeline import (
     LineageRecord,
     apply_changes,
 )
-from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+from tiger_etl_spark.cdc.sources import read_change_stream
 from tiger_etl_spark.lake import LakeTable
 
 
@@ -44,21 +44,18 @@ def run_stream(
     merge_mode: str = "mor",
     compact_every: int = 0,
     available_now: bool = True,
+    file_format: str = "parquet",
 ) -> StreamResult:
     """Process all currently-available change files (availableNow
     trigger: drains the backlog in bounded micro-batches, then stops —
     the batch-oriented CDC tail). Resumable: same checkpoint_dir resumes
-    from recorded offsets."""
+    from recorded offsets. `file_format`: "parquet" or "jsonl"
+    (cdc/sources.py) — identical normalized columns either way."""
     result = StreamResult()
 
-    source = (
-        spark.readStream.schema(EVENTS_READ_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        # lexicographic filename order == offset order (FIXTURES.md §2)
-        .option("latestFirst", "false")
-        .parquet(change_dir)
-        .withWatermark("warc_ts", f"{watermark_hours} hours")
-    )
+    source = read_change_stream(
+        spark, change_dir, file_format, max_files_per_trigger
+    ).withWatermark("warc_ts", f"{watermark_hours} hours")
 
     # one manifest load per stream, not per batch: merge() keeps the
     # in-memory handle at the committed snapshot, so re-parsing the
