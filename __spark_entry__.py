@@ -24,6 +24,7 @@ from tiger_etl_spark.functions.text import token_count  # noqa: E402
 from tiger_etl_spark.operators import (  # noqa: E402
     crud,
     dedup,
+    dedup_ingest,
     sampling,
     search,
     similarity,
@@ -670,6 +671,26 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup at ingest (operators/dedup_ingest.py):
+    docs with doc_id % 5 == 0 arrive as a new crawl slice and are probed
+    against the already-ingested corpus (the other 80%) via the persisted
+    MinHash band index — corpus text is never re-shingled; Jaccard is
+    estimated from stored signatures. Keep-earliest within the batch,
+    corpus matches outrank batch matches."""
+    d = _t(spark, sf_dir, "documents")
+    mh = _minhash_sigs(spark, sf_dir)  # shared persisted signature table
+    corpus = dedup_ingest.signature_rows(
+        d.where(F.col("doc_id") % 5 != 0), "doc_id", "text", minhash=mh
+    )
+    new_sigs = dedup_ingest.signature_rows(
+        d.where(F.col("doc_id") % 5 == 0), "doc_id", "text", minhash=mh
+    )
+    return dedup_ingest.dedup_decisions(
+        new_sigs, corpus, "doc_id", threshold=0.5
+    ).select("doc_id", "is_dup", "matched_id")
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination — per corpus doc (sources != 'src0'), the
     fraction of its distinct 3-word shingles appearing anywhere in the
@@ -1032,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_duplicate_clusters": doc_duplicate_clusters,
         "doc_dedup_keep_list": doc_dedup_keep_list,
         "doc_segment_dedup": doc_segment_dedup,
+        "doc_incremental_dedup": doc_incremental_dedup,
         "doc_contamination": doc_contamination,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
@@ -1309,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "doc_minhash_signatures": _MINHASH_SQL,
+        "doc_incremental_dedup": _INCR_DEDUP_SQL,
         "doc_lsh_bands": _LSH_BANDS_SQL,
         "doc_quality_scores": _QUALITY_SQL,
         "doc_lang_detect": _LANG_DETECT_SQL,
@@ -1665,6 +1688,69 @@ SELECT doc_id,
        min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
        min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
 FROM sh GROUP BY doc_id
+"""
+
+# same signature/banding constants as doc_minhash_signatures /
+# doc_lsh_bands (8 hashes, 4 bands × 2 rows); batch = doc_id % 5 == 0
+_INCR_DEDUP_SQL = r"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+    FROM words, UNNEST(generate_series(1, greatest(len(w) - 2, 0))) AS t(i)
+),
+sig AS (
+    SELECT doc_id,
+           min(md5('0|' || sh)) AS mh0, min(md5('1|' || sh)) AS mh1,
+           min(md5('2|' || sh)) AS mh2, min(md5('3|' || sh)) AS mh3,
+           min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
+           min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
+    FROM sh GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_hash FROM sig
+    UNION ALL
+    SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+    UNION ALL
+    SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+    UNION ALL
+    SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+),
+newb AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+prior AS (
+    SELECT doc_id, band_id, band_hash, 0 AS rnk
+    FROM banded WHERE doc_id % 5 != 0
+    UNION ALL
+    SELECT doc_id, band_id, band_hash, 1 FROM banded WHERE doc_id % 5 = 0
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, p.doc_id AS match_id, p.rnk
+    FROM newb n JOIN prior p USING (band_id, band_hash)
+    WHERE (p.rnk = 0 AND p.doc_id != n.doc_id)
+       OR (p.rnk = 1 AND p.doc_id < n.doc_id)
+),
+est AS (
+    SELECT c.new_id, c.match_id, c.rnk,
+           ((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT +
+            (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT +
+            (a.mh4 = b.mh4)::INT + (a.mh5 = b.mh5)::INT +
+            (a.mh6 = b.mh6)::INT + (a.mh7 = b.mh7)::INT) / 8.0 AS ej
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.new_id
+    JOIN sig b ON b.doc_id = c.match_id
+),
+best AS (
+    SELECT new_id,
+           min(rnk * CAST(1000000000000 AS BIGINT) + match_id) AS bst
+    FROM est WHERE ej >= 0.5 GROUP BY new_id
+)
+SELECT d.doc_id,
+       bst IS NOT NULL AS is_dup,
+       bst % CAST(1000000000000 AS BIGINT) AS matched_id
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN best ON d.doc_id = best.new_id
 """
 
 # --- generated oracles: built from the SAME marker dict / regexes the
