@@ -25,6 +25,7 @@ from tiger_etl_spark.operators import (  # noqa: E402
     crud,
     dedup,
     dedup_ingest,
+    graph,
     sampling,
     search,
     similarity,
@@ -691,6 +692,47 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "is_dup", "matched_id")
 
 
+def graph_khop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-graph traversal (S9, operators/graph.py): nodes are
+    regions/nations/customers/suppliers, edges customer→nation,
+    supplier→nation, nation→region. From each region, reverse-BFS two
+    hops via `k_hop` (frontier⋈edges per hop, all distributed) and
+    count reached nodes per hop — hop 1 = nations, hop 2 = customers +
+    suppliers. The oracle is the equivalent join cascade."""
+    sep = "\x1f"
+
+    def nk(label: str, col) -> F.Column:
+        return F.concat_ws(sep, F.lit(label), F.col(col).cast("string"))
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    edges = (
+        c.select(nk("Customer", "c_custkey").alias("src_key"),
+                 nk("Nation", "c_nationkey").alias("dst_key"))
+        .unionByName(
+            s.select(nk("Supplier", "s_suppkey").alias("src_key"),
+                     nk("Nation", "s_nationkey").alias("dst_key")))
+        .unionByName(
+            n.select(nk("Nation", "n_nationkey").alias("src_key"),
+                     nk("Region", "n_regionkey").alias("dst_key")))
+    )
+    start = r.select(nk("Region", "r_regionkey").alias("node_key"))
+    reached = graph.k_hop(start, edges, hops=2, reverse=True)
+    counts = reached.groupBy("start_key", "hop").agg(
+        F.count("*").alias("n_nodes")
+    )
+    names = r.select(
+        nk("Region", "r_regionkey").alias("start_key"), "r_name"
+    )
+    return (
+        counts.join(names, "start_key")
+        .select("r_name", "hop", F.col("n_nodes").cast("long").alias("n_nodes"))
+        .orderBy("r_name", "hop")
+    )
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination — per corpus doc (sources != 'src0'), the
     fraction of its distinct 3-word shingles appearing anywhere in the
@@ -1054,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep_list": doc_dedup_keep_list,
         "doc_segment_dedup": doc_segment_dedup,
         "doc_incremental_dedup": doc_incremental_dedup,
+        "graph_khop_counts": graph_khop_counts,
         "doc_contamination": doc_contamination,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
@@ -1332,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_signatures": _MINHASH_SQL,
         "doc_incremental_dedup": _INCR_DEDUP_SQL,
+        "graph_khop_counts": _GRAPH_KHOP_SQL,
         "doc_lsh_bands": _LSH_BANDS_SQL,
         "doc_quality_scores": _QUALITY_SQL,
         "doc_lang_detect": _LANG_DETECT_SQL,
@@ -1688,6 +1732,37 @@ SELECT doc_id,
        min(md5('4|' || sh)) AS mh4, min(md5('5|' || sh)) AS mh5,
        min(md5('6|' || sh)) AS mh6, min(md5('7|' || sh)) AS mh7
 FROM sh GROUP BY doc_id
+"""
+
+# 2-hop reverse BFS from each region = join cascade: hop1 nations,
+# hop2 customers + suppliers of those nations (distinct node keys)
+_GRAPH_KHOP_SQL = r"""
+WITH hop1 AS (
+    SELECT r.r_name, 1 AS hop, count(DISTINCT n.n_nationkey) AS n_nodes
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+),
+cn AS (
+    SELECT n_regionkey, count(DISTINCT c_custkey) AS c
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+),
+sn AS (
+    SELECT n_regionkey, count(DISTINCT s_suppkey) AS s
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+),
+hop2 AS (
+    SELECT r.r_name, 2 AS hop,
+           coalesce(cn.c, 0) + coalesce(sn.s, 0) AS n_nodes
+    FROM region r
+    LEFT JOIN cn ON cn.n_regionkey = r.r_regionkey
+    LEFT JOIN sn ON sn.n_regionkey = r.r_regionkey
+    WHERE coalesce(cn.c, 0) + coalesce(sn.s, 0) > 0
+)
+SELECT r_name, hop, CAST(n_nodes AS BIGINT) AS n_nodes
+FROM (SELECT * FROM hop1 UNION ALL SELECT * FROM hop2)
+ORDER BY r_name, hop
 """
 
 # same signature/banding constants as doc_minhash_signatures /

@@ -1,0 +1,261 @@
+"""Property-graph node/relationship store + traversal (SURVEY §2.1 S9).
+
+Reference: ``system/system/database_connections/neo4j_db.py:37-78`` —
+``insert_node(label, properties)`` (Cypher ``CREATE (n:Label $props)``)
+and ``delete_node(label, match_props)`` (``MATCH ... DETACH DELETE n``,
+returning the deleted count). Spark-first re-expression:
+
+- Nodes and relationships are two LakeTables (same MERGE/LWW/tombstone
+  machinery as the CDC corpus — a graph mutation IS a change event).
+- ``DETACH DELETE`` must drop a node *and its incident relationships*
+  together; that is a two-table change, so it runs through
+  ``LakeTransaction`` (lake/txn.py) — both tombstone merges publish in
+  one crash-atomic commit, never a node-less dangling edge.
+- Traversal is what a property graph is for, and on Spark traversal IS
+  equi-joins: ``k_hop`` iterates frontier⋈edges with per-hop
+  ``distinct`` — each hop is one key-partitioned shuffle, linear in
+  frontier×out-degree, never materializing the transitive closure
+  row-by-row on the driver. (GraphFrames does the same under the hood;
+  depending on it would add nothing here.)
+
+Scale shape: node/edge keys are hash-bucketed like every lake key;
+match-by-property filters are map-column predicates pushed into the
+scan; incident-edge lookup for DETACH is two equi-joins (by src, by
+dst) unioned — no OR-join, no broadcast of the victim set required
+(AQE may choose one when the victims are few, which is the common
+case for targeted deletes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.lake import LakeTable
+from tiger_etl_spark.lake.txn import LakeTransaction
+
+# \x1f (unit separator) cannot appear in labels/ids by contract
+_SEP = "\x1f"
+
+NODE_SCHEMA = (
+    "node_key string, warc_ts timestamp, label string, node_id string, "
+    "props map<string,string>"
+)
+EDGE_SCHEMA = (
+    "edge_key string, warc_ts timestamp, src_key string, rel string, "
+    "dst_key string"
+)
+
+
+def _key(label_col, id_col):
+    return F.concat_ws(_SEP, label_col, id_col.cast("string"))
+
+
+def _ts(op_seq: int) -> dt.datetime:
+    # graph mutations carry no event time (Neo4j has none either);
+    # derive a monotone timestamp from the sequence number so the
+    # standard (warc_ts, _op_seq) LWW order applies unchanged
+    return dt.datetime(2000, 1, 1) + dt.timedelta(seconds=op_seq)
+
+
+class PropertyGraph:
+    """Durable property graph: ``nodes(label, node_id, props)`` and
+    ``edges(src_label, src_id, rel, dst_label, dst_id)`` LakeTables."""
+
+    def __init__(self, nodes: LakeTable, edges: LakeTable, txn_dir: str):
+        self.nodes_table = nodes
+        self.edges_table = edges
+        self.txn_dir = txn_dir
+
+    # ------------------------------------------------------------ lifecycle
+    @classmethod
+    def create(cls, path: str, num_buckets: int = 8) -> "PropertyGraph":
+        nodes = LakeTable.create(
+            os.path.join(path, "nodes"),
+            NODE_SCHEMA,
+            key_col="node_key",
+            num_buckets=num_buckets,
+        )
+        edges = LakeTable.create(
+            os.path.join(path, "edges"),
+            EDGE_SCHEMA,
+            key_col="edge_key",
+            num_buckets=num_buckets,
+        )
+        return cls(nodes, edges, os.path.join(path, "_txn"))
+
+    @classmethod
+    def load(cls, path: str) -> "PropertyGraph":
+        return cls(
+            LakeTable.load(os.path.join(path, "nodes")),
+            LakeTable.load(os.path.join(path, "edges")),
+            os.path.join(path, "_txn"),
+        )
+
+    # ------------------------------------------------------------ mutation
+    def insert_nodes(self, spark: SparkSession, df: DataFrame, op_seq: int):
+        """CREATE analog (neo4j_db.py:37-56), set-at-a-time: `df` has
+        (label, node_id, props map<string,string>). Re-inserting an
+        existing key is an upsert (Cypher MERGE semantics — the sane
+        choice for an idempotent change stream)."""
+        batch = df.select(
+            F.lit("I").alias("op"),
+            F.lit(op_seq).cast("long").alias("op_seq"),
+            _key(F.col("label"), F.col("node_id")).alias("node_key"),
+            F.lit(_ts(op_seq)).alias("warc_ts"),
+            "label",
+            "node_id",
+            "props",
+        )
+        return self.nodes_table.merge(spark, batch)
+
+    def add_edges(self, spark: SparkSession, df: DataFrame, op_seq: int):
+        """Relationship CREATE: `df` has (src_label, src_id, rel,
+        dst_label, dst_id). Edge identity = (src, rel, dst)."""
+        src = _key(F.col("src_label"), F.col("src_id"))
+        dst = _key(F.col("dst_label"), F.col("dst_id"))
+        batch = df.select(
+            F.lit("I").alias("op"),
+            F.lit(op_seq).cast("long").alias("op_seq"),
+            F.concat_ws(_SEP, src, F.col("rel"), dst).alias("edge_key"),
+            F.lit(_ts(op_seq)).alias("warc_ts"),
+            src.alias("src_key"),
+            "rel",
+            dst.alias("dst_key"),
+        )
+        return self.edges_table.merge(spark, batch)
+
+    def _match_nodes(self, spark: SparkSession, label: str, match_props: dict):
+        cond = F.col("label") == label
+        for k, v in match_props.items():
+            cond = cond & (F.col("props")[k] == str(v))
+        return self.nodes_table.scan(spark).where(cond)
+
+    def detach_delete_nodes(
+        self, spark: SparkSession, label: str, match_props: dict, op_seq: int
+    ) -> int:
+        """DETACH DELETE analog (neo4j_db.py:58-78): tombstone every
+        node with `label` whose props contain all of `match_props`, AND
+        every incident relationship, in ONE cross-table atomic commit.
+        Returns the number of nodes deleted (the reference's
+        ``deleted_count``)."""
+        victims = self._match_nodes(spark, label, match_props)
+        vkeys = victims.select("node_key").persist()
+        n_victims = vkeys.count()  # also materializes the persist
+        try:
+            if n_victims == 0:
+                return 0
+            e = self.edges_table.scan(spark)
+            incident = (
+                e.join(vkeys.withColumnRenamed("node_key", "src_key"), "src_key")
+                .select(e.columns)
+                .unionByName(
+                    e.join(
+                        vkeys.withColumnRenamed("node_key", "dst_key"), "dst_key"
+                    ).select(e.columns)
+                )
+                .dropDuplicates(["edge_key"])
+            )
+            ts = F.lit(_ts(op_seq))
+            node_batch = victims.join(vkeys, "node_key").select(
+                F.lit("D").alias("op"),
+                F.lit(op_seq).cast("long").alias("op_seq"),
+                "node_key",
+                ts.alias("warc_ts"),
+                "label",
+                "node_id",
+                "props",
+            )
+            edge_batch = incident.select(
+                F.lit("D").alias("op"),
+                F.lit(op_seq).cast("long").alias("op_seq"),
+                "edge_key",
+                ts.alias("warc_ts"),
+                "src_key",
+                "rel",
+                "dst_key",
+            )
+            with LakeTransaction(self.txn_dir) as txn:
+                txn.merge(self.nodes_table, spark, node_batch)
+                txn.merge(self.edges_table, spark, edge_batch)
+            return n_victims
+        finally:
+            vkeys.unpersist()
+
+    # ------------------------------------------------------------ reads
+    def nodes(self, spark: SparkSession) -> DataFrame:
+        return self.nodes_table.scan(spark)
+
+    def edges(self, spark: SparkSession) -> DataFrame:
+        return self.edges_table.scan(spark)
+
+
+# ---------------------------------------------------------------- traversal
+def k_hop(
+    start: DataFrame,
+    edges: DataFrame,
+    hops: int,
+    start_col: str = "node_key",
+    src_col: str = "src_key",
+    dst_col: str = "dst_key",
+    reverse: bool = False,
+) -> DataFrame:
+    """BFS: all (start_key, node_key, hop) tuples where `hop` is the
+    shortest edge distance from the start node, 1 ≤ hop ≤ `hops`.
+    `start` has one column (`start_col`). Each hop is one equi-join of
+    the current frontier against the edge list + a distinct + an
+    anti-join against the visited set (so a node reached at hop 1 never
+    reappears at hop 2 — shortest-distance semantics, not walk counts).
+    `hops` is small and fixed (Cypher's ``[*1..k]``), so the loop
+    unrolls into a linear join chain the optimizer sees whole; each hop
+    costs one key-partitioned shuffle for the expansion and one for the
+    visited anti-join, both linear in frontier×out-degree. Frontiers
+    stay DataFrames end-to-end; nothing touches the driver."""
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    a, b = (dst_col, src_col) if reverse else (src_col, dst_col)
+    frontier = start.select(
+        F.col(start_col).alias("start_key"),
+        F.col(start_col).alias("node_key"),
+    ).distinct()
+    visited = frontier
+    out = None
+    for h in range(1, hops + 1):
+        step = (
+            frontier.join(
+                edges.select(F.col(a).alias("node_key"), F.col(b).alias("_next")),
+                "node_key",
+            )
+            .select("start_key", F.col("_next").alias("node_key"))
+            .distinct()
+            .join(visited, ["start_key", "node_key"], "left_anti")
+        )
+        tagged = step.withColumn("hop", F.lit(h))
+        out = tagged if out is None else out.unionByName(tagged)
+        visited = visited.unionByName(step)
+        frontier = step
+    return out
+
+
+def degrees(
+    edges: DataFrame, src_col: str = "src_key", dst_col: str = "dst_key"
+) -> DataFrame:
+    """(node_key, out_degree, in_degree) — two map-side-combined counts
+    joined on the node key."""
+    outd = edges.groupBy(F.col(src_col).alias("node_key")).agg(
+        F.count("*").alias("out_degree")
+    )
+    ind = edges.groupBy(F.col(dst_col).alias("node_key")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        outd.join(ind, "node_key", "full")
+        .select(
+            "node_key",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
