@@ -26,6 +26,7 @@ from tiger_etl_spark.operators import (  # noqa: E402
     dedup,
     dedup_ingest,
     graph,
+    profile,
     sampling,
     search,
     similarity,
@@ -201,6 +202,56 @@ def monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (operators/profile.py) — per-column nulls /
+    cardinality / range over orders, the set-level analog of the
+    reference's per-field Pydantic validation. Two scale-safe jobs:
+    a single-row narrow agg for count/nulls/min/max and one
+    evenly-keyed shuffle for exact distincts (HLL variant collapses
+    to one job; exact kept here for oracle parity)."""
+    o = _t(spark, sf_dir, "orders")
+    return profile.profile(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("col_name")
+
+
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup — (status, priority) hierarchy with subtotal and
+    grand-total rows via `df.rollup`; Catalyst plans one Expand + one
+    hash aggregate, both map-side-partial."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — order counts by month × status as columns. Pivot values
+    are pinned explicitly so the plan needs no extra distinct-values
+    job and the output schema is static at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+            .alias("month")
+        )
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "month",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
         )
     )
 
@@ -1053,6 +1104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_counts": event_type_counts,
         "distinct_event_users": distinct_event_users,
         "monthly_order_rollup": monthly_order_rollup,
+        "orders_profile": orders_profile,
+        "order_status_rollup": order_status_rollup,
+        "monthly_status_pivot": monthly_status_pivot,
         "latest_event_per_user": latest_event_per_user,
         "cdc_final_state": cdc_final_state,
         "cdc_partial_update_state": cdc_partial_update_state,
@@ -1172,6 +1226,52 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders,
                    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
                    round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1
+        """,
+        "orders_profile": """
+            WITH c AS (SELECT * FROM orders)
+            SELECT * FROM (
+                SELECT 'o_orderkey' AS col_name,
+                       count(*)::BIGINT AS n_rows,
+                       (count(*) - count(o_orderkey))::BIGINT AS n_nulls,
+                       count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                       CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+                       CAST(max(o_orderkey) AS VARCHAR) AS max_val
+                FROM c
+                UNION ALL
+                SELECT 'o_custkey', count(*)::BIGINT,
+                       (count(*) - count(o_custkey))::BIGINT,
+                       count(DISTINCT o_custkey)::BIGINT,
+                       CAST(min(o_custkey) AS VARCHAR),
+                       CAST(max(o_custkey) AS VARCHAR)
+                FROM c
+                UNION ALL
+                SELECT 'o_orderstatus', count(*)::BIGINT,
+                       (count(*) - count(o_orderstatus))::BIGINT,
+                       count(DISTINCT o_orderstatus)::BIGINT,
+                       min(o_orderstatus), max(o_orderstatus)
+                FROM c
+                UNION ALL
+                SELECT 'o_orderpriority', count(*)::BIGINT,
+                       (count(*) - count(o_orderpriority))::BIGINT,
+                       count(DISTINCT o_orderpriority)::BIGINT,
+                       min(o_orderpriority), max(o_orderpriority)
+                FROM c
+            ) ORDER BY col_name
+        """,
+        "order_status_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   sum(o_totalprice) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "monthly_status_pivot": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
             FROM orders GROUP BY 1
         """,
         "latest_event_per_user": """
