@@ -8,10 +8,11 @@ import zipfile
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> str:
-    dist = os.path.join(ROOT, "dist")
-    os.makedirs(dist, exist_ok=True)
-    out = os.path.join(dist, "tiger_etl_spark.zip")
+def main(out: str | None = None) -> str:
+    if out is None:
+        dist = os.path.join(ROOT, "dist")
+        os.makedirs(dist, exist_ok=True)
+        out = os.path.join(dist, "tiger_etl_spark.zip")
     pkg = os.path.join(ROOT, "tiger_etl_spark")
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         for dirpath, _dirnames, filenames in os.walk(pkg):
