@@ -27,6 +27,7 @@ from tiger_etl_spark.operators import (  # noqa: E402
     dedup_ingest,
     graph,
     profile,
+    scan_ops,
     sampling,
     search,
     similarity,
@@ -541,6 +542,28 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.length("text") - (n_tok - 1)) / n_tok.cast("double"), 6
         ).alias("mean_token_len"),
+    )
+
+
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/scan_ops.py) — lay documents
+    end-to-end in doc_id order and cut a new training bin every 4096
+    tokens (offset-based context-window packing). The running token
+    count is a distributed two-phase prefix scan: range partition →
+    per-partition window → P-row offset broadcast; no single-task
+    global window over the corpus. Returns per-bin stats."""
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = scan_ops.pack_by_budget(sized, ["doc_id"], "n_tokens", budget=4096)
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
     )
 
 
@@ -1128,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_signatures": doc_minhash_signatures,
         "doc_lsh_bands": doc_lsh_bands,
         "doc_token_stats": doc_token_stats,
+        "doc_pack_bins": doc_pack_bins,
         "doc_quality_scores": doc_quality_scores,
         "doc_lang_detect": doc_lang_detect,
         "doc_pii_scan": doc_pii_scan,
@@ -1614,6 +1638,29 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4
+        """,
+        "doc_pack_bins": r"""
+            WITH sized AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            packed AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor(
+                           (sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+                           / 4096.0) AS BIGINT) AS bin_id
+                FROM sized
+            )
+            SELECT bin_id,
+                   count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM packed GROUP BY bin_id ORDER BY bin_id
         """,
         "doc_token_stats": r"""
             SELECT doc_id,
