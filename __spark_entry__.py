@@ -31,6 +31,7 @@ from tiger_etl_spark.operators import (  # noqa: E402
     sampling,
     search,
     similarity,
+    stats,
     windows,
 )
 
@@ -1105,6 +1106,72 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats — per-language length percentiles, the numbers
+    a C4/Gopher-style filter pipeline reads its cutoffs from
+    (operators/stats.py). Exact `percentile` here for oracle parity
+    (percentile_cont semantics); `approx=True` (mergeable KLL sketch,
+    map-side combine, no per-group materialization) is the 100 TB
+    default — same column names, drop-in."""
+    d = _t(spark, sf_dir, "documents")
+    return stats.group_quantiles(
+        d, ["lang"], "n_chars", [0.25, 0.5, 0.9, 0.99]
+    ).orderBy("lang")
+
+
+def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats — per-month z-score outliers over order
+    totals (anomalous-batch detection; operators/stats.py). One
+    associative avg/stddev aggregate, tiny moment table broadcast back
+    onto the fact scan — the filter runs inside the scan stage, no
+    second shuffle."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "month",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"),
+    )
+    out = stats.zscore_outliers(o, ["month"], "o_totalprice", threshold=2.0)
+    return out.select(
+        "o_orderkey",
+        "month",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round("z", 4).alias("z"),
+    )
+
+
+def user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregates — per-user cumulative sum and 3-row moving
+    average of event value in event-time order (operators/windows.py
+    `rolling_stats`). Partitioned window: keys shuffle across the
+    cluster, each frame evaluates incrementally — no global sort, no
+    per-key history beyond the frame."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("user_id", _epoch_us("ts").alias("ts_us"), "event_id", "value")
+    )
+    out = windows.rolling_stats(
+        ev, ["user_id"], ["ts_us", "event_id"], "value", preceding=2
+    )
+    return out.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.round("cum_sum", 6).alias("cum_value"),
+        F.round("moving_avg", 6).alias("moving_avg"),
+    )
+
+
+def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — top-20 word bigrams by pointwise mutual
+    information with min-count 5 (Church & Hanks; tokenizer/vocab
+    construction signal; operators/search.py `bigram_pmi`). Two
+    map-side-combined hash aggregates + broadcast scalar totals +
+    keyed unigram joins; ordering on the rounded pmi so the k-boundary
+    is deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    return search.bigram_pmi(d, "doc_id", "text", k=20, min_count=5)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1128,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_event_users": distinct_event_users,
         "monthly_order_rollup": monthly_order_rollup,
         "orders_profile": orders_profile,
+        "order_price_outliers": order_price_outliers,
         "order_status_rollup": order_status_rollup,
         "monthly_status_pivot": monthly_status_pivot,
         "latest_event_per_user": latest_event_per_user,
@@ -1138,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_zset_top10": supplier_zset_top10,
         "user_value_zset_top10": user_value_zset_top10,
         "user_gap_sessions": user_gap_sessions,
+        "user_rolling_value": user_rolling_value,
         "event_window_counts": event_window_counts,
         "purchase_asof_last_click": purchase_asof_last_click,
         "purchase_click_followups": purchase_click_followups,
@@ -1162,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_quota": doc_source_quota,
         "doc_top_tokens": doc_top_tokens,
         "doc_top_bigrams": doc_top_bigrams,
+        "doc_bigram_pmi_top20": doc_bigram_pmi_top20,
+        "doc_length_quantiles": doc_length_quantiles,
         "doc_tfidf_search": doc_tfidf_search,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1564,6 +1635,75 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
         """,
         "doc_top_tokens": _TOP_TOKENS_SQL,
+        "order_price_outliers": """
+            WITH m AS (
+                SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                       avg(o_totalprice) AS mu,
+                       stddev_samp(o_totalprice) AS sd,
+                       count(o_totalprice) AS n
+                FROM orders GROUP BY 1
+            )
+            SELECT o_orderkey, month,
+                   round(o_totalprice, 2) AS price,
+                   round((o_totalprice - mu) / sd, 4) AS z
+            FROM orders
+            JOIN m ON strftime(date_trunc('month', o_orderdate), '%Y-%m') = m.month
+            WHERE n >= 2 AND sd IS NOT NULL AND sd > 0
+              AND abs((o_totalprice - mu) / sd) > 2.0
+        """,
+        "user_rolling_value": """
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   round(sum(value) OVER w_cum, 6) AS cum_value,
+                   round(avg(value) OVER w_mov, 6) AS moving_avg
+            FROM events
+            WHERE ts IS NOT NULL
+            WINDOW
+                w_cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                w_mov AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "doc_length_quantiles": """
+            SELECT lang,
+                   count(n_chars) AS n_rows,
+                   round(quantile_cont(n_chars, 0.25), 6) AS q25,
+                   round(quantile_cont(n_chars, 0.50), 6) AS q50,
+                   round(quantile_cont(n_chars, 0.90), 6) AS q90,
+                   round(quantile_cont(n_chars, 0.99), 6) AS q99
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "doc_bigram_pmi_top20": """
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ),
+            uni AS (
+                SELECT unnest(w) AS token FROM toks
+            ),
+            unic AS (
+                SELECT token, count(*) AS c_tok FROM uni GROUP BY token
+            ),
+            grams AS (
+                SELECT array_to_string(w[i:i+1], ' ') AS ngram
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+            ),
+            big AS (
+                SELECT ngram, count(*) AS c_big FROM grams
+                GROUP BY ngram HAVING count(*) >= 5
+            ),
+            tot AS (SELECT sum(c_tok)::DOUBLE AS n_tok FROM unic),
+            btot AS (SELECT count(*)::DOUBLE AS n_big FROM grams)
+            SELECT b.ngram,
+                   b.c_big AS occurrences,
+                   round(ln((b.c_big / btot.n_big) /
+                            ((u1.c_tok / tot.n_tok) * (u2.c_tok / tot.n_tok))), 6) AS pmi
+            FROM big b
+            JOIN unic u1 ON u1.token = split_part(b.ngram, ' ', 1)
+            JOIN unic u2 ON u2.token = split_part(b.ngram, ' ', 2)
+            CROSS JOIN tot CROSS JOIN btot
+            ORDER BY pmi DESC, b.ngram LIMIT 20
+        """,
         "doc_top_bigrams": """
             WITH toks AS (
                 SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -74,6 +74,87 @@ def top_ngrams(
     )
 
 
+def bigram_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_count: int = 5,
+    scale: int = 6,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    ``pmi = ln( (c_xy / N_bigram) / ((c_x / N_token) · (c_y / N_token)) )``
+    over word bigrams, keeping only bigrams seen ≥ ``min_count`` times.
+    The classic collocation / multi-word-expression miner for tokenizer
+    vocabulary construction (Church & Hanks 1990).
+
+    Scale shape: two map-side-combined hash aggregates (unigram and
+    bigram counts — the same explode shape as `top_ngrams`), the two
+    corpus totals reduced to one-row frames that broadcast as a scalar
+    cross-join, and the unigram count table joined onto the (far
+    smaller, min_count-filtered) bigram table twice — keyed by token,
+    evenly hashed, and broadcast when the vocabulary fits. The final
+    top-k is TakeOrderedAndProject. Ordering is by the ROUNDED pmi so
+    the k-boundary is deterministic across engines/summation orders."""
+    toks = F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
+    toks = F.filter(toks, lambda t: t != "")
+    cnt = F.size(toks) - 1
+    grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    uni = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c_tok"))
+    )
+    big = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("c_big"))
+        .where(F.col("c_big") >= min_count)
+        .withColumn("_w1", F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)))
+        .withColumn("_w2", F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)))
+    )
+    # corpus totals WITHOUT another explode: per-row token/gram counts
+    # are array lengths, summed by a narrow partial-agg (1-row shuffle)
+    totals = df.select(
+        F.size(toks).alias("_nt"),
+        F.greatest(F.size(toks) - 1, F.lit(0)).alias("_ng"),
+    ).agg(
+        F.sum("_nt").alias("n_tok"), F.sum("_ng").alias("n_big")
+    )
+    u1 = uni.select(
+        F.col("token").alias("_w1"), F.col("c_tok").alias("c_w1")
+    )
+    u2 = uni.select(
+        F.col("token").alias("_w2"), F.col("c_tok").alias("c_w2")
+    )
+    joined = (
+        big.join(F.broadcast(u1), "_w1")
+        .join(F.broadcast(u2), "_w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_big") / F.col("n_big"))
+            / ((F.col("c_w1") / F.col("n_tok")) * (F.col("c_w2") / F.col("n_tok")))
+        ),
+        scale,
+    )
+    return (
+        joined.select(
+            "ngram",
+            F.col("c_big").alias("occurrences"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.col("ngram"))
+        .limit(k)
+    )
+
+
 def tfidf_search(
     df: DataFrame,
     id_col: str,

@@ -73,6 +73,38 @@ def sessionize(
     )
 
 
+def rolling_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    preceding: int = 2,
+) -> DataFrame:
+    """Per-key running aggregates: cumulative sum plus a moving average
+    over the current row and the ``preceding`` rows before it, in
+    ``order_cols`` order (must be a total order per key for
+    deterministic output).
+
+    Reference analog: the sessions layer computes per-user running
+    tallies in Python loops after fetching the user's history
+    (``sessions_management.py:274-276`` sort + iterate); here it is one
+    window partitioned by key — the shuffle distributes keys across the
+    cluster and each frame is evaluated incrementally in a single pass,
+    so there is no global sort and no per-key history materialization
+    beyond the frame. Unlike `latest_per_key`, running output per row
+    is genuinely order-dependent, so a window (not max_by) is the right
+    tool; partitioning by key keeps it skew-safe for bounded per-key
+    cardinality (users, sessions — not domains)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-preceding, Window.currentRow)
+    return df.withColumn(
+        "cum_sum", F.sum(value_col).over(cum)
+    ).withColumn("moving_avg", F.avg(value_col).over(mov))
+
+
 def relevance_score(col: Column, term: str, exact: int = 10, prefix: int = 5, contains: int = 2) -> Column:
     """W1 — reference scoring: exact=10 / prefix=5 / contains=2
     (``user_group_management.py:611-630``)."""
