@@ -1106,6 +1106,50 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica-consistency audit — order-insensitive content checksum
+    of the orders table (operators/audit.py): per-row 60-bit md5
+    fingerprint summed commutatively inside one narrow aggregate. Zero
+    shuffles; comparing two 10^10-row replicas (source vs CDC-merged
+    lake) exchanges 16 bytes. Floats/timestamps pre-cast to
+    renderer-stable types (decimal cents, epoch micros) so any engine
+    computes the identical sum."""
+    from tiger_etl_spark.operators import audit
+
+    o = _t(spark, sf_dir, "orders")
+    return audit.table_checksum(
+        o,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(12,2)"),
+            _epoch_us("o_orderdate"),
+            F.col("o_orderpriority"),
+        ],
+    )
+
+
+def orders_bucket_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit drill-down — per-bucket checksums over a PORTABLE
+    md5-derived bucketing of the key, localizing a replica divergence
+    to 1/64th of the keyspace per comparison round (pt-table-sync
+    style; operators/audit.py). One evenly-keyed hash aggregate."""
+    from tiger_etl_spark.operators import audit
+
+    o = _t(spark, sf_dir, "orders")
+    return audit.bucket_checksums(
+        o,
+        "o_orderkey",
+        [
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("decimal(12,2)"),
+        ],
+        n_buckets=64,
+    )
+
+
 def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution stats — per-language length percentiles, the numbers
     a C4/Gopher-style filter pipeline reads its cutoffs from
@@ -1161,6 +1205,18 @@ def user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering — CCNet-style statistical-LM scoring: a char
+    bigram model trained on the corpus (one explode, two hash aggs,
+    |alphabet|² rows → broadcast), every document scored by mean log
+    probability under it (operators/langmodel.py). Low scores flag
+    boilerplate/garbage. Linear, no Python in the plan."""
+    from tiger_etl_spark.operators import langmodel
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return langmodel.char_lm_scores(d, "doc_id", "text")
+
+
 def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining — top-20 word bigrams by pointwise mutual
     information with min-count 5 (Church & Hanks; tokenizer/vocab
@@ -1195,6 +1251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_event_users": distinct_event_users,
         "monthly_order_rollup": monthly_order_rollup,
         "orders_profile": orders_profile,
+        "orders_checksum": orders_checksum,
+        "orders_bucket_checksums": orders_bucket_checksums,
         "order_price_outliers": order_price_outliers,
         "order_status_rollup": order_status_rollup,
         "monthly_status_pivot": monthly_status_pivot,
@@ -1232,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_tokens": doc_top_tokens,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_bigram_pmi_top20": doc_bigram_pmi_top20,
+        "doc_char_lm_scores": doc_char_lm_scores,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_tfidf_search": doc_tfidf_search,
         "doc_simhash": doc_simhash,
@@ -1635,6 +1694,29 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
         """,
         "doc_top_tokens": _TOP_TOKENS_SQL,
+        "orders_checksum": """
+            SELECT count(*) AS n_rows,
+                   sum((('0x' || substring(md5(concat_ws('|',
+                        coalesce(o_orderkey::VARCHAR, '␀'),
+                        coalesce(o_custkey::VARCHAR, '␀'),
+                        coalesce(o_orderstatus, '␀'),
+                        coalesce((o_totalprice::DECIMAL(12,2))::VARCHAR, '␀'),
+                        coalesce(epoch_us(o_orderdate)::VARCHAR, '␀'),
+                        coalesce(o_orderpriority, '␀')
+                   )), 1, 15))::BIGINT)::HUGEINT)::VARCHAR AS checksum
+            FROM orders
+        """,
+        "orders_bucket_checksums": """
+            SELECT (('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                    % 64) AS bucket,
+                   count(*) AS n_rows,
+                   sum((('0x' || substring(md5(concat_ws('|',
+                        coalesce(o_orderkey::VARCHAR, '␀'),
+                        coalesce(o_orderstatus, '␀'),
+                        coalesce((o_totalprice::DECIMAL(12,2))::VARCHAR, '␀')
+                   )), 1, 15))::BIGINT)::HUGEINT)::VARCHAR AS checksum
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
         "order_price_outliers": """
             WITH m AS (
                 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
@@ -1662,6 +1744,30 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                 w_mov AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "doc_char_lm_scores": """
+            WITH t AS (
+                SELECT doc_id, lower(text) AS t FROM documents
+                WHERE text IS NOT NULL
+            ),
+            bg AS (
+                SELECT doc_id, substring(t, i, 2) AS bg
+                FROM t, UNNEST(generate_series(1, greatest(length(t) - 1, 0))) AS g(i)
+            ),
+            model AS (SELECT bg, count(*) AS c_xy FROM bg GROUP BY bg),
+            pref AS (
+                SELECT substring(bg, 1, 1) AS c1, sum(c_xy) AS c_x
+                FROM model GROUP BY 1
+            ),
+            v AS (SELECT count(*)::DOUBLE AS v FROM pref)
+            SELECT bg.doc_id,
+                   count(*) AS n_bigrams,
+                   round(avg(ln((m.c_xy + 1) / (p.c_x + v.v))), 6) AS avg_logp
+            FROM bg
+            JOIN model m USING (bg)
+            JOIN pref p ON p.c1 = substring(bg.bg, 1, 1)
+            CROSS JOIN v
+            GROUP BY bg.doc_id
         """,
         "doc_length_quantiles": """
             SELECT lang,

@@ -1,0 +1,99 @@
+"""Incremental materialized-view maintenance via dirty-bucket refresh."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.cdc.datagen import gen_change_events, write_change_files
+from tiger_etl_spark.cdc.ivm import IncrementalCountView, dirty_buckets_between
+from tiger_etl_spark.cdc.pipeline import apply_changes, create_pages_table
+from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+
+
+def _recompute(spark, table, group_col):
+    return {
+        r[group_col]: r["n"]
+        for r in table.scan(spark).groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+
+
+def _view_state(spark, view):
+    return {r[view.group_col]: r["n_rows"] for r in view.read(spark).collect()}
+
+
+def test_view_tracks_table_across_batches(spark, tmp_path):
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=11, n=1500, n_hosts=40)
+    write_change_files(ev, cdir, n_files=3)
+    table = create_pages_table(str(tmp_path / "pages"), num_buckets=8)
+    view = IncrementalCountView(str(tmp_path / "view"), "lang")
+
+    for i, p in enumerate(sorted(glob.glob(os.path.join(cdir, "*.parquet")))):
+        apply_changes(
+            spark, table, spark.read.schema(EVENTS_READ_SCHEMA).parquet(p), batch_id=i
+        )
+        stats = view.refresh(spark, table)
+        assert stats["refreshed"]
+        assert _view_state(spark, view) == _recompute(spark, table, "lang")
+
+    # idempotent: same base version → no-op
+    stats = view.refresh(spark, table)
+    assert not stats["refreshed"] and stats["n_dirty_buckets"] == 0
+
+
+def test_refresh_touches_only_dirty_buckets(spark, tmp_path):
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=12, n=1500, n_hosts=40)
+    write_change_files(ev, cdir, n_files=1)
+    table = create_pages_table(str(tmp_path / "pages"), num_buckets=16)
+    apply_changes(
+        spark,
+        table,
+        spark.read.schema(EVENTS_READ_SCHEMA).parquet(
+            glob.glob(os.path.join(cdir, "*.parquet"))[0]
+        ),
+        batch_id=0,
+    )
+    view = IncrementalCountView(str(tmp_path / "view"), "lang")
+    view.refresh(spark, table)
+    v_before = table.manifest["version"]
+
+    # a single-key update touches exactly one bucket
+    one = table.scan(spark).select("url").limit(1).collect()[0]["url"]
+    batch = spark.createDataFrame(
+        [(one, "U", 10**15)], "url string, op string, op_seq long"
+    )
+    full = table.scan(spark).where(F.col("url") == one).drop("url").limit(1).collect()[0]
+    row = spark.createDataFrame(
+        [(one, full["warc_ts"], full["html"], "UPDATED TEXT", full["lang"],
+          full["content_len"], "U", 10**15)],
+        "url string, warc_ts timestamp, html binary, text string, lang string,"
+        " content_len long, op string, op_seq long",
+    )
+    table.merge(spark, row)
+    dirty = dirty_buckets_between(table, v_before, table.manifest["version"])
+    assert len(dirty) == 1
+
+    stats = view.refresh(spark, table)
+    assert stats["refreshed"] and stats["n_dirty_buckets"] == 1
+    assert _view_state(spark, view) == _recompute(spark, table, "lang")
+
+
+def test_compaction_keeps_view_correct(spark, tmp_path):
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=13, n=1200, n_hosts=30)
+    write_change_files(ev, cdir, n_files=2)
+    table = create_pages_table(str(tmp_path / "pages"), num_buckets=8)
+    view = IncrementalCountView(str(tmp_path / "view"), "lang")
+    for i, p in enumerate(sorted(glob.glob(os.path.join(cdir, "*.parquet")))):
+        apply_changes(
+            spark, table, spark.read.schema(EVENTS_READ_SCHEMA).parquet(p), batch_id=i
+        )
+    view.refresh(spark, table)
+    table.compact(spark)
+    stats = view.refresh(spark, table)
+    assert stats["refreshed"]
+    assert _view_state(spark, view) == _recompute(spark, table, "lang")
