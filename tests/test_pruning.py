@@ -1,0 +1,167 @@
+"""Manifest-level data skipping (lake/pruning.py): Spark-hash parity,
+file-list pruning correctness (incl. the dirty-bucket stale-resurface
+trap), and point-lookup bucket pruning."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.lake import LakeTable
+from tiger_etl_spark.lake.pruning import bucket_of, spark_hash_string
+
+DDL = "url string, warc_ts timestamp, text string"
+UTC = dt.timezone.utc
+
+
+def ts(i: int) -> dt.datetime:
+    return dt.datetime(2025, 1, 1, tzinfo=UTC) + dt.timedelta(minutes=i)
+
+
+def batch_df(spark, rows):
+    """rows: (op, op_seq, url, ts_min, text)"""
+    return spark.createDataFrame(
+        [(op, sq, u, ts(t), x) for op, sq, u, t, x in rows],
+        "op string, op_seq long, url string, warc_ts timestamp, text string",
+    )
+
+
+# --------------------------------------------------------- hash parity
+
+
+def test_spark_hash_parity(spark):
+    rng = random.Random(7)
+    samples = ["", "a", "abc", "abcd", "abcde", "https://example.com/x?q=1"]
+    samples += [
+        "".join(rng.choices(string.printable, k=rng.randrange(1, 40)))
+        for _ in range(60)
+    ]
+    samples += ["naïve", "héllo wörld", "日本語のテキスト", "emoji 🚀🔥", "\x00\x7f\x80"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", F.hash("s").alias("h")).collect()}
+    for s in samples:
+        assert spark_hash_string(s) == got[s], repr(s)
+
+
+def test_bucket_of_matches_bucket_expr(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), DDL, key_col="url", num_buckets=16)
+    urls = [f"https://h{i}.test/p{i*7}" for i in range(100)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["b"]
+        for r in df.select("url", t.bucket_expr().alias("b")).collect()
+    }
+    for u in urls:
+        assert bucket_of(u, 16) == got[u], u
+
+
+# ------------------------------------------------------ scan correctness
+
+
+NB = 8
+BASE_KEYS = [f"u{i}" for i in range(16)]
+UPD_BUCKET = bucket_of("u0", NB)
+# w-keys chosen (driver-side, via the parity-pinned hash) to land
+# OUTSIDE u0's bucket, so u0's bucket has exactly one delta at t=100
+W_KEYS = [k for k in (f"w{i}" for i in range(100)) if bucket_of(k, NB) != UPD_BUCKET][:3]
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Base data in minutes [0,15] (compacted), one key updated at
+    t=100, three inserts at t=200.. — so the manifest mixes clean
+    buckets, a dirty bucket whose delta misses most windows, and dirty
+    buckets with late inserts."""
+    t = LakeTable.create(str(tmp_path / "t"), DDL, key_col="url", num_buckets=NB)
+    t.merge(
+        spark,
+        batch_df(
+            spark, [("I", i, f"u{i}", i, f"v1-{i}") for i in range(16)]
+        ),
+    )
+    t.compact(spark)  # minutes [0, 15] now all base files
+    t.merge(spark, batch_df(spark, [("U", 100, "u0", 100, "v2-0")]))
+    t.merge(
+        spark,
+        batch_df(
+            spark,
+            [("I", 200 + i, w, 200 + i, f"w-{w}") for i, w in enumerate(W_KEYS)],
+        ),
+    )
+    return t
+
+
+def _rows(df):
+    return sorted((r["url"], r["text"]) for r in df.collect())
+
+
+def test_ts_range_pruned_scan_matches_filtered_full_scan(spark, table):
+    lo, hi = ts(150), ts(300)
+    full = table.scan(spark).where(F.col("warc_ts").between(lo, hi))
+    pruned = table.scan(spark, ts_range=(lo, hi))
+    assert _rows(pruned) == _rows(full)
+    assert _rows(pruned) == sorted((w, f"w-{w}") for w in W_KEYS)
+    planned = table.plan_files(ts_range=(lo, hi))
+    assert len(planned) < len(table.manifest["files"])
+    # u0's bucket is dirty but NONE of its files overlap [150, 300]
+    # (base [0,15], delta at 100) — the whole bucket is pruned
+    assert all(f["bucket"] != UPD_BUCKET for f in planned)
+    # clean buckets without w-keys are pruned too: only w-buckets remain
+    w_buckets = {bucket_of(w, NB) for w in W_KEYS}
+    assert {f["bucket"] for f in planned} == w_buckets
+
+
+def test_ts_range_clean_file_pruning(spark, table):
+    # [4, 8]: each clean bucket's base file spans only its own keys'
+    # minutes, so base files whose key-minutes miss the window prune
+    # individually; dirty buckets stay whole (their base overlaps)
+    lo, hi = ts(4), ts(8)
+    planned = table.plan_files(ts_range=(lo, hi))
+    assert len(planned) < len(table.manifest["files"])
+    got = dict(_rows(table.scan(spark, ts_range=(lo, hi))))
+    want = {f"u{i}": f"v1-{i}" for i in range(4, 9)}
+    assert got == want
+
+
+def test_dirty_bucket_stale_resurface_guard(spark, table):
+    """u0's v1 row (t=0) was superseded at t=100. A window covering
+    only [0, 50] must NOT resurface v1-0: the newer out-of-window
+    version wins resolution first, then the row filter drops the key.
+    Per-file pruning inside dirty buckets would get this wrong."""
+    got = dict(_rows(table.scan(spark, ts_range=(ts(0), ts(50)))))
+    assert "u0" not in got  # superseded later — absent, not stale
+    for i in range(1, 16):
+        assert got[f"u{i}"] == f"v1-{i}"
+
+
+def test_key_lookup_pruned(spark, table):
+    w0 = W_KEYS[0]
+    for key, want in [("u0", "v2-0"), ("u7", "v1-7"), (w0, f"w-{w0}")]:
+        rows = table.lookup(spark, key).collect()
+        assert len(rows) == 1 and rows[0]["text"] == want
+        planned = table.plan_files(keys=[key])
+        b = bucket_of(key, table.num_buckets)
+        assert planned and all(f["bucket"] == b for f in planned)
+    assert table.lookup(spark, "nope").collect() == []
+
+
+def test_multi_key_and_combined_filters(spark, table):
+    w1 = W_KEYS[1]
+    keys = ["u1", w1]
+    got = _rows(table.scan(spark, keys=keys))
+    assert got == sorted([("u1", "v1-1"), (w1, f"w-{w1}")])
+    # combined: key + window that excludes u1's version
+    got2 = _rows(table.scan(spark, keys=keys, ts_range=(ts(150), ts(300))))
+    assert got2 == [(w1, f"w-{w1}")]
+
+
+def test_pruning_respects_deletes(spark, table):
+    w2 = W_KEYS[2]
+    table.merge(spark, batch_df(spark, [("D", 500, w2, 500, None)]))
+    assert table.lookup(spark, w2).collect() == []
+    got = _rows(table.scan(spark, ts_range=(ts(150), ts(600))))
+    assert (w2, f"w-{w2}") not in got

@@ -278,35 +278,74 @@ class LakeTable:
         with open(os.path.join(self.path, "meta", f"v{version}.json")) as f:
             return LakeTable(self.path, json.load(f))
 
+    def plan_files(
+        self, ts_range: tuple | None = None, keys: list | None = None
+    ) -> list[dict]:
+        """Manifest-only scan planning (Iceberg data-skipping analog):
+        the file subset a scan with these filters must read, from the
+        per-file (key, event-time) bounds recorded at commit. See
+        lake/pruning.py for the dirty-bucket safety argument."""
+        from tiger_etl_spark.lake.pruning import plan_files
+
+        return plan_files(self.manifest, ts_range=ts_range, keys=keys)
+
     def scan(
         self,
         spark: SparkSession,
         include_internal: bool = False,
         include_tombstones: bool = False,
         version: int | None = None,
+        ts_range: tuple | None = None,
+        keys: list | None = None,
     ) -> DataFrame:
         """Read the current snapshot (or a historical one via
         `version` — Iceberg time-travel analog). Buckets whose files are
         all 'base' (compacted: unique keys) stream straight through;
         buckets with delta files get LWW-resolved. Tombstones are
         filtered at the end.
+
+        `ts_range=(lo, hi)` (closed interval on the event-time column)
+        and `keys=[...]` additionally filter rows — and, first, prune
+        the FILE LIST from manifest stats (`plan_files`), so a point
+        lookup reads 1/B of the table and a time-window scan only the
+        files that overlap it.
         """
         if version is not None and version != self.manifest["version"]:
             return self.at_version(version).scan(
-                spark, include_internal, include_tombstones
+                spark,
+                include_internal,
+                include_tombstones,
+                ts_range=ts_range,
+                keys=keys,
             )
-        files = self.manifest["files"]
+        files = self.plan_files(ts_range=ts_range, keys=keys)
         dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
         clean = [f for f in files if f["bucket"] not in dirty_buckets]
         dirty = [f for f in files if f["bucket"] in dirty_buckets]
         df = self._read_files(spark, clean)
         if dirty:
             df = df.unionByName(self._resolve(self._read_files(spark, dirty)))
+        if ts_range is not None:
+            ts_col = self.manifest["order_cols"][0]
+            lo, hi = ts_range
+            if lo is not None:
+                df = df.where(F.col(ts_col) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(ts_col) <= F.lit(hi))
+        if keys is not None:
+            df = df.where(F.col(self.key_col).isin(list(keys)))
         if not include_tombstones:
             df = df.where(~F.col(_DELETED_COL))
         if not include_internal:
             df = df.drop(*INTERNAL_COLS)
         return df
+
+    def lookup(self, spark: SparkSession, key) -> DataFrame:
+        """Point lookup: the current row for one key, reading only the
+        files of bucket(key) whose key bounds cover it (manifest-pruned
+        — the b-tree-index access path of the reference's
+        `get_single_row` endpoints, pg_db.py, on an immutable lake)."""
+        return self.scan(spark, keys=[key])
 
     def changes_between(
         self, spark: SparkSession, v_from: int, v_to: int

@@ -73,6 +73,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # INT96 (Spark's legacy default) carries NO parquet column
+        # statistics, which blinds manifest-level time-range pruning
+        # (lake/pruning.py); micros is the modern type and stats-capable
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # JVM (not ICU) case mappings for UTF8_BINARY lower()/upper():
         # the first ICU-path call pays a one-time ~200 s static init
         # (CollationAwareUTF8String builds a title-case lookup table by
