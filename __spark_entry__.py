@@ -1008,6 +1008,17 @@ def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval — top-10 docs for the same
+    bag-of-terms query as `doc_tfidf_search`, with document-length
+    normalization (k1=1.2, b=0.75); dl/avgdl computed corpus-side and
+    broadcast, never collected (operators/search.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return search.bm25_search(
+        d, "doc_id", "text", terms=["vector", "merge", "stream"], k=10
+    )
+
+
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (SimHash Hamming pairs) — all pairs within Hamming ≤ 3 on
     the 32-bit fingerprint, found by the exact banded self-join
@@ -1293,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_char_lm_scores": doc_char_lm_scores,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_tfidf_search": doc_tfidf_search,
+        "doc_bm25_search": doc_bm25_search,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
         "embedding_cosine_top10": embedding_cosine_top10,
@@ -1824,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ngram ORDER BY occurrences DESC, ngram LIMIT 20
         """,
         "doc_tfidf_search": _TFIDF_SQL,
+        "doc_bm25_search": _BM25_SQL,
         "embedding_ivf_top10": _IVF_SQL,
         "embedding_ann_top10": _ANN_SQL,
         "embedding_semantic_dedup": _SEMANTIC_DEDUP_SQL,
@@ -2582,6 +2595,32 @@ idf AS (
 )
 SELECT doc_id, round(sum(tf * idf), 6) AS score
 FROM tf JOIN idf USING (token)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+# BM25 — mirrors operators.search.bm25_search (k1=1.2, b=0.75)
+_BM25_SQL = """
+WITH tok_all AS (
+    SELECT doc_id, t.token
+    FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(token)
+    WHERE t.token <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok_all GROUP BY 1),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+tok AS (SELECT * FROM tok_all WHERE token IN ('vector', 'merge', 'stream')),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+idf AS (
+    SELECT token,
+           ln(1.0 + ((SELECT count(*) FROM documents) - count(DISTINCT doc_id) + 0.5)
+                    / (count(DISTINCT doc_id) + 0.5)) AS idf
+    FROM tok GROUP BY token
+)
+SELECT doc_id,
+       round(sum(idf * tf * 2.2
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN avgdl
 GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT 10

@@ -165,3 +165,54 @@ def test_pruning_respects_deletes(spark, table):
     assert table.lookup(spark, w2).collect() == []
     got = _rows(table.scan(spark, ts_range=(ts(150), ts(600))))
     assert (w2, f"w-{w2}") not in got
+
+
+# ------------------------------------------- time-clustered compaction
+
+
+def test_compact_cluster_ts_prunes_base_files(spark, tmp_path):
+    """compact(cluster_ts='day') splits each bucket's base data into
+    one file per day, so manifest time-range pruning keeps working on
+    fully-compacted tables."""
+    t = LakeTable.create(str(tmp_path / "t"), DDL, key_col="url", num_buckets=2)
+    # 3 distinct days, 8 keys each
+    rows = []
+    for d in range(3):
+        for i in range(8):
+            rows.append(("I", d * 100 + i, f"d{d}k{i}", d * 1440 + i, f"v-{d}-{i}"))
+    t.merge(spark, batch_df(spark, rows))
+    t.compact(spark, cluster_ts="day")
+    files = t.manifest["files"]
+    assert all(f["kind"] == "base" for f in files)
+    assert len(files) == 6  # 2 buckets × 3 days
+    # every file spans a single day
+    for f in files:
+        assert f["min"]["warc_ts"][:10] == f["max"]["warc_ts"][:10]
+    # day-1 window: exactly the 2 day-1 files planned
+    lo, hi = ts(1440), ts(1440 + 100)
+    planned = t.plan_files(ts_range=(lo, hi))
+    assert len(planned) == 2
+    got = _rows(t.scan(spark, ts_range=(lo, hi)))
+    assert got == sorted((f"d1k{i}", f"v-1-{i}") for i in range(8))
+    # full scan unaffected
+    assert len(_rows(t.scan(spark))) == 24
+
+
+def test_compact_cluster_ts_default_from_props(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        DDL,
+        key_col="url",
+        num_buckets=2,
+        props={"compact_cluster_ts": "day"},
+    )
+    rows = [("I", i, f"k{i}", i * 1440, f"v{i}") for i in range(4)]
+    t.merge(spark, batch_df(spark, rows))
+    t.compact(spark)
+    for f in t.manifest["files"]:
+        assert f["min"]["warc_ts"][:10] == f["max"]["warc_ts"][:10]
+    # updates after clustering still resolve correctly
+    t.merge(spark, batch_df(spark, [("U", 99, "k1", 9999, "v1b")]))
+    t.compact(spark)
+    got = dict(_rows(t.scan(spark)))
+    assert got["k1"] == "v1b" and got["k0"] == "v0"

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BUCKET_COL = "_bucket"
+_TSWIN_COL = "_ts_win"
 _SEQ_COL = "_op_seq"
 _DELETED_COL = "_deleted"
 _OP_COL = "_op"  # partial-policy tables only: 'I' | 'U' | 'D' per row
@@ -528,12 +529,24 @@ class LakeTable:
         self,
         spark: SparkSession,
         tombstone_horizon=None,
+        cluster_ts: str | None = None,
     ) -> MergeStats:
         """Rewrite dirty buckets to unique-key base files sorted by key
         (the Timescale 'compress segmentby/orderby' analog). Tombstones
         older than `tombstone_horizon` (an event-time cutoff ≥ the
         watermark horizon) are dropped — later events for those keys can
-        no longer arrive, so the tombstone is garbage."""
+        no longer arrive, so the tombstone is garbage.
+
+        `cluster_ts` ('year'|'month'|'day'|'hour', default from table
+        prop `compact_cluster_ts`) splits each bucket's base data into
+        one file per event-time window — the Iceberg
+        `bucket(key) + days(ts)` layout. Without it a compacted bucket
+        is ONE file spanning all time, so manifest time-range pruning
+        (lake/pruning.py) degrades to nothing on compacted data; with
+        it, a time-window scan of a compacted 10^10-row table reads only
+        the files whose window overlaps. Same single shuffle — the
+        writer splits files within each bucket task, no extra exchange."""
+        cluster_ts = cluster_ts or self.manifest["props"].get("compact_cluster_ts")
         files = self.manifest["files"]
         dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
         if not dirty_buckets:
@@ -546,7 +559,13 @@ class LakeTable:
             resolved = resolved.where(
                 (~F.col(_DELETED_COL)) | (F.col(ts_col) >= F.lit(tombstone_horizon))
             )
-        new_files = self._write_data(spark, resolved, kind="base", sort_in_bucket=True)
+        new_files = self._write_data(
+            spark,
+            resolved,
+            kind="base",
+            sort_in_bucket=True,
+            ts_cluster=cluster_ts,
+        )
         kept = [f for f in files if f["bucket"] not in dirty_buckets]
         self._commit(kept + new_files, {"operation": "compact"})
         return MergeStats(
@@ -565,6 +584,7 @@ class LakeTable:
         kind: str,
         sort_in_bucket: bool = False,
         skip_repartition: bool = False,
+        ts_cluster: str | None = None,
     ) -> list[dict]:
         """One shuffle: hash-partition by bucket, then file-per-bucket
         via partitionBy into a staging dir; files then move (same-fs
@@ -593,9 +613,26 @@ class LakeTable:
             # bucket-aligned shuffle (see bucket_expr): partition i holds
             # exactly bucket i — B even tasks, one output file per bucket
             out = df.repartition(self.num_buckets, F.col(self.key_col))
-        if sort_in_bucket:
+        part_cols = [_BUCKET_COL]
+        if ts_cluster is not None:
+            fmt = {
+                "year": "yyyy",
+                "month": "yyyy-MM",
+                "day": "yyyy-MM-dd",
+                "hour": "yyyy-MM-dd-HH",
+            }[ts_cluster]
+            out = out.withColumn(
+                _TSWIN_COL, F.date_format(F.col(ts_col), fmt)
+            )
+            part_cols.append(_TSWIN_COL)
+            if sort_in_bucket:
+                # writer emits one partition dir at a time per task
+                out = out.sortWithinPartitions(
+                    _BUCKET_COL, _TSWIN_COL, self.key_col
+                )
+        elif sort_in_bucket:
             out = out.sortWithinPartitions(_BUCKET_COL, self.key_col)
-        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(stage)
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(stage)
 
         commit_tag = uuid.uuid4().hex[:12]
         staged: list[tuple[str, int, int]] = []  # (src, bucket, idx)
@@ -603,9 +640,14 @@ class LakeTable:
             if not bdir.startswith(f"{_BUCKET_COL}="):
                 continue
             bucket = int(bdir.split("=")[1])
-            for i, fn in enumerate(sorted(os.listdir(os.path.join(stage, bdir)))):
-                if fn.endswith(".parquet"):
-                    staged.append((os.path.join(stage, bdir, fn), bucket, i))
+            i = 0
+            for dirpath, _dirs, fnames in sorted(
+                os.walk(os.path.join(stage, bdir))
+            ):
+                for fn in sorted(fnames):
+                    if fn.endswith(".parquet"):
+                        staged.append((os.path.join(dirpath, fn), bucket, i))
+                        i += 1
 
         def finalize(item: tuple[str, int, int]) -> dict | None:
             src, bucket, i = item

@@ -188,3 +188,59 @@ def tfidf_search(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents under Okapi BM25 (Robertson/Sparck Jones):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+    Same plan skeleton as `tfidf_search` plus the length-normalization
+    inputs: `dl` (per-doc token count) is one associative explode+agg
+    over the corpus, `avgdl` a 1-row aggregate broadcast into the
+    scoring join — no scalar ever leaves the cluster. Query-term
+    filtering still happens before the tf aggregation, so the scoring
+    shuffle is query-term occurrences, not the corpus. Deterministic
+    double math mirrored by the DuckDB oracle."""
+    tok_all = tokens(df, id_col, text_col)
+    n_docs = df.count()
+    dl = tok_all.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    tok = tok_all.where(F.col("token").isin(list(terms)))
+    tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    idf = (
+        tok.groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .select(
+            "token",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom), 6
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
