@@ -1008,6 +1008,26 @@ def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/graph.py) — 3 fixed iterations,
+    d=0.85, over the distinct supplier→customer fulfillment graph
+    (lineitem ⋈ orders). One dst-keyed shuffle per iteration; outdeg
+    computed once; no driver state. Oracle: the same three iterations
+    unrolled in SQL."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src_key"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst_key"),
+    )
+    ranks = graph.pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select("node_key", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "node_key")
+        .limit(20)
+    )
+
+
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval — top-10 docs for the same
     bag-of-terms query as `doc_tfidf_search`, with document-length
@@ -1317,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_segment_dedup": doc_segment_dedup,
         "doc_incremental_dedup": doc_incremental_dedup,
         "graph_khop_counts": graph_khop_counts,
+        "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
@@ -1642,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_signatures": _MINHASH_SQL,
         "doc_incremental_dedup": _INCR_DEDUP_SQL,
         "graph_khop_counts": _GRAPH_KHOP_SQL,
+        "graph_pagerank_top20": _PAGERANK_SQL,
         "doc_lsh_bands": _LSH_BANDS_SQL,
         "doc_quality_scores": _QUALITY_SQL,
         "doc_lang_detect": _LANG_DETECT_SQL,
@@ -2598,6 +2620,50 @@ FROM tf JOIN idf USING (token)
 GROUP BY doc_id
 ORDER BY score DESC, doc_id
 LIMIT 10
+"""
+
+# PageRank — mirrors operators.graph.pagerank (3 iterations, d=0.85)
+_PAGERANK_SQL = """
+WITH edges AS (
+    SELECT DISTINCT 'S' || l_suppkey::VARCHAR AS src, 'C' || o_custkey::VARCHAR AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+r1 AS (
+    SELECT nodes.node,
+           (1.0 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * coalesce(sum(r0.r / outdeg.od), 0) AS r
+    FROM nodes
+    LEFT JOIN edges ON edges.dst = nodes.node
+    LEFT JOIN r0 ON r0.node = edges.src
+    LEFT JOIN outdeg ON outdeg.src = edges.src
+    GROUP BY nodes.node
+),
+r2 AS (
+    SELECT nodes.node,
+           (1.0 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * coalesce(sum(r1.r / outdeg.od), 0) AS r
+    FROM nodes
+    LEFT JOIN edges ON edges.dst = nodes.node
+    LEFT JOIN r1 ON r1.node = edges.src
+    LEFT JOIN outdeg ON outdeg.src = edges.src
+    GROUP BY nodes.node
+),
+r3 AS (
+    SELECT nodes.node,
+           (1.0 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * coalesce(sum(r2.r / outdeg.od), 0) AS r
+    FROM nodes
+    LEFT JOIN edges ON edges.dst = nodes.node
+    LEFT JOIN r2 ON r2.node = edges.src
+    LEFT JOIN outdeg ON outdeg.src = edges.src
+    GROUP BY nodes.node
+)
+SELECT node AS node_key, round(r, 6) AS rank
+FROM r3 ORDER BY rank DESC, node_key LIMIT 20
 """
 
 # BM25 — mirrors operators.search.bm25_search (k1=1.2, b=0.75)

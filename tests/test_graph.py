@@ -179,3 +179,32 @@ def test_k_hop_and_degrees(spark, graph):
             for r in degrees(edges).collect()}
     assert degs["User\x1fu2"] == (3, 1)  # g1, g2, u3 out; u1 in
     assert degs["Group\x1fg1"] == (0, 2)
+
+
+def test_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from tiger_etl_spark.operators.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src_key string, dst_key string")
+    got = {
+        r["node_key"]: r["rank"]
+        for r in pagerank(df, iterations=4, damping=0.85).collect()
+    }
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        new = np.full(n, 0.15 / n)
+        for s, d in edges:
+            new[idx[d]] += 0.85 * r[idx[s]] / outdeg[idx[s]]
+        r = new
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-12, node
+    # ranks a proper partial order: c (3 in-edges) > a > isolated-source d
+    assert got["c"] > got["a"] > got["d"]

@@ -259,3 +259,53 @@ def degrees(
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src_key",
+    dst_col: str = "dst_key",
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999, the simplified
+    no-dangling-redistribution form most engines expose):
+
+        r'(v) = (1−d)/N + d · Σ_{(u,v)∈E} r(u) / outdeg(u)
+
+    over DISTINCT edges, uniform initialization 1/N. Returns
+    (node_key, rank). Each iteration is exactly one shuffle keyed by
+    destination (contributions groupBy dst) plus a broadcast-free
+    left join back onto the static node list; `outdeg` is computed once
+    and reused. `iterations` is small and fixed, so the loop unrolls
+    into a linear join chain like `k_hop` — no driver-side state, no
+    collect; at 10^10 edges each iteration is the canonical
+    rank-partitioned aggregation. Dangling mass is dropped, matching
+    the unrolled-SQL oracle exactly (same formula, same float order up
+    to summation — parity verified by the rounded driver query)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node_key"))
+        .unionByName(e.select(F.col("dst").alias("node_key")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
+    base = float(1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node_key", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy(F.col("dst").alias("node_key"))
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("_in"))
+        )
+        ranks = nodes.join(contribs, "node_key", "left").select(
+            "node_key",
+            (
+                F.lit(base)
+                + F.lit(float(damping)) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
