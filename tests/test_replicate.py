@@ -1,0 +1,128 @@
+"""CDF replica sync (cdc/replicate.py): incremental parity, delete
+propagation, idempotent no-op, checksum-verified equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.cdc.replicate import create_replica, sync_to
+from tiger_etl_spark.lake import LakeTable
+from tiger_etl_spark.operators import audit
+
+DDL = "url string, warc_ts timestamp, text string"
+UTC = dt.timezone.utc
+
+
+def ts(i: int) -> dt.datetime:
+    return dt.datetime(2025, 3, 1, tzinfo=UTC) + dt.timedelta(seconds=i)
+
+
+def batch_df(spark, rows):
+    return spark.createDataFrame(
+        [(op, sq, u, ts(t), x) for op, sq, u, t, x in rows],
+        "op string, op_seq long, url string, warc_ts timestamp, text string",
+    )
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    src = LakeTable.create(str(tmp_path / "src"), DDL, key_col="url", num_buckets=4)
+    rep = create_replica(src, str(tmp_path / "rep"))
+    return src, rep
+
+
+def _state(spark, t):
+    return sorted(
+        (r["url"], r["warc_ts"], r["text"]) for r in t.scan(spark).collect()
+    )
+
+
+def _checksum(spark, t):
+    return audit.table_checksum(
+        t.scan(spark),
+        [F.col("url"), F.col("warc_ts"), F.col("text")],
+    ).collect()[0].asDict()
+
+
+def test_incremental_sync_parity(spark, pair):
+    src, rep = pair
+    src.merge(
+        spark, batch_df(spark, [("I", i, f"u{i}", i, f"a{i}") for i in range(10)])
+    )
+    r1 = sync_to(spark, src, rep)
+    assert r1["synced"] and _state(spark, rep) == _state(spark, src)
+
+    src.merge(
+        spark,
+        batch_df(
+            spark,
+            [("U", 20, "u1", 20, "a1b"), ("D", 21, "u2", 21, None),
+             ("I", 22, "u10", 22, "a10")],
+        ),
+    )
+    r2 = sync_to(spark, src, rep)
+    assert r2["synced"] and r2["src_version_from"] == r1["src_version_to"]
+    assert _state(spark, rep) == _state(spark, src)
+    assert _checksum(spark, rep) == _checksum(spark, src)
+    urls = {u for u, _, _ in _state(spark, rep)}
+    assert "u2" not in urls and "u10" in urls
+
+
+def test_sync_is_idempotent_noop_when_current(spark, pair):
+    src, rep = pair
+    src.merge(spark, batch_df(spark, [("I", 1, "k", 1, "x")]))
+    assert sync_to(spark, src, rep)["synced"]
+    v = rep.manifest["version"]
+    out = sync_to(spark, src, rep)
+    assert not out["synced"]
+    assert rep.manifest["version"] == v  # no empty commit
+
+
+def test_sync_spanning_multiple_source_commits(spark, pair):
+    src, rep = pair
+    for j in range(3):
+        src.merge(
+            spark,
+            batch_df(
+                spark,
+                [("I", j * 10 + i, f"b{j}-{i}", j * 10 + i, f"v{j}{i}") for i in range(4)],
+            ),
+        )
+    src.merge(spark, batch_df(spark, [("D", 99, "b0-0", 99, None)]))
+    out = sync_to(spark, src, rep)
+    assert out["synced"] and out["src_version_from"] == 0
+    assert _state(spark, rep) == _state(spark, src)
+
+
+def test_bucket_checksums_align(spark, pair):
+    """Same bucketing on both sides → the audit drill-down compares
+    bucket-by-bucket."""
+    src, rep = pair
+    src.merge(
+        spark, batch_df(spark, [("I", i, f"c{i}", i, f"t{i}") for i in range(20)])
+    )
+    sync_to(spark, src, rep)
+    cols = [F.col("url"), F.col("text")]
+    a = {
+        r["bucket"]: r["checksum"]
+        for r in audit.bucket_checksums(src.scan(spark), "url", cols, n_buckets=8).collect()
+    }
+    b = {
+        r["bucket"]: r["checksum"]
+        for r in audit.bucket_checksums(rep.scan(spark), "url", cols, n_buckets=8).collect()
+    }
+    assert a == b
+
+
+def test_replica_ahead_raises(spark, pair, tmp_path):
+    src, rep = pair
+    src.merge(spark, batch_df(spark, [("I", 1, "k", 1, "x")]))
+    sync_to(spark, src, rep)
+    fresh = LakeTable.create(
+        str(tmp_path / "src2"), DDL, key_col="url", num_buckets=4
+    )
+    with pytest.raises(ValueError, match="ahead of source"):
+        sync_to(spark, fresh, rep)
