@@ -956,6 +956,17 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
 
 
+def doc_alpha_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing — alpha (temperature) sampling at α=0.5
+    (XLM-R §3.1 style: expected kept per source ∝ N_s^0.5, the largest
+    source kept whole). Per-row deterministic hash Bernoulli, source
+    thresholds one tiny broadcast agg (operators/sampling.py);
+    summarized as per-source kept counts."""
+    d = _t(spark, sf_dir, "documents")
+    kept = sampling.alpha_mixture_sample(d, "source", "doc_id", alpha=0.5)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def doc_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling — 20 docs per language by deterministic
     md5-hash order; the hash-threshold prefilter bounds the per-stratum
@@ -1316,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_metrics": doc_repetition_metrics,
         "doc_filter_funnel": doc_filter_funnel,
         "doc_split_counts": doc_split_counts,
+        "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
         "doc_lang_sample": doc_lang_sample,
         "doc_source_quota": doc_source_quota,
         "doc_top_tokens": doc_top_tokens,
@@ -1717,6 +1729,7 @@ def oracle_sql() -> dict[str, str]:
                             ('stopwords', n5)) AS t(stage, n_pass)
         """,
         "doc_lang_sample": _LANG_SAMPLE_SQL,
+        "doc_alpha_mixture_counts": _ALPHA_MIX_SQL,
         "doc_source_quota": """
             SELECT doc_id, source, n_chars, rank FROM (
                 SELECT doc_id, source, n_chars,
@@ -2572,6 +2585,30 @@ SELECT CASE WHEN bucket < 3686 THEN 'train'
             ELSE 'test' END AS split,
        lang, count(*) AS n_docs
 FROM b GROUP BY 1, 2
+"""
+
+# alpha mixture sampling — mirrors operators.sampling.alpha_mixture_sample
+# (α=0.5: threshold = floor((n/nmax)^-0.5 · 4096), capped at the space)
+_ALPHA_MIX_SQL = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+m AS (SELECT max(n) AS nmax FROM c),
+thr AS (
+    SELECT source,
+           least(4096, floor(pow(n::DOUBLE / (SELECT nmax FROM m), -0.5)
+                             * 4096)::INT) AS thr
+    FROM c
+),
+b AS (
+    SELECT source,
+           (strpos('0123456789abcdef', md5(cast(doc_id AS VARCHAR))[1:1]) - 1) * 256
+         + (strpos('0123456789abcdef', md5(cast(doc_id AS VARCHAR))[2:2]) - 1) * 16
+         + (strpos('0123456789abcdef', md5(cast(doc_id AS VARCHAR))[3:3]) - 1) AS bucket
+    FROM documents
+)
+SELECT b.source, count(*) AS n_kept
+FROM b JOIN thr USING (source)
+WHERE bucket < thr
+GROUP BY b.source
 """
 
 # stratified sample — mirrors operators.sampling.stratified_sample

@@ -106,3 +106,42 @@ def stratified_sample(
         .where(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def alpha_mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    space: int = _BUCKET_SPACE,
+) -> DataFrame:
+    """Alpha (temperature) mixture sampling — the multilingual-LM
+    rebalancing scheme (XLM-R §3.1 / mC4): keep source s with
+    probability p_s ∝ N_s^(α−1), normalized so the LARGEST source's
+    relative keep-rate scaling is 1 at its own size, i.e.
+
+        p_s = (N_s / N_max)^(α−1) · (N_max^(α−1)/N_max^(α−1)) → capped at 1
+        expected kept_s ∝ N_s^α
+
+    α=1 keeps everything; α→0 flattens toward equal source sizes.
+    Selection is the deterministic per-row hash-bucket Bernoulli
+    (`hash_bucket(id) < p_s·space`), so the sample is reproducible on
+    any cluster and in the DuckDB oracle. One tiny source-counts agg is
+    broadcast back; the filter is a pure projection — no data shuffle.
+    `p_s` is floored to the bucket grid (int(p·space))."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmax = F.max("_n").over(Window.partitionBy())
+    probs = counts.select(
+        source_col,
+        F.least(
+            F.lit(space),
+            F.floor(
+                F.pow(F.col("_n") / nmax, F.lit(float(alpha) - 1.0)) * space
+            ).cast("int"),
+        ).alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(probs), source_col)
+        .where(hash_bucket(F.col(id_col), space) < F.col("_thr"))
+        .drop("_thr")
+    )
