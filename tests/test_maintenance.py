@@ -1,0 +1,110 @@
+"""Maintenance policy (maintain) and partition evolution (rebucket)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.lake import LakeTable
+from tiger_etl_spark.lake.pruning import bucket_of
+
+DDL = "url string, warc_ts timestamp, text string"
+UTC = dt.timezone.utc
+
+
+def ts(i: int) -> dt.datetime:
+    return dt.datetime(2025, 5, 1, tzinfo=UTC) + dt.timedelta(seconds=i)
+
+
+def batch_df(spark, rows):
+    return spark.createDataFrame(
+        [(op, sq, u, ts(t), x) for op, sq, u, t, x in rows],
+        "op string, op_seq long, url string, warc_ts timestamp, text string",
+    )
+
+
+def _state(spark, t):
+    return sorted((r["url"], r["text"]) for r in t.scan(spark).collect())
+
+
+def test_maintain_compacts_only_over_threshold(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), DDL, key_col="url", num_buckets=2)
+    for j in range(3):
+        t.merge(spark, batch_df(spark, [("I", j * 10 + i, f"k{i}", j * 10 + i, f"v{j}") for i in range(4)]))
+    out1 = t.maintain(spark, max_delta_files_per_bucket=8)
+    assert not out1["compacted"]  # healthy: only a manifest check
+    assert all(f["kind"] == "delta" for f in t.manifest["files"])
+
+    out2 = t.maintain(spark, max_delta_files_per_bucket=2)
+    assert out2["compacted"]
+    assert all(f["kind"] == "base" for f in t.manifest["files"])
+    assert _state(spark, t) == [(f"k{i}", "v2") for i in range(4)]
+    # idempotent: nothing left to do
+    out3 = t.maintain(spark, max_delta_files_per_bucket=2)
+    assert not out3["compacted"]
+
+
+def test_maintain_expires_snapshots(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), DDL, key_col="url", num_buckets=2)
+    for j in range(8):
+        t.merge(spark, batch_df(spark, [("U", j, "k", j, f"v{j}")]))
+    t.maintain(spark, max_delta_files_per_bucket=1, keep_snapshots=2)
+    hist = t.history()
+    assert len(hist) <= 2
+    assert _state(spark, t) == [("k", "v7")]
+
+
+def test_rebucket_preserves_state_and_layout(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), DDL, key_col="url", num_buckets=2)
+    t.merge(
+        spark,
+        batch_df(spark, [("I", i, f"u{i}", i, f"v{i}") for i in range(20)]),
+    )
+    t.merge(spark, batch_df(spark, [("D", 30, "u3", 30, None)]))
+    before = _state(spark, t)
+    old_version = t.manifest["version"]
+
+    t.rebucket(spark, 8)
+    assert t.num_buckets == 8
+    assert _state(spark, t) == before
+    # files land in the NEW buckets
+    for f in t.manifest["files"]:
+        assert 0 <= f["bucket"] < 8
+    # point lookup prunes on the new bucketing
+    planned = t.plan_files(keys=["u7"])
+    assert planned and all(
+        f["bucket"] == bucket_of("u7", 8) for f in planned
+    )
+    # tombstone survived the rewrite: a LATE older event cannot resurrect
+    t.merge(spark, batch_df(spark, [("U", 2, "u3", 2, "zombie")]))
+    assert ("u3", "zombie") not in _state(spark, t)
+    # time travel still resolves under the OLD bucket count
+    old = t.at_version(old_version)
+    assert old.num_buckets == 2
+    assert sorted(
+        (r["url"], r["text"]) for r in old.scan(spark).collect()
+    ) == before
+    # merges after rebucket use the new layout and resolve correctly
+    t.merge(spark, batch_df(spark, [("U", 40, "u5", 40, "v5b")]))
+    got = dict(_state(spark, t))
+    assert got["u5"] == "v5b"
+
+
+def test_rebucket_noop_same_count(spark, tmp_path):
+    t = LakeTable.create(str(tmp_path / "t"), DDL, key_col="url", num_buckets=4)
+    t.merge(spark, batch_df(spark, [("I", 1, "a", 1, "x")]))
+    v = t.manifest["version"]
+    t.rebucket(spark, 4)
+    assert t.manifest["version"] == v
+
+
+def test_rebucket_fresh_load_sees_new_count(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakeTable.create(path, DDL, key_col="url", num_buckets=2)
+    t.merge(spark, batch_df(spark, [("I", i, f"x{i}", i, "v") for i in range(6)]))
+    t.rebucket(spark, 4)
+    t2 = LakeTable.load(path)
+    assert t2.num_buckets == 4
+    assert _state(spark, t2) == _state(spark, t)

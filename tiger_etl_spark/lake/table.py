@@ -831,3 +831,77 @@ class LakeTable:
                 os.remove(fp)
                 removed += 1
         return removed
+
+    def maintain(
+        self,
+        spark: SparkSession,
+        max_delta_files_per_bucket: int = 8,
+        keep_snapshots: int = 5,
+        tombstone_horizon=None,
+        cluster_ts: str | None = None,
+    ) -> dict:
+        """One-call maintenance policy (the Iceberg maintenance-job /
+        Timescale background-worker analog, reference retention intent
+        `model.py:379-421`): compact ONLY when some bucket's delta-file
+        count exceeds the threshold — a pure manifest check, zero I/O
+        when healthy — then expire old snapshots. Run it after every
+        N batches or on a schedule; it is idempotent and cheap when
+        there is nothing to do. Read amplification stays bounded at
+        `max_delta_files_per_bucket` resolve inputs per bucket."""
+        per_bucket: dict[int, int] = {}
+        for f in self.manifest["files"]:
+            if f["kind"] == "delta":
+                per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        worst = max(per_bucket.values(), default=0)
+        compacted = worst > max_delta_files_per_bucket
+        if compacted:
+            self.compact(
+                spark,
+                tombstone_horizon=tombstone_horizon,
+                cluster_ts=cluster_ts,
+            )
+        expired = self.expire_snapshots(keep_last=keep_snapshots)
+        return {
+            "compacted": compacted,
+            "max_delta_files_per_bucket_seen": worst,
+            "snapshots_expired_files_removed": expired,
+        }
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> MergeStats:
+        """Partition evolution (Iceberg `bucket(B)` spec change): when
+        the key population outgrows the bucket count, rewrite the whole
+        table — resolved, tombstones preserved — into `new_num_buckets`
+        base files under one snapshot-isolated commit. Readers of older
+        snapshots keep the OLD bucket count (each manifest records its
+        own `num_buckets`, and `at_version` re-derives `bucket_expr`
+        from it), so time travel and in-flight scans stay correct; the
+        next merge shuffles by the new bucketing automatically. One
+        full-table shuffle — schedule like any major compaction."""
+        if new_num_buckets == self.num_buckets:
+            return MergeStats(snapshot_id=self.manifest["snapshot_id"])
+        files = self.manifest["files"]
+        old_b = self.num_buckets
+        df = self._read_files(spark, files)
+        # resolution is per-key, independent of bucketing; switch the
+        # live manifest to the new count so bucket_expr/_write_data
+        # target the new layout
+        resolved = self._resolve(df)
+        self.manifest = dict(self.manifest)
+        self.manifest["num_buckets"] = new_num_buckets
+        new_files = self._write_data(
+            spark,
+            resolved.withColumn(_BUCKET_COL, self.bucket_expr()),
+            kind="base",
+            sort_in_bucket=True,
+        )
+        self._commit(
+            new_files,
+            {"operation": "rebucket", "from": old_b, "to": new_num_buckets},
+        )
+        return MergeStats(
+            snapshot_id=self.manifest["snapshot_id"],
+            buckets_touched=new_num_buckets,
+            files_added=len(new_files),
+            files_removed=len(files),
+            bytes_written=sum(f["bytes"] for f in new_files),
+        )
