@@ -1039,6 +1039,17 @@ def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 primitive,
+    operators/dedup.py): maximal char spans whose 20-char windows all
+    repeat somewhere in the corpus — the excise-boilerplate /
+    decontamination op. Rolling md5 windows (no Python), duplicated-hash
+    semi-join, per-doc gaps-and-islands merge; the only sort is the
+    per-document window."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(d, "doc_id", "text", k=20)
+
+
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 ranked retrieval — top-10 docs for the same
     bag-of-terms query as `doc_tfidf_search`, with document-length
@@ -1337,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": doc_length_quantiles,
         "doc_tfidf_search": doc_tfidf_search,
         "doc_bm25_search": doc_bm25_search,
+        "doc_duplicate_spans": doc_duplicate_spans,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
         "embedding_cosine_top10": embedding_cosine_top10,
@@ -1872,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_tfidf_search": _TFIDF_SQL,
         "doc_bm25_search": _BM25_SQL,
+        "doc_duplicate_spans": _DUP_SPANS_SQL,
         "embedding_ivf_top10": _IVF_SQL,
         "embedding_ann_top10": _ANN_SQL,
         "embedding_semantic_dedup": _SEMANTIC_DEDUP_SQL,
@@ -2701,6 +2714,35 @@ r3 AS (
 )
 SELECT node AS node_key, round(r, 6) AS rank
 FROM r3 ORDER BY rank DESC, node_key LIMIT 20
+"""
+
+# duplicate spans — mirrors operators.dedup.duplicate_spans (k=20)
+_DUP_SPANS_SQL = """
+WITH sh AS (
+    SELECT doc_id, g.i AS pos,
+           substring(md5(substring(text, g.i::INT, 20)), 1, 16) AS h
+    FROM documents,
+         UNNEST(generate_series(1, length(text) - 19)) AS g(i)
+    WHERE length(text) >= 20
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+dp AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                  OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS new_i
+    FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+    SELECT doc_id, pos,
+           sum(new_i) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       (max(pos) + 19)::BIGINT AS span_end,
+       (max(pos) + 19 - min(pos) + 1)::BIGINT AS span_chars
+FROM isl2 GROUP BY doc_id, island
 """
 
 # BM25 — mirrors operators.search.bm25_search (k1=1.2, b=0.75)

@@ -137,3 +137,32 @@ def test_semantic_dedup_respects_cell_boundaries(spark):
         cell_df=df,
     ).collect()
     assert dropped == []
+
+
+def test_duplicate_spans_planted(spark):
+    from tiger_etl_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    # boundary chars around the shared sentence differ between docs,
+    # so the duplicated region is EXACTLY the shared sentence
+    docs = [
+        (1, "AAAA unique prefix one(%s)unique suffix one BBBB" % shared),
+        (2, "CCCC another beginning[%s]different ending DDDD" % shared),
+        (3, "totally unrelated text with no repeated windows at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_spans(df, "doc_id", "text", k=20).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    for doc_id, text in [(1, docs[0][1]), (2, docs[1][1])]:
+        got = by_doc[doc_id]
+        assert len(got) == 1
+        s = got[0]
+        lo = text.index(shared) + 1  # 1-based
+        hi = lo + len(shared) - 1
+        # span covers the shared sentence exactly (fixed-k windows find
+        # the full extent; edges can't extend past the shared region)
+        assert s["span_start"] == lo and s["span_end"] == hi
+        assert s["span_chars"] == len(shared)

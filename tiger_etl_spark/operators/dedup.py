@@ -16,7 +16,7 @@ compares all pairs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -514,4 +514,78 @@ def simhash_pairs(
             ham.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Exact-substring duplicate spans (the Lee et al. 2022
+    "Deduplicating Training Data…" primitive, distributed): every
+    maximal character span of a document whose k-char windows ALL occur
+    more than once in the corpus. Used to excise boilerplate and
+    benchmark contamination without dropping whole documents.
+
+    Plan (all linear, all keyed):
+      1. k-char rolling windows with positions — per-row higher-order
+         functions, no shuffle, no Python;
+      2. window occurrence counts on md5 window hashes (hash agg,
+         map-side combined) → the duplicated-hash set;
+      3. semi-join windows against duplicated hashes (AQE handles the
+         skew of a globally common window);
+      4. gaps-and-islands merge per document: consecutive duplicated
+         positions ≤ k apart overlap/abut, so island starts are
+         `pos − lag(pos) > k`; islands → (span_start, span_end).
+         The only sort is per-document (partitioned window).
+
+    Suffix arrays find variable-length maximal repeats; fixed-k windows
+    find the same spans down to resolution k (a span shorter than k is
+    invisible, a real one is trimmed by < k chars at each edge) — the
+    standard large-scale approximation. Returns
+    (id, span_start 1-based, span_end inclusive, span_chars)."""
+    # sequence(1, 0) steps DOWNWARD in Spark — texts shorter than k are
+    # filtered out instead (they have no k-char window at all)
+    win = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k} + 1), "
+        f"i -> struct(i AS pos, substring(md5(substring({text_col}, i, {k})), 1, 16) AS h))"
+    )
+    shingled = (
+        df.where(F.length(text_col) >= k)
+        .select(F.col(id_col), F.explode(win).alias("w"))
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    dup_hashes = (
+        shingled.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("h")
+    )
+    dup_pos = shingled.join(dup_hashes, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup_pos.withColumn(
+            "_new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > F.lit(k), 1
+            ).otherwise(F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0)),
+        )
+        .withColumn("_island", F.sum("_new").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_chars"),
+        )
     )
