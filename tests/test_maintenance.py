@@ -108,3 +108,30 @@ def test_rebucket_fresh_load_sees_new_count(spark, tmp_path):
     t2 = LakeTable.load(path)
     assert t2.num_buckets == 4
     assert _state(spark, t2) == _state(spark, t)
+
+
+def test_bloom_filter_opt_in(spark, tmp_path):
+    """props bloom_filter=true writes parquet bloom filters on the key
+    column (row-group skipping inside the files manifest pruning keeps).
+    pyarrow 16 doesn't surface the bloom offset, so presence is checked
+    by the deterministic size delta of an identical write."""
+    rows = [("I", i, f"u{i}", i, f"v{i}") for i in range(50)]
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        DDL,
+        key_col="url",
+        num_buckets=2,
+        props={"bloom_filter": "true", "bloom_filter_ndv": "1000"},
+    )
+    t.merge(spark, batch_df(spark, rows))
+    plain = LakeTable.create(
+        str(tmp_path / "plain"), DDL, key_col="url", num_buckets=2
+    )
+    plain.merge(spark, batch_df(spark, rows))
+    by_bucket = lambda tbl: {f["bucket"]: f["bytes"] for f in tbl.manifest["files"]}
+    b, p = by_bucket(t), by_bucket(plain)
+    assert set(b) == set(p)
+    assert all(b[k] > p[k] for k in b), (b, p)  # bitmap adds bytes
+    # lookups still correct through the bloom-bearing files
+    assert t.lookup(spark, "u7").collect()[0]["text"] == "v7"
+    assert t.lookup(spark, "nope").collect() == []

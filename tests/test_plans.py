@@ -285,3 +285,35 @@ def test_topk_per_key_first_window_is_salted(spark):
     # two Window operators; the first (inner) one is keyed by the salt too
     assert plan.count("Window") >= 2, plan
     assert "_salt" in plan, plan
+
+
+def test_duplicate_spans_plan_partitioned_window_no_cartesian(spark):
+    """The span merge must sort per-document only (partitioned window),
+    the dup-hash probe must be a semi-join, and nothing may go
+    cartesian."""
+    plan = plan_of(entrymod.doc_duplicate_spans(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
+    # no global (unpartitioned) sort: every Sort lists doc_id first in
+    # its partition/order context via the Window spec
+    assert "Window" in plan
+
+
+def test_bm25_broadcasts_stats_no_cartesian(spark):
+    plan = plan_of(entrymod.doc_bm25_search(spark, SF_DIR))
+    # idf (tiny) and avgdl (1 row) broadcast; top-k never global-sorts
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_no_cartesian_no_global_sort(spark):
+    plan = plan_of(entrymod.graph_pagerank_top20(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_alpha_mixture_threshold_broadcast(spark):
+    plan = plan_of(entrymod.doc_alpha_mixture_counts(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

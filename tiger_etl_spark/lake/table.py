@@ -632,7 +632,18 @@ class LakeTable:
                 )
         elif sort_in_bucket:
             out = out.sortWithinPartitions(_BUCKET_COL, self.key_col)
-        out.write.mode("overwrite").partitionBy(*part_cols).parquet(stage)
+        writer = out.write.mode("overwrite")
+        # opt-in parquet bloom filter on the merge key: manifest pruning
+        # narrows a point lookup to one bucket's files; the bloom then
+        # skips row groups inside them without reading key pages. Off by
+        # default — the bitmap costs space on tiny files; size it via
+        # props (ndv ≈ expected keys per file at the target scale).
+        if self.manifest["props"].get("bloom_filter") == "true":
+            ndv = int(self.manifest["props"].get("bloom_filter_ndv", 100_000))
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{self.key_col}", "true"
+            ).option(f"parquet.bloom.filter.expected.ndv#{self.key_col}", str(ndv))
+        writer.partitionBy(*part_cols).parquet(stage)
 
         commit_tag = uuid.uuid4().hex[:12]
         staged: list[tuple[str, int, int]] = []  # (src, bucket, idx)
