@@ -1,0 +1,85 @@
+"""spark-submit entrypoint for lake-table maintenance.
+
+Run on a schedule beside the ingest job (the Iceberg maintenance-job
+pattern — compaction, snapshot expiry, optional bucket evolution live
+in their own job so the hot ingest path never pays for them):
+
+    spark-submit --master yarn --deploy-mode cluster \
+        --py-files dist/tiger_etl_spark.zip \
+        jobs/maintenance.py \
+        --table hdfs://…/pages \
+        --max-delta-files-per-bucket 8 --keep-snapshots 5 \
+        --cluster-ts day [--rebucket 8192]
+
+Local smoke:
+
+    python jobs/maintenance.py --table /tmp/pages --local-cores 8
+
+Prints one JSON line with what was done (compacted? files expired?
+rebucketed?) for the scheduler's logs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# local runs: repo root on sys.path (cluster runs get the package via
+# --py-files, which spark-submit adds to the path itself)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir(os.path.join(_ROOT, "tiger_etl_spark")):
+    sys.path.insert(0, _ROOT)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True, help="lake table path")
+    ap.add_argument("--max-delta-files-per-bucket", type=int, default=8)
+    ap.add_argument("--keep-snapshots", type=int, default=5)
+    ap.add_argument(
+        "--cluster-ts",
+        choices=["year", "month", "day", "hour"],
+        default=None,
+        help="time-cluster base files at compaction (bucket+window layout)",
+    )
+    ap.add_argument(
+        "--rebucket",
+        type=int,
+        default=None,
+        help="evolve the table to this bucket count (full rewrite) first",
+    )
+    ap.add_argument("--local-cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from tiger_etl_spark.lake import LakeTable
+
+    if args.local_cores is not None:
+        from tiger_etl_spark.session import get_spark
+
+        spark = get_spark("lake-maintenance", cores=args.local_cores)
+    else:  # cluster: master/executors come from spark-submit
+        spark = SparkSession.builder.appName("lake-maintenance").getOrCreate()
+    table = LakeTable.load(args.table)
+    out: dict = {"table": args.table, "version_before": table.manifest["version"]}
+    if args.rebucket is not None and args.rebucket != table.num_buckets:
+        stats = table.rebucket(spark, args.rebucket)
+        out["rebucketed_to"] = args.rebucket
+        out["rebucket_files_written"] = stats.files_added
+    out.update(
+        table.maintain(
+            spark,
+            max_delta_files_per_bucket=args.max_delta_files_per_bucket,
+            keep_snapshots=args.keep_snapshots,
+            cluster_ts=args.cluster_ts,
+        )
+    )
+    out["version_after"] = table.manifest["version"]
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
