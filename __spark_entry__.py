@@ -887,6 +887,25 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE persisted banded-signature table (normalize + 8×8 hyperplane
+    bands) feeding both the uncapped and the skew-capped LSH near-dup
+    queries — the signature stage is computed once per corpus, as it
+    would be stored at production scale."""
+    return _shared(
+        spark,
+        ("neardup_banded", sf_dir),
+        lambda: similarity.banded_signatures(
+            _t(spark, sf_dir, "embeddings"),
+            "vec_id",
+            "embedding",
+            dim=64,
+            n_bands=8,
+            rows_per_band=8,
+        ),
+    )
+
+
 def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding near-dup, 100 TB path): banded hyperplane-LSH
     candidate pruning + exact cosine verify. Deterministic planes, so the
@@ -897,7 +916,14 @@ def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the planted-pair test in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     out = similarity.neardup_pairs_lsh(
-        e, "vec_id", "embedding", threshold=0.4, dim=64, n_bands=8, rows_per_band=8
+        e,
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        dim=64,
+        n_bands=8,
+        rows_per_band=8,
+        banded=_neardup_banded(spark, sf_dir),
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -920,6 +946,7 @@ def embedding_neardup_pairs_lsh_capped(spark: SparkSession, sf_dir: str) -> Data
         n_bands=8,
         rows_per_band=8,
         bucket_cap=4,
+        banded=_neardup_banded(spark, sf_dir),
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

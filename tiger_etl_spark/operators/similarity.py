@@ -166,6 +166,69 @@ def neardup_pairs(
     )
 
 
+def _band_sig_udf(dim: int, n_bands: int, rows_per_band: int):
+    """Arrow-batched band-signature UDF: one (N×dim)@(dim×planes)
+    matmul per batch, sign bits grouped into per-band hash strings.
+    Planes derive from md5 — no broadcast random state."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _planes(n_bands * rows_per_band, dim)
+    pl_t = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+
+    @pandas_udf("array<string>")
+    def band_sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)  # (N, dim)
+        bits = (mat @ pl_t) >= 0  # (N, n_planes)
+        chars = np.where(bits, "1", "0").reshape(
+            len(mat), n_bands, rows_per_band
+        )
+        return pd.Series([["".join(band) for band in row] for row in chars])
+
+    return band_sigs
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """(id, unit-norm vec, band_id, band_hash) — the shared signature
+    stage of the banded near-dup path, exposed so callers can persist
+    ONE banded table and feed every consumer (uncapped + capped verify,
+    repeated runs): at production scale this is a stored table keyed by
+    (band_id, band_hash), not a per-query recomputation. Vectors are
+    normalized once here (norms dominate fold cost; sign bits are
+    invariant to positive scaling). Zero-norm vectors are dropped —
+    cosine is undefined for them."""
+    src = df.select(F.col(id_col), F.col(vec_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        # spread a narrow source before paying per-row plane dots
+        src = src.repartition(par)
+    base = (
+        src.withColumn("_nrm", _norm(F.col(vec_col)))
+        .where(F.col("_nrm") > 0)
+        .select(
+            id_col,
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
+            ).alias(vec_col),
+        )
+    )
+    band_sigs = _band_sig_udf(dim, n_bands, rows_per_band)
+    return base.select(
+        id_col,
+        vec_col,
+        F.posexplode(band_sigs(F.col(vec_col))).alias("band_id", "band_hash"),
+    )
+
+
 def neardup_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -175,6 +238,7 @@ def neardup_pairs_lsh(
     n_bands: int = 16,
     rows_per_band: int = 8,
     bucket_cap: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs — the 100 TB path: banded
     random-hyperplane LSH prunes candidates, exact cosine verifies.
@@ -229,49 +293,21 @@ def neardup_pairs_lsh(
     persist the input upstream if that matters. Default None keeps the
     single-pass plan — random sign-bit hashes keep buckets even unless
     the corpus carries duplicate mass."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    planes = _planes(n_bands * rows_per_band, dim)
-    pl_t = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
-    # signature folds are per-row CPU work: spread a narrow source (one
-    # small parquet file → one task) across the cluster before paying
-    # n_bands × rows_per_band plane dots per row
+    band_sigs = _band_sig_udf(dim, n_bands, rows_per_band)
     src = df.select(F.col(id_col), F.col(vec_col))
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
-    # normalize ONCE per vector (norms dominate fold cost — computing
-    # them per candidate pair would triple the verify work); signatures
-    # are sign bits, unaffected by positive scaling
-    base = (
-        src.withColumn("_nrm", _norm(F.col(vec_col)))
-        .where(F.col("_nrm") > 0)
-        .select(
-            id_col,
-            F.transform(
-                F.col(vec_col), lambda x: x.cast("double") / F.col("_nrm")
-            ).alias(vec_col),
+    if banded is None:
+        banded = banded_signatures(
+            df, id_col, vec_col, dim, n_bands, rows_per_band
         )
-    )
-    @pandas_udf("array<string>")
-    def band_sigs(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.array(list(vecs), dtype=np.float64)  # (N, dim)
-        bits = (mat @ pl_t) >= 0  # (N, n_planes)
-        chars = np.where(bits, "1", "0").reshape(
-            len(mat), n_bands, rows_per_band
-        )
-        return pd.Series(
-            [["".join(band) for band in row] for row in chars]
-        )
-
-    banded = base.select(
-        id_col,
-        vec_col,
-        F.posexplode(band_sigs(F.col(vec_col))).alias("band_id", "band_hash"),
-    )
+        count_src = None  # count pass can use raw vectors (cheaper)
+    else:
+        # caller persisted the banded table (the production pattern):
+        # the count pass reads the SAME cached artifact instead of a
+        # second raw signature evaluation
+        count_src = banded
     # Per-bucket BLAS verify instead of a band self-join + per-pair fold
     # dot: at low thresholds collisions far outnumber survivors, and an
     # interpreted 'dim'-element fold per collision dominated the query.
@@ -319,18 +355,23 @@ def neardup_pairs_lsh(
     if bucket_cap is not None:
         cap = int(bucket_cap)
         # The count pass only needs band hashes, and sign bits are
-        # invariant to positive scaling — so it runs band_sigs on the
-        # RAW vectors, skipping base's per-row normalization fold (the
-        # expensive part of the signature stage). Zero-norm rows (absent
-        # from `banded`) can only overcount a bucket, which splits it
-        # conservatively — never under-splits.
-        hot = (
-            src.select(
+        # invariant to positive scaling — so when the banded table was
+        # built in-query it runs band_sigs on the RAW vectors, skipping
+        # base's per-row normalization fold (the expensive part of the
+        # signature stage). Zero-norm rows (absent from `banded`) can
+        # only overcount a bucket, which splits it conservatively —
+        # never under-splits. With a caller-persisted `banded`, the
+        # counts read that cache directly (exact sizes, zero recompute).
+        if count_src is not None:
+            counted = count_src.select("band_id", "band_hash")
+        else:
+            counted = src.select(
                 F.posexplode(band_sigs(F.col(vec_col))).alias(
                     "band_id", "band_hash"
                 )
             )
-            .groupBy("band_id", "band_hash")
+        hot = (
+            counted.groupBy("band_id", "band_hash")
             .agg(F.count("*").alias("_bn"))
             .where(F.col("_bn") > cap)
         )
