@@ -84,3 +84,56 @@ def test_jsonl_stream_end_to_end_parity(spark, tmp_path, dirs):
 def test_bad_format_raises(spark, dirs):
     with pytest.raises(ValueError):
         read_change_batch(spark, dirs[0], "csv")
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    ev = gen_change_events(seed=13, n=N_EVENTS, n_hosts=30)
+    d = str(tmp_path_factory.mktemp("changes_warc"))
+    write_change_files(ev, d, n_files=N_FILES, file_format="warc")
+    return d
+
+
+def test_warc_decode_matches_parquet(spark, dirs, warc_dir):
+    """WARC-style header-block records decode to the identical
+    normalized rows as the parquet change files (payload bytes,
+    microsecond timestamps, both schema eras)."""
+    pq_dir, _ = dirs
+    cols = ["op", "op_seq", "url", "warc_ts", "body", "html", "lang",
+            "content_len", "schema_id"]
+
+    def norm(df):
+        return sorted(
+            (
+                tuple(
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                    for v in r
+                )
+                for r in df.select(cols).collect()
+            )
+        )
+
+    a = norm(read_change_batch(spark, pq_dir + "/*.parquet", "parquet"))
+    b = norm(read_change_batch(spark, warc_dir + "/*.warc", "warc"))
+    assert a == b
+
+
+def test_warc_stream_end_to_end_parity(spark, tmp_path, warc_dir):
+    tp = str(tmp_path / "pages_warc")
+    create_pages_table(tp, num_buckets=4)
+    res = run_stream(
+        spark,
+        warc_dir,
+        tp,
+        str(tmp_path / "ckpt_warc"),
+        max_files_per_trigger=2,
+        file_format="warc",
+    )
+    assert res.batches_applied == 3
+    expected = oracle.replay_dir(warc_dir)
+    rows = {r["url"]: r for r in LakeTable.load(tp).scan(spark).collect()}
+    assert set(rows) == set(expected)
+    for url, e in expected.items():
+        assert rows[url]["text"] == e["text"]
+        got = rows[url]["html"]
+        assert (bytes(got) if got is not None else None) == e["html"]

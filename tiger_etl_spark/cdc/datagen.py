@@ -240,6 +240,38 @@ def _slice_jsonl(ev: dict, idx: np.ndarray, schema_id: int, batch_file: str) -> 
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+def _slice_warc(ev: dict, idx: np.ndarray, schema_id: int, batch_file: str) -> str:
+    """WARC-style rendering of a change-file slice: each record a
+    header block (one `Name: value` line per field, absent fields
+    omitted), records separated by a blank line — the Common-Crawl-ish
+    text shape. Binary rides as base64, timestamps as epoch micros,
+    exactly the JSONL wire conventions."""
+    import base64
+
+    recs = []
+    for i in idx:
+        lines = ["WARC/1.0", f"WARC-Type: {ev['op'][i]}",
+                 f"WARC-Record-ID: {int(ev['op_seq'][i])}"]
+        if ev["url"][i] is not None:
+            lines.append(f"WARC-Target-URI: {ev['url'][i]}")
+        if not ev["ts_null"][i]:
+            lines.append(f"WARC-Date-US: {int(ev['warc_ts_us'][i])}")
+        html = ev["html"][i]
+        if html is not None:
+            b64 = base64.b64encode(html).decode("ascii")
+            lines.append(
+                f"Body-B64: {b64}" if schema_id == 1 else f"Html-B64: {b64}"
+            )
+        if schema_id != 1 and ev["lang"][i] is not None:
+            lines.append(f"Content-Lang: {ev['lang'][i]}")
+        if ev["content_len"][i] >= 0:
+            lines.append(f"Content-Length-Orig: {int(ev['content_len'][i])}")
+        lines.append(f"WARC-Schema-Id: {schema_id}")
+        lines.append(f"WARC-Batch-File: {batch_file}")
+        recs.append("\n".join(lines))
+    return "\n\n".join(recs)
+
+
 def write_change_files(
     ev: dict,
     out_dir: str,
@@ -253,7 +285,7 @@ def write_change_files(
     `evolution_at` (FIXTURES.md §2–§3). `file_format`: "parquet"
     (columnar change files) or "jsonl" (text-WAL tail, one JSON object
     per line, binary as base64)."""
-    if file_format not in ("parquet", "jsonl"):
+    if file_format not in ("parquet", "jsonl", "warc"):
         raise ValueError(f"unsupported change-file format: {file_format}")
     os.makedirs(out_dir, exist_ok=True)
     n = len(ev["op_seq"])
@@ -274,6 +306,9 @@ def write_change_files(
         path = os.path.join(out_dir, name)
         if file_format == "parquet":
             pq.write_table(_slice_table(ev, file_idx, schema_id, name), path)
+        elif file_format == "warc":
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(_slice_warc(ev, file_idx, schema_id, name))
         else:
             with open(path, "w", encoding="utf-8") as fh:
                 fh.write(_slice_jsonl(ev, file_idx, schema_id, name))

@@ -85,15 +85,64 @@ def _read_jsonl_rows(path: str) -> list[dict]:
     return rows
 
 
+def _read_warc_rows(path: str) -> list[dict]:
+    """WARC-style header-block records → parquet-reader-shaped row
+    dicts (same conventions as `_read_jsonl_rows`): records split on
+    the blank line, one `Name: value` header per field."""
+    import base64
+    from datetime import datetime, timedelta, timezone
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    with open(path, encoding="utf-8") as fh:
+        content = fh.read()
+    for block in content.split("\n\n"):
+        if not block.strip():
+            continue
+        hdrs: dict[str, str] = {}
+        for line in block.splitlines():
+            if ": " in line:
+                k, v = line.split(": ", 1)
+                hdrs[k] = v
+        rec: dict = {
+            "op": hdrs.get("WARC-Type"),
+            "op_seq": int(hdrs["WARC-Record-ID"]),
+            "url": hdrs.get("WARC-Target-URI"),
+            "schema_id": int(hdrs["WARC-Schema-Id"]),
+            "batch_file": hdrs.get("WARC-Batch-File"),
+            "warc_ts": (
+                epoch + timedelta(microseconds=int(hdrs["WARC-Date-US"]))
+                if "WARC-Date-US" in hdrs
+                else None
+            ),
+            "content_len": (
+                int(hdrs["Content-Length-Orig"])
+                if "Content-Length-Orig" in hdrs
+                else None
+            ),
+        }
+        if "Content-Lang" in hdrs:
+            rec["lang"] = hdrs["Content-Lang"]
+        if "Body-B64" in hdrs:
+            rec["body"] = base64.b64decode(hdrs["Body-B64"])
+        if "Html-B64" in hdrs:
+            rec["html"] = base64.b64decode(hdrs["Html-B64"])
+        rows.append(rec)
+    return rows
+
+
 def read_change_files(change_dir: str) -> list[dict]:
     events = []
     paths = sorted(
         glob.glob(os.path.join(change_dir, "*.parquet"))
         + glob.glob(os.path.join(change_dir, "*.jsonl"))
+        + glob.glob(os.path.join(change_dir, "*.warc"))
     )
     for path in paths:
         if path.endswith(".jsonl"):
             rows = _read_jsonl_rows(path)
+        elif path.endswith(".warc"):
+            rows = _read_warc_rows(path)
         else:
             rows = pq.read_table(path).to_pylist()
         for row in rows:

@@ -9,6 +9,10 @@ directory read, in either physical format.
   as epoch-microsecond longs; decoding to the normalized binary/
   timestamp columns is JVM-side (`unbase64`, `timestamp_micros`) —
   no Python in the row loop.
+- "warc": Common-Crawl-style header-block records (`Name: value`
+  lines, blank-line separated). The text reader splits records via
+  `lineSep`; each field is one codegen'd `regexp_extract`, payload
+  decode the same `unbase64` path as JSONL.
 
 Both return the same EVENTS_READ_SCHEMA column set, so everything
 downstream (validate → schema-id mapping → fused dedup+extract → MERGE)
@@ -62,6 +66,36 @@ def _decode_jsonl(df: DataFrame) -> DataFrame:
     )
 
 
+def _decode_warc(df: DataFrame) -> DataFrame:
+    """WARC-style header-block records → EVENTS_READ_SCHEMA columns.
+    One record per row (the reader splits on the blank line via
+    `lineSep`); every field is one `regexp_extract` — JVM-side,
+    whole-stage-codegen'd, no Python. Absent headers read NULL."""
+
+    def g(name: str):
+        # presence-gated: an absent header reads NULL, while a present
+        # header with an empty value reads "" (empty url / empty
+        # payload are valid wire states distinct from absent — the
+        # byte-parity test vs the parquet path pins this)
+        return F.when(
+            F.col("value").rlike(f"(?m)^{name}: "),
+            F.regexp_extract("value", f"(?m)^{name}: (.*)$", 1),
+        )
+
+    return df.where(F.length(F.trim(F.col("value"))) > 0).select(
+        g("WARC-Type").alias("op"),
+        g("WARC-Record-ID").cast("long").alias("op_seq"),
+        g("WARC-Target-URI").alias("url"),
+        F.timestamp_micros(g("WARC-Date-US").cast("long")).alias("warc_ts"),
+        F.unbase64(g("Body-B64")).alias("body"),
+        F.unbase64(g("Html-B64")).alias("html"),
+        g("Content-Lang").alias("lang"),
+        g("Content-Length-Orig").cast("long").alias("content_len"),
+        g("WARC-Schema-Id").cast("int").alias("schema_id"),
+        g("WARC-Batch-File").alias("batch_file"),
+    )
+
+
 def read_change_batch(
     spark: SparkSession, path: str, file_format: str = "parquet"
 ) -> DataFrame:
@@ -71,6 +105,8 @@ def read_change_batch(
         return spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
     if file_format == "jsonl":
         return _decode_jsonl(spark.read.schema(EVENTS_JSONL_SCHEMA).json(path))
+    if file_format == "warc":
+        return _decode_warc(spark.read.option("lineSep", "\n\n").text(path))
     raise ValueError(f"unsupported change-file format: {file_format}")
 
 
@@ -92,4 +128,7 @@ def read_change_stream(
     if file_format == "jsonl":
         src = reader.schema(EVENTS_JSONL_SCHEMA).json(change_dir)
         return _decode_jsonl(src)
+    if file_format == "warc":
+        raw = reader.option("lineSep", "\n\n").text(change_dir)
+        return _decode_warc(raw)
     raise ValueError(f"unsupported change-file format: {file_format}")

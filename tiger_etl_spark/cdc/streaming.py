@@ -49,7 +49,7 @@ def run_stream(
     """Process all currently-available change files (availableNow
     trigger: drains the backlog in bounded micro-batches, then stops —
     the batch-oriented CDC tail). Resumable: same checkpoint_dir resumes
-    from recorded offsets. `file_format`: "parquet" or "jsonl"
+    from recorded offsets. `file_format`: "parquet", "jsonl" or "warc"
     (cdc/sources.py) — identical normalized columns either way."""
     result = StreamResult()
 
