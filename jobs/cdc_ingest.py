@@ -53,6 +53,12 @@ def main() -> None:
     ap.add_argument("--watermark-hours", type=int, default=24)
     ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
+    ap.add_argument(
+        "--file-format",
+        choices=["parquet", "jsonl", "warc"],
+        default="parquet",
+        help="change-file wire format of --changes",
+    )
     ap.add_argument("--local-cores", type=int, default=0, help=">0: run local[N] (smoke)")
     args = ap.parse_args()
 
@@ -82,6 +88,7 @@ def main() -> None:
         watermark_hours=args.watermark_hours,
         merge_mode=args.merge_mode,
         compact_every=args.compact_every,
+        file_format=args.file_format,
     )
     print(
         json.dumps(
