@@ -1021,19 +1021,44 @@ def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars", "rank")
 
 
+def _tok_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE persisted (doc_id, token) stream feeding every token-level
+    consumer (heavy hitters, TF-IDF, BM25, PMI unigrams) — the corpus
+    is tokenized once per session, as a stored token table would be at
+    production scale."""
+    return _shared(
+        spark,
+        ("tok_stream", sf_dir),
+        lambda: search.tokens(_t(spark, sf_dir, "documents"), "doc_id", "text"),
+    )
+
+
+def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE persisted word-bigram stream for top-bigrams + PMI."""
+    return _shared(
+        spark,
+        ("bigram_stream", sf_dir),
+        lambda: search.ngram_stream(_t(spark, sf_dir, "documents"), "text", 2),
+    )
+
+
 def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters — top-20 tokens by occurrence count with
     document frequency (stopword mining / vocab seeding;
     operators/search.py)."""
     d = _t(spark, sf_dir, "documents")
-    return search.top_tokens(d, "doc_id", "text", k=20)
+    return search.top_tokens(
+        d, "doc_id", "text", k=20, tok=_tok_stream(spark, sf_dir)
+    )
 
 
 def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram heavy hitters — top-20 word bigrams by occurrence
     (collocation/vocab mining; operators/search.py)."""
     d = _t(spark, sf_dir, "documents")
-    return search.top_ngrams(d, "doc_id", "text", n=2, k=20)
+    return search.top_ngrams(
+        d, "doc_id", "text", n=2, k=20, ngrams=_bigram_stream(spark, sf_dir)
+    )
 
 
 def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,7 +1067,12 @@ def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (operators/search.py)."""
     d = _t(spark, sf_dir, "documents")
     return search.tfidf_search(
-        d, "doc_id", "text", terms=["vector", "merge", "stream"], k=10
+        d,
+        "doc_id",
+        "text",
+        terms=["vector", "merge", "stream"],
+        k=10,
+        tok=_tok_stream(spark, sf_dir),
     )
 
 
@@ -1084,7 +1114,12 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, never collected (operators/search.py)."""
     d = _t(spark, sf_dir, "documents")
     return search.bm25_search(
-        d, "doc_id", "text", terms=["vector", "merge", "stream"], k=10
+        d,
+        "doc_id",
+        "text",
+        terms=["vector", "merge", "stream"],
+        k=10,
+        tok=_tok_stream(spark, sf_dir),
     )
 
 
@@ -1294,7 +1329,15 @@ def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiger_etl_spark.operators import langmodel
 
     d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    return langmodel.char_lm_scores(d, "doc_id", "text")
+    model = _shared(
+        spark,
+        ("char_lm_model", sf_dir),
+        lambda: langmodel.char_bigram_model(
+            _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
+            "text",
+        ),
+    )
+    return langmodel.char_lm_scores(d, "doc_id", "text", model=model)
 
 
 def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,7 +1348,15 @@ def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed unigram joins; ordering on the rounded pmi so the k-boundary
     is deterministic."""
     d = _t(spark, sf_dir, "documents")
-    return search.bigram_pmi(d, "doc_id", "text", k=20, min_count=5)
+    return search.bigram_pmi(
+        d,
+        "doc_id",
+        "text",
+        k=20,
+        min_count=5,
+        ngrams=_bigram_stream(spark, sf_dir),
+        tok=_tok_stream(spark, sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------

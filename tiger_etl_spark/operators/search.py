@@ -34,13 +34,19 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def top_tokens(
-    df: DataFrame, id_col: str, text_col: str, k: int = 20
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus heavy hitters: top-k tokens by total occurrence count
     (ties by token). groupBy(token) combines partially map-side; the
     top-k never materializes a global sort."""
+    if tok is None:
+        tok = tokens(df, id_col, text_col)
     return (
-        tokens(df, id_col, text_col)
+        tok
         .groupBy("token")
         .agg(F.count("*").alias("occurrences"), F.countDistinct(id_col).alias("doc_freq"))
         .orderBy(F.desc("occurrences"), F.col("token"))
@@ -48,16 +54,16 @@ def top_tokens(
     )
 
 
-def top_ngrams(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20
-) -> DataFrame:
-    """Corpus n-gram heavy hitters: top-k word n-grams by occurrence
-    count (ties by ngram) — LM vocabulary / collocation mining. Same
-    explode → map-side-combined hash agg → TakeOrdered shape as
-    `top_tokens`; n-grams are built per-row with JVM higher-order
-    functions (sequence + slice), no shuffle before the aggregate."""
+def _word_arrays(text_col: str):
     toks = F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
-    toks = F.filter(toks, lambda t: t != "")
+    return F.filter(toks, lambda t: t != "")
+
+
+def ngram_stream(df: DataFrame, text_col: str, n: int = 2) -> DataFrame:
+    """One exploded (`ngram`) stream — build once, persist, and feed
+    every n-gram consumer (`top_ngrams`, `bigram_pmi`) instead of
+    re-exploding the corpus per query."""
+    toks = _word_arrays(text_col)
     cnt = F.size(toks) - (n - 1)
     grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -65,8 +71,26 @@ def top_ngrams(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+    return df.select(F.explode(grams).alias("ngram"))
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 20,
+    ngrams: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus n-gram heavy hitters: top-k word n-grams by occurrence
+    count (ties by ngram) — LM vocabulary / collocation mining. Same
+    explode → map-side-combined hash agg → TakeOrdered shape as
+    `top_tokens`; n-grams are built per-row with JVM higher-order
+    functions (sequence + slice), no shuffle before the aggregate."""
+    if ngrams is None:
+        ngrams = ngram_stream(df, text_col, n)
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        ngrams
         .groupBy("ngram")
         .agg(F.count("*").alias("occurrences"))
         .orderBy(F.desc("occurrences"), F.col("ngram"))
@@ -81,6 +105,8 @@ def bigram_pmi(
     k: int = 20,
     min_count: int = 5,
     scale: int = 6,
+    ngrams: DataFrame | None = None,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k collocations by pointwise mutual information:
     ``pmi = ln( (c_xy / N_bigram) / ((c_x / N_token) · (c_y / N_token)) )``
@@ -96,22 +122,16 @@ def bigram_pmi(
     evenly hashed, and broadcast when the vocabulary fits. The final
     top-k is TakeOrderedAndProject. Ordering is by the ROUNDED pmi so
     the k-boundary is deterministic across engines/summation orders."""
-    toks = F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT)
-    toks = F.filter(toks, lambda t: t != "")
-    cnt = F.size(toks) - 1
-    grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        )
+    toks = _word_arrays(text_col)
+    uni_src = (
+        tok.select("token") if tok is not None
+        else df.select(F.explode(toks).alias("token"))
     )
-    uni = (
-        df.select(F.explode(toks).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("c_tok"))
-    )
+    uni = uni_src.groupBy("token").agg(F.count("*").alias("c_tok"))
+    if ngrams is None:
+        ngrams = ngram_stream(df, text_col, 2)
     big = (
-        df.select(F.explode(grams).alias("ngram"))
+        ngrams
         .groupBy("ngram")
         .agg(F.count("*").alias("c_big"))
         .where(F.col("c_big") >= min_count)
@@ -161,6 +181,7 @@ def tfidf_search(
     text_col: str,
     terms: list[str],
     k: int = 10,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents for a bag-of-terms query, scored by
     sum over query terms of tf(term, doc) × ln(N / df(term)).
@@ -173,7 +194,9 @@ def tfidf_search(
     broadcast into the scoring join. Scores are rounded to 6 decimals
     for cross-engine hash stability.
     """
-    tok = tokens(df, id_col, text_col).where(F.col("token").isin(list(terms)))
+    tok = (tokens(df, id_col, text_col) if tok is None else tok).where(
+        F.col("token").isin(list(terms))
+    )
     n_docs = df.count()
     tf = tok.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     idf = (
@@ -198,6 +221,7 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents under Okapi BM25 (Robertson/Sparck Jones):
 
@@ -211,7 +235,7 @@ def bm25_search(
     filtering still happens before the tf aggregation, so the scoring
     shuffle is query-term occurrences, not the corpus. Deterministic
     double math mirrored by the DuckDB oracle."""
-    tok_all = tokens(df, id_col, text_col)
+    tok_all = tokens(df, id_col, text_col) if tok is None else tok
     n_docs = df.count()
     dl = tok_all.groupBy(id_col).agg(F.count("*").alias("dl"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
