@@ -141,3 +141,72 @@ def test_quarantine_fixture_rates(tmp_path):
             ties += 1
         seen[k] = e["op_seq"]
     assert ties > 0
+
+
+# ---------------------------------------------- pruning equivalence
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(event_st, min_size=1, max_size=20),
+    split=st.integers(min_value=1, max_value=3),
+    win=st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ),
+    compact_at=st.integers(min_value=0, max_value=3),
+)
+def test_pruned_scan_equals_filtered_full_scan(spark, tmp_path_factory, events, split, win, compact_at):
+    """For ANY event interleaving, batch split, compaction point and
+    time window: scan(ts_range=...) == scan().where(between) — file
+    pruning may never change answers (incl. the stale-resurface case
+    where a newer out-of-window version must still suppress an
+    in-window older row)."""
+    from pyspark.sql import functions as F
+
+    from tiger_etl_spark.lake import LakeTable
+
+    lo, hi = sorted([win[0], win[1]])
+    lo_ts, hi_ts = (
+        BASE + dt.timedelta(seconds=lo),
+        BASE + dt.timedelta(seconds=hi),
+    )
+    t = LakeTable.create(
+        str(tmp_path_factory.mktemp("pr") / "t"),
+        "url string, warc_ts timestamp, text string",
+        key_col="url",
+        num_buckets=2,
+    )
+    rows = [
+        (op, i + 1, url, BASE + dt.timedelta(seconds=ts), payload.hex())
+        for i, (op, url, ts, payload) in enumerate(events)
+    ]
+    n_batches = min(split, len(rows))
+    for bi in range(n_batches):
+        chunk = rows[bi::n_batches]
+        if not chunk:
+            continue
+        t.merge(
+            spark,
+            spark.createDataFrame(
+                chunk,
+                "op string, op_seq long, url string, warc_ts timestamp, text string",
+            ),
+        )
+        if bi == compact_at:
+            t.compact(spark)
+    full = sorted(
+        (r["url"], r["text"])
+        for r in t.scan(spark)
+        .where(F.col("warc_ts").between(lo_ts, hi_ts))
+        .collect()
+    )
+    pruned = sorted(
+        (r["url"], r["text"])
+        for r in t.scan(spark, ts_range=(lo_ts, hi_ts)).collect()
+    )
+    assert pruned == full
