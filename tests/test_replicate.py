@@ -126,3 +126,32 @@ def test_replica_ahead_raises(spark, pair, tmp_path):
     )
     with pytest.raises(ValueError, match="ahead of source"):
         sync_to(spark, fresh, rep)
+
+
+def test_partial_source_replicates_explicit_nulls(spark, tmp_path):
+    """A partial-policy source resolves columns itself; the replica
+    applies full-row states. An explicit NULL produced on the source
+    (a D+I recreate without the column) must reach the replica as NULL,
+    not be coalesced back to the old value."""
+    ddl = "url string, warc_ts timestamp, a string, b string"
+    src = LakeTable.create(
+        str(tmp_path / "src"), ddl, key_col="url", num_buckets=2,
+        merge_policy="partial",
+    )
+    rep = create_replica(src, str(tmp_path / "rep"))
+    assert rep.merge_policy == "lww"
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "op string, op_seq long, url string, warc_ts timestamp, a string, b string"
+        )
+
+    src.merge(spark, b([("I", 1, "k", ts(1), "a1", "b1")]))
+    sync_to(spark, src, rep)
+    # recreate the key with column b absent → source state has b NULL
+    src.merge(spark, b([("D", 2, "k", ts(2), None, None)]))
+    src.merge(spark, b([("I", 3, "k", ts(3), "a2", None)]))
+    sync_to(spark, src, rep)
+    s = {r["url"]: (r["a"], r["b"]) for r in src.scan(spark).collect()}
+    r = {r["url"]: (r["a"], r["b"]) for r in rep.scan(spark).collect()}
+    assert s == r == {"k": ("a2", None)}

@@ -71,12 +71,17 @@ def sync_to(spark: SparkSession, source: LakeTable, replica: LakeTable) -> dict:
 def create_replica(source: LakeTable, path: str) -> LakeTable:
     """An empty replica with the source's schema/key/bucketing — same
     bucket count and hash, so future co-located bucket joins and
-    `audit.bucket_checksums` drill-downs line up file-for-file."""
+    `audit.bucket_checksums` drill-downs line up file-for-file.
+
+    The replica is ALWAYS whole-row LWW, even for a `partial`-policy
+    source: CDF rows are full current states (column resolution already
+    happened on the source), so a column-coalescing apply would wrongly
+    resurrect old values where the source holds an explicit NULL."""
     return LakeTable.create(
         path,
         source.schema_ddl,
         key_col=source.key_col,
         order_cols=tuple(source.manifest["order_cols"]),
         num_buckets=source.num_buckets,
-        merge_policy=source.merge_policy,
+        merge_policy="lww",
     )

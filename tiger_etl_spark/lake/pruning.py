@@ -121,11 +121,16 @@ def _file_ts_overlaps(f: dict, ts_col: str, lo, hi) -> bool:
     return True
 
 
-def _file_may_contain_key(f: dict, key_col: str, keys: list[str]) -> bool:
+def _file_may_contain_key(f: dict, key_col: str, keys: list) -> bool:
     mn = f.get("min", {}).get(key_col)
     mx = f.get("max", {}).get(key_col)
     if mn is None or mx is None:
         return True
+    if not all(
+        isinstance(k, str) and isinstance(mn, str) and isinstance(mx, str)
+        for k in keys
+    ):
+        return True  # non-string key vs recorded bounds: cannot prove
     return any(mn <= k <= mx for k in keys)
 
 
