@@ -135,3 +135,28 @@ def test_bloom_filter_opt_in(spark, tmp_path):
     # lookups still correct through the bloom-bearing files
     assert t.lookup(spark, "u7").collect()[0]["text"] == "v7"
     assert t.lookup(spark, "nope").collect() == []
+
+
+def test_concurrent_merge_retry(spark, tmp_path):
+    """Two writer handles race: the stale handle's commit fails, its
+    orphaned data files are cleaned up, and merge_with_retry replays
+    the batch onto the newer snapshot — both batches' effects land."""
+    from tiger_etl_spark.lake.table import merge_with_retry
+
+    path = str(tmp_path / "t")
+    t1 = LakeTable.create(path, DDL, key_col="url", num_buckets=2)
+    t2 = LakeTable.load(path)
+    t1.merge(spark, batch_df(spark, [("I", 1, "a", 1, "from-w1")]))
+
+    b2 = batch_df(spark, [("I", 2, "b", 2, "from-w2")])
+    import os as _os
+    n_before = len(_os.listdir(_os.path.join(path, "data")))
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t2.merge(spark, b2)  # stale handle loses the race
+    # losing attempt left no orphan files behind
+    assert len(_os.listdir(_os.path.join(path, "data"))) == n_before
+
+    stats = merge_with_retry(spark, path, b2)
+    assert stats.rows_upserted == 1
+    final = _state(spark, LakeTable.load(path))
+    assert final == [("a", "from-w1"), ("b", "from-w2")]

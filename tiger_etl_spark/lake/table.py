@@ -511,7 +511,18 @@ class LakeTable:
             self.manifest = dict(
                 self.manifest, props={**self.manifest["props"], **props_updates}
             )
-        self._commit(kept + new_files, summary)
+        try:
+            self._commit(kept + new_files, summary)
+        except RuntimeError:
+            # lost an optimistic-concurrency race: the snapshot on disk
+            # is untouched, so remove THIS attempt's staged data files
+            # (they are referenced by no manifest) and let the caller
+            # reload + retry (`merge_with_retry`)
+            for f in new_files:
+                fp = self._abs(f["path"])
+                if os.path.exists(fp):
+                    os.remove(fp)
+            raise
         return MergeStats(
             snapshot_id=self.manifest["snapshot_id"],
             rows_upserted=sum(f["rows"] for f in new_files),
@@ -916,3 +927,32 @@ class LakeTable:
             files_removed=len(files),
             bytes_written=sum(f["bytes"] for f in new_files),
         )
+
+
+def merge_with_retry(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    retries: int = 3,
+    **merge_kwargs,
+) -> MergeStats:
+    """Optimistic multi-writer merge (the Iceberg commit-retry loop):
+    reload the table at its current snapshot and merge; when the commit
+    loses the single-writer race (another commit moved the pointer
+    between load and commit), the losing attempt's data files are
+    already cleaned up by `merge()` — reload and try again. Safe
+    because a MERGE batch is a set of change events: replaying it onto
+    the NEWER snapshot yields the same LWW outcome regardless of which
+    writer won the race."""
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        table = LakeTable.load(path)
+        try:
+            return table.merge(spark, batch, **merge_kwargs)
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                raise
+            last = e
+    raise RuntimeError(
+        f"merge gave up after {retries + 1} attempts: {last}"
+    )
