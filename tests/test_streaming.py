@@ -105,3 +105,48 @@ def test_compact_every(spark, tmp_path, change_dir):
     # last compaction ran at batch 4 of 5 → at most one delta generation
     n_delta = sum(1 for f in t.manifest["files"] if f["kind"] == "delta")
     assert n_delta <= 8
+
+
+def test_applied_batch_bookkeeping_is_bounded(spark, tmp_path):
+    """The exactly-once ledger must not grow with stream length: recent
+    ids stay in the window (snapshot correlation), older ids collapse
+    into the high-watermark — and replays of BOTH kinds are skipped."""
+    from tiger_etl_spark.cdc.datagen import gen_change_events, write_change_files
+    from tiger_etl_spark.cdc.pipeline import (
+        APPLIED_WINDOW,
+        apply_changes,
+        applied_batches_update,
+        batch_applied,
+        create_pages_table,
+    )
+    from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+
+    # ledger math: window stays bounded over an arbitrarily long stream
+    props: dict = {}
+    for i in range(APPLIED_WINDOW * 3):
+        applied = props.get("applied_batches", {})
+        props.update(applied_batches_update(props, applied, i, i + 1))
+    assert len(props["applied_batches"]) <= APPLIED_WINDOW
+    assert int(props["applied_batch_hwm"]) == APPLIED_WINDOW * 3 - 1
+    for i in range(APPLIED_WINDOW * 3):
+        assert batch_applied(props, i), i  # incl. ids trimmed from the dict
+    assert not batch_applied(props, APPLIED_WINDOW * 3)
+
+    # end-to-end: a replayed batch whose id fell below the watermark is
+    # skipped without touching the table
+    d = str(tmp_path / "ch")
+    ev = gen_change_events(seed=21, n=400, n_hosts=10)
+    write_change_files(ev, d, n_files=2)
+    import glob as g
+
+    paths = sorted(g.glob(d + "/*.parquet"))
+    events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(paths[0])
+    table = create_pages_table(str(tmp_path / "t"), num_buckets=2)
+    apply_changes(spark, table, events, batch_id=0)
+    # simulate a long-gone ledger: watermark advanced far past batch 0,
+    # dict trimmed
+    table.update_props({"applied_batches": {}, "applied_batch_hwm": 500})
+    v = table.manifest["version"]
+    rec = apply_changes(spark, table, events, batch_id=0)
+    assert rec.rows_in == 0
+    assert table.manifest["version"] == v  # no commit happened

@@ -120,6 +120,36 @@ def _fused_dedup_extract(table: LakeTable, mapped: DataFrame) -> DataFrame:
     )
 
 
+# Applied-batch bookkeeping is BOUNDED: Structured Streaming delivers
+# micro-batch ids in increasing order per checkpoint and can only ever
+# re-deliver batches at/after the last un-checkpointed one, so "id <=
+# high-watermark" proves applied without keeping every id. The props
+# carry the watermark plus a recent-ids window (snapshot-id correlation
+# for replay diagnostics); without the trim a 10^10-event stream's
+# manifest would grow by one entry per batch and be rewritten per
+# commit — O(n^2) manifest I/O over the stream's life.
+APPLIED_WINDOW = 64
+
+
+def batch_applied(props: dict, batch_id: int) -> bool:
+    if str(batch_id) in props.get("applied_batches", {}):
+        return True
+    hwm = props.get("applied_batch_hwm")
+    return hwm is not None and batch_id <= int(hwm)
+
+
+def applied_batches_update(
+    props: dict, applied: dict, batch_id: int, snapshot_id: int
+) -> dict:
+    new = {**applied, str(batch_id): snapshot_id}
+    hwm = max(
+        int(props.get("applied_batch_hwm", -1)),
+        max(int(k) for k in new),
+    )
+    trimmed = {k: v for k, v in new.items() if int(k) > hwm - APPLIED_WINDOW}
+    return {"applied_batches": trimmed, "applied_batch_hwm": hwm}
+
+
 def apply_changes(
     spark: SparkSession,
     table: LakeTable,
@@ -131,7 +161,7 @@ def apply_changes(
     """Apply one bounded batch of raw change events. `events` has the
     superset read schema (cdc.schemas.EVENTS_READ_SCHEMA)."""
     applied = table.props.get("applied_batches", {})
-    if str(batch_id) in applied:
+    if batch_applied(table.props, batch_id):
         # exactly-once: replayed batch (restart between data commit and
         # checkpoint commit) — skip without touching the table
         return LineageRecord(
@@ -238,9 +268,8 @@ def apply_changes(
         if prev_wm is not None and (high_wm is None or str(high_wm) < prev_wm):
             high_wm = prev_wm  # watermark never regresses
         return {
-            "applied_batches": {
-                **applied, str(batch_id): table.manifest["snapshot_id"] + 1
-            },
+            **applied_batches_update(table.props, applied, batch_id,
+                                     table.manifest["snapshot_id"] + 1),
             "high_watermark": str(high_wm) if high_wm else None,
         }
 

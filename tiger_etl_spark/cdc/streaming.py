@@ -22,6 +22,7 @@ from tiger_etl_spark.cdc.pipeline import (
     WATERMARK_HOURS_DEFAULT,
     LineageRecord,
     apply_changes,
+    batch_applied,
 )
 from tiger_etl_spark.cdc.sources import read_change_stream
 from tiger_etl_spark.lake import LakeTable
@@ -65,7 +66,7 @@ def run_stream(
 
     def handle(batch_df, batch_id: int):
         table = cache.pop("table", None) or LakeTable.load(table_path)
-        if str(batch_id) in table.props.get("applied_batches", {}):
+        if batch_applied(table.props, batch_id):
             result.batches_skipped += 1
             cache["table"] = table
             return
