@@ -136,3 +136,30 @@ def test_compaction_preserves_parity(spark, applied, change_dir):
     table, _ = applied
     table.compact(spark)
     assert_final_state_matches_oracle(spark, table, change_dir)
+
+
+def test_ingest_enrichment_columns(spark, tmp_path, change_dir):
+    """Derived columns (enrich_ddl + enrichers) materialize at ingest on
+    the fused winners-only path; base-column parity is unaffected."""
+    table = create_pages_table(
+        str(tmp_path / "pages_enriched"),
+        num_buckets=4,
+        enrich_ddl="n_tokens long, text_sha string",
+    )
+    enrichers = {
+        "n_tokens": F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.trim(F.col("text")), "\\s+")),
+        ).cast("long"),
+        "text_sha": F.sha2(F.coalesce(F.col("text"), F.lit("")), 256),
+    }
+    for i, path in enumerate(sorted(glob.glob(os.path.join(change_dir, "*.parquet")))):
+        events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
+        apply_changes(spark, table, events, batch_id=i, enrichers=enrichers)
+    assert_final_state_matches_oracle(spark, table, change_dir)
+    import hashlib
+
+    for r in table.scan(spark).collect():
+        if r["text"] is not None:
+            assert r["n_tokens"] == len(r["text"].split())
+            assert r["text_sha"] == hashlib.sha256(r["text"].encode()).hexdigest()

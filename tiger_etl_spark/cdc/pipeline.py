@@ -53,9 +53,17 @@ class LineageRecord:
 
 
 def create_pages_table(
-    path: str, num_buckets: int = 16, write_salts: int = 1
+    path: str,
+    num_buckets: int = 16,
+    write_salts: int = 1,
+    enrich_ddl: str | None = None,
 ) -> LakeTable:
+    """`enrich_ddl` appends derived columns (e.g. "quality double,
+    n_tokens long") to the table schema; fill them at ingest via
+    `apply_changes(enrichers=...)`."""
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in PAGES_SCHEMA.fields)
+    if enrich_ddl:
+        ddl = f"{ddl}, {enrich_ddl}"
     return LakeTable.create(
         path,
         ddl,
@@ -66,7 +74,9 @@ def create_pages_table(
     )
 
 
-def _fused_dedup_extract(table: LakeTable, mapped: DataFrame) -> DataFrame:
+def _fused_dedup_extract(
+    table: LakeTable, mapped: DataFrame, enrichers: dict | None = None
+) -> DataFrame:
     """The hot path, one shuffle total (SURVEY.md §3 steps 3–5 fused):
 
       repartition(num_buckets, url)        — the ONLY exchange; partition
@@ -107,7 +117,7 @@ def _fused_dedup_extract(table: LakeTable, mapped: DataFrame) -> DataFrame:
         .agg(F.max_by(F.struct(*payload), order).alias("_w"))
         .select("url", "_w.*")
     )
-    return winners.select(
+    out = winners.select(
         "url",
         "warc_ts",
         "html",
@@ -118,6 +128,14 @@ def _fused_dedup_extract(table: LakeTable, mapped: DataFrame) -> DataFrame:
         "_deleted",
         table.bucket_expr().alias("_bucket"),
     )
+    if enrichers:
+        # derived columns materialized at ingest (quality scores, token
+        # counts, fingerprints): computed on WINNERS only, inside the
+        # same bucket-aligned stage — no extra shuffle, losers never
+        # pay, and scans filter on the stored column instead of
+        # recomputing (the CCNet/RefinedWeb "score at ingest" pattern)
+        out = out.withColumns(dict(enrichers))
+    return out
 
 
 # Applied-batch bookkeeping is BOUNDED: Structured Streaming delivers
@@ -157,9 +175,14 @@ def apply_changes(
     batch_id: int,
     watermark_hours: int = WATERMARK_HOURS_DEFAULT,
     merge_mode: str = "mor",
+    enrichers: dict | None = None,
 ) -> LineageRecord:
     """Apply one bounded batch of raw change events. `events` has the
-    superset read schema (cdc.schemas.EVENTS_READ_SCHEMA)."""
+    superset read schema (cdc.schemas.EVENTS_READ_SCHEMA).
+
+    `enrichers`: name → Column over (url, warc_ts, html, text, lang,
+    content_len), materialized into matching `enrich_ddl` table columns
+    at ingest (winners only on the fused path)."""
     applied = table.props.get("applied_batches", {})
     if batch_applied(table.props, batch_id):
         # exactly-once: replayed batch (restart between data commit and
@@ -275,7 +298,7 @@ def apply_changes(
 
     try:
         if merge_mode == "mor" and table.merge_policy == "lww":
-            batch = _fused_dedup_extract(table, mapped)
+            batch = _fused_dedup_extract(table, mapped, enrichers)
             stats = table.merge(
                 spark, batch, mode="mor", prepared=True, props_updates_fn=commit_props
             )
@@ -291,6 +314,8 @@ def apply_changes(
             ).select(
                 "op", "op_seq", "url", "warc_ts", "html", "text", "lang", "content_len"
             )
+            if enrichers:
+                batch = batch.withColumns(dict(enrichers))
             stats = table.merge(
                 spark, batch, mode=merge_mode, props_updates_fn=commit_props
             )
