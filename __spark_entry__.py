@@ -1337,7 +1337,11 @@ def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         ),
     )
-    return langmodel.char_lm_scores(d, "doc_id", "text", model=model)
+    # same-corpus model: every scored bigram is in it, so the unseen
+    # penalty can never fire — any finite value satisfies the API guard
+    return langmodel.char_lm_scores(
+        d, "doc_id", "text", model=model, unseen_logp=-999.0
+    )
 
 
 def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:

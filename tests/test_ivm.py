@@ -97,3 +97,39 @@ def test_compaction_keeps_view_correct(spark, tmp_path):
     stats = view.refresh(spark, table)
     assert stats["refreshed"]
     assert _view_state(spark, view) == _recompute(spark, table, "lang")
+
+
+def test_refresh_falls_back_after_snapshot_expiry(spark, tmp_path):
+    """A view whose base snapshot was expired recomputes fully instead
+    of wedging on the missing manifest."""
+    import datetime as dt
+
+    from tiger_etl_spark.lake import LakeTable
+
+    UTC = dt.timezone.utc
+
+    def ts(i):
+        return dt.datetime(2025, 7, 1, tzinfo=UTC) + dt.timedelta(seconds=i)
+
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp, lang string",
+        key_col="url",
+        num_buckets=2,
+    )
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows, "op string, op_seq long, url string, warc_ts timestamp, lang string"
+        )
+
+    t.merge(spark, b([("I", i + 1, f"u{i}", ts(i), "en") for i in range(4)]))
+    view = IncrementalCountView(str(tmp_path / "v"), "lang")
+    view.refresh(spark, t)
+    for j in range(7):
+        t.merge(spark, b([("I", 10 + j, f"w{j}", ts(10 + j), "de")]))
+    t.expire_snapshots(keep_last=1)
+    out = view.refresh(spark, t)
+    assert out["refreshed"]
+    got = {r["lang"]: r["n_rows"] for r in view.read(spark).collect()}
+    assert got == {"en": 4, "de": 7}

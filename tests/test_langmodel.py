@@ -39,5 +39,37 @@ def test_external_model_scores_new_docs(spark):
     )
     model = langmodel.char_bigram_model(train, "text")
     new = spark.createDataFrame([(9, "hello")], "doc_id long, text string")
-    out = langmodel.char_lm_scores(new, "doc_id", "text", model=model).collect()
+    out = langmodel.char_lm_scores(
+        new, "doc_id", "text", model=model, unseen_logp=-50.0
+    ).collect()
     assert len(out) == 1 and out[0]["n_bigrams"] == 4
+
+
+def test_external_model_scores_unseen_bigrams(spark):
+    """A document whose bigrams the stored model never saw must get the
+    penalty score, not silently vanish from the filter's view."""
+    import pytest as _pt
+
+    from tiger_etl_spark.operators.langmodel import (
+        char_bigram_model,
+        char_lm_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "aaab"), (2, "abab")], "doc_id long, text string"
+    )
+    model = char_bigram_model(train, "text")
+    new = spark.createDataFrame(
+        [(10, "abab"), (11, "zzzz")], "doc_id long, text string"
+    )
+    with _pt.raises(ValueError, match="unseen_logp"):
+        char_lm_scores(new, "doc_id", "text", model=model)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in char_lm_scores(
+            new, "doc_id", "text", model=model, unseen_logp=-50.0
+        ).collect()
+    }
+    assert 11 in got  # all-novel doc present...
+    assert got[11] == (3, -50.0)  # ...at the penalty floor
+    assert got[10][1] > -50.0  # seen bigrams score from the model

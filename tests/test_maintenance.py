@@ -160,3 +160,21 @@ def test_concurrent_merge_retry(spark, tmp_path):
     assert stats.rows_upserted == 1
     final = _state(spark, LakeTable.load(path))
     assert final == [("a", "from-w1"), ("b", "from-w2")]
+
+
+def test_rebucket_lost_race_cleans_up(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t1 = LakeTable.create(path, DDL, key_col="url", num_buckets=2)
+    t1.merge(spark, batch_df(spark, [("I", i, f"k{i}", i, "v") for i in range(6)]))
+    t2 = LakeTable.load(path)
+    t1.merge(spark, batch_df(spark, [("I", 10, "extra", 10, "v")]))
+    import os as _os
+    n_before = len(_os.listdir(_os.path.join(path, "data")))
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t2.rebucket(spark, 8)  # stale handle loses the race
+    assert len(_os.listdir(_os.path.join(path, "data"))) == n_before
+    # the handle is restored to the published bucketing, not half-moved
+    assert t2.num_buckets == 2
+    fresh = LakeTable.load(path)
+    assert fresh.num_buckets == 2
+    assert len(_state(spark, fresh)) == 7

@@ -155,3 +155,26 @@ def test_partial_source_replicates_explicit_nulls(spark, tmp_path):
     s = {r["url"]: (r["a"], r["b"]) for r in src.scan(spark).collect()}
     r = {r["url"]: (r["a"], r["b"]) for r in rep.scan(spark).collect()}
     assert s == r == {"k": ("a2", None)}
+
+
+def test_full_resync_after_source_snapshot_expiry(spark, pair):
+    """When snapshot retention outpaces the sync cadence, sync_to falls
+    back to a state diff against the replica — including deletes."""
+    src, rep = pair
+    src.merge(
+        spark, batch_df(spark, [("I", i, f"e{i}", i, f"v{i}") for i in range(8)])
+    )
+    sync_to(spark, src, rep)
+    for j in range(6):  # many commits, incl. a delete
+        src.merge(spark, batch_df(spark, [("U", 50 + j, f"e{j}", 50 + j, f"w{j}")]))
+    src.merge(spark, batch_df(spark, [("D", 99, "e7", 99, None)]))
+    src.expire_snapshots(keep_last=1)  # replica's v1 manifest is gone
+    out = sync_to(spark, src, rep)
+    assert out["synced"] and out["full_resync"]
+    assert _state(spark, rep) == _state(spark, src)
+    assert "e7" not in {u for u, *_ in _state(spark, rep)}
+    # subsequent syncs are incremental again
+    src.merge(spark, batch_df(spark, [("I", 120, "e9", 120, "v9")]))
+    out2 = sync_to(spark, src, rep)
+    assert out2["synced"] and not out2["full_resync"]
+    assert _state(spark, rep) == _state(spark, src)

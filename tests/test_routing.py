@@ -104,3 +104,23 @@ def test_strict_mode_flags_unrouted(spark, tmp_path, stream):
             spark, routes, _routed_events(spark, p), "dest", batch_id=0,
             txn_dir=str(tmp_path / "txn"), strict=True,
         )
+
+
+def test_strict_raises_on_null_route_key(spark, tmp_path, stream):
+    p = sorted(glob.glob(os.path.join(stream, "*.parquet")))[0]
+    ev = spark.read.schema(EVENTS_READ_SCHEMA).parquet(p).withColumn(
+        "dest",
+        F.when(F.crc32(F.col("url")) % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("a")),
+    )
+    routes = {"a": create_pages_table(str(tmp_path / "ta"), num_buckets=2)}
+    with pytest.raises(ValueError, match="unrouted"):
+        route_changes(
+            spark,
+            routes,
+            ev,
+            table_col="dest",
+            batch_id=0,
+            txn_dir=str(tmp_path / "txn"),
+            strict=True,
+        )

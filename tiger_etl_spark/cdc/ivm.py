@@ -94,7 +94,13 @@ class IncrementalCountView:
         if meta is None:
             dirty: set[int] | None = None  # first refresh: full compute
         else:
-            dirty = dirty_buckets_between(base, meta["base_version"], v_to)
+            try:
+                dirty = dirty_buckets_between(base, meta["base_version"], v_to)
+            except FileNotFoundError:
+                # the view's base snapshot was expired (maintenance ran
+                # more often than refresh): the manifest diff is gone,
+                # so fall back to a full recompute instead of wedging
+                dirty = None
 
         snap = base.scan(spark).withColumn(_BUCKET, base.bucket_expr())
         if dirty is not None:
@@ -102,20 +108,28 @@ class IncrementalCountView:
         fresh = snap.groupBy(_BUCKET, self.group_col).agg(
             F.count(F.lit(1)).alias("n_rows")
         )
-        if meta is not None and dirty:
+        if dirty is None:
+            out = fresh  # full recompute: first refresh OR expired base
+        elif dirty:
             carried = self._partials(spark, meta).where(
                 ~F.col(_BUCKET).isin(*dirty)
             )
             out = carried.unionByName(fresh)
-        elif meta is not None:
-            out = self._partials(spark, meta)
         else:
-            out = fresh
+            out = self._partials(spark, meta)
 
         new_version = (meta["view_version"] + 1) if meta else 0
         dest = os.path.join(self.path, f"v{new_version}.parquet")
         tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
         out.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dest):
+            # leftover of a crash between this write and the _meta
+            # pointer below — _meta still names the previous version, so
+            # the orphan is referenced by nothing and os.replace onto a
+            # non-empty dir would fail (ENOTEMPTY) on every retry
+            import shutil
+
+            shutil.rmtree(dest)
         os.replace(tmp, dest)
         _atomic_write(
             os.path.join(self.path, "_meta"),

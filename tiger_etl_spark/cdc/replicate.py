@@ -49,20 +49,61 @@ def sync_to(spark: SparkSession, source: LakeTable, replica: LakeTable) -> dict:
             f"replica is ahead of source ({v_from} > {v_to}) — "
             "was the source table recreated?"
         )
-    ch = source.changes_between(spark, v_from, v_to)
     key = source.key_col
-    payload = [c for c in ch.columns if c not in ("_change_op", key)]
-    batch = ch.select(
-        F.col("_change_op").alias("op"),
-        F.lit(v_to).cast("long").alias("op_seq"),
-        F.col(key),
-        *[F.col(c) for c in payload],
-    )
+    full_resync = False
+    try:
+        ch = source.changes_between(spark, v_from, v_to)
+        payload = [c for c in ch.columns if c not in ("_change_op", key)]
+        batch = ch.select(
+            F.col("_change_op").alias("op"),
+            F.lit(v_to).cast("long").alias("op_seq"),
+            F.col(key),
+            *[F.col(c) for c in payload],
+        )
+    except FileNotFoundError:
+        # the last-synced snapshot was expired on the source (snapshot
+        # retention outpaced the sync cadence): the incremental diff is
+        # gone, so diff against the REPLICA instead — every current
+        # source row as U plus a D for each replica key the source no
+        # longer has. Same one bucket-aligned join, full state volume.
+        full_resync = True
+        cur = source.scan(spark)
+        payload = [c for c in cur.columns if c != key]
+        ups = cur.select(
+            F.lit("U").alias("op"),
+            F.lit(v_to).cast("long").alias("op_seq"),
+            F.col(key),
+            *[F.col(c) for c in payload],
+        )
+        # the tombstone must WIN last-writer-wins against the replica's
+        # current row: carry that row's own order columns (event time),
+        # so the tie breaks on op_seq = v_to, which exceeds any
+        # previously-synced op_seq
+        order_cols = set(source.manifest["order_cols"])
+        dels = (
+            replica.scan(spark)
+            .join(cur.select(key), key, "left_anti")
+            .select(
+                F.lit("D").alias("op"),
+                F.lit(v_to).cast("long").alias("op_seq"),
+                F.col(key),
+                *[
+                    (
+                        F.col(c)
+                        if c in order_cols
+                        else F.lit(None).cast(cur.schema[c].dataType)
+                    ).alias(c)
+                    for c in payload
+                ],
+            )
+        )
+        batch = ups.unionByName(dels, allowMissingColumns=False)
     stats = replica.merge(spark, batch, props_updates={_PROP: v_to})
     return {
         "src_version_from": v_from,
         "src_version_to": v_to,
         "synced": True,
+        "full_resync": full_resync,
         "rows_upserted": stats.rows_upserted,
         "rows_deleted": stats.rows_deleted,
     }

@@ -50,8 +50,13 @@ def route_changes(
     """
     if strict:
         known = [F.lit(k) for k in routes]
+        # NULL route keys: `~isin` evaluates to NULL (filtered out, not
+        # caught) — test NULL explicitly or those events silently match
+        # no destination filter either
         stray = (
-            events.where(~F.col(table_col).isin(*known))
+            events.where(
+                F.col(table_col).isNull() | ~F.col(table_col).isin(*known)
+            )
             .select(table_col)
             .limit(1)
             .collect()

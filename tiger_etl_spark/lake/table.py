@@ -908,18 +908,35 @@ class LakeTable:
         # live manifest to the new count so bucket_expr/_write_data
         # target the new layout
         resolved = self._resolve(df)
+        old_manifest = self.manifest
         self.manifest = dict(self.manifest)
         self.manifest["num_buckets"] = new_num_buckets
-        new_files = self._write_data(
-            spark,
-            resolved.withColumn(_BUCKET_COL, self.bucket_expr()),
-            kind="base",
-            sort_in_bucket=True,
-        )
-        self._commit(
-            new_files,
-            {"operation": "rebucket", "from": old_b, "to": new_num_buckets},
-        )
+        try:
+            new_files = self._write_data(
+                spark,
+                resolved.withColumn(_BUCKET_COL, self.bucket_expr()),
+                kind="base",
+                sort_in_bucket=True,
+            )
+            try:
+                self._commit(
+                    new_files,
+                    {"operation": "rebucket", "from": old_b, "to": new_num_buckets},
+                )
+            except RuntimeError:
+                # lost the optimistic race (e.g. an ingest merge landed
+                # mid-rewrite): remove the full-table orphan copy
+                for f in new_files:
+                    fp = self._abs(f["path"])
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                raise
+        except BaseException:
+            # restore the handle to the published snapshot — leaving the
+            # new bucket count on the old manifest would make
+            # bucket_expr/plan_files disagree with what readers see
+            self.manifest = old_manifest
+            raise
         return MergeStats(
             snapshot_id=self.manifest["snapshot_id"],
             buckets_touched=new_num_buckets,

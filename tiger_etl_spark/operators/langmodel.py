@@ -71,17 +71,35 @@ def char_lm_scores(
     text_col: str,
     model: DataFrame | None = None,
     scale: int = 6,
+    unseen_logp: float | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, avg_logp) per document — mean log-probability of
     the document's char bigrams under ``model`` (trained on ``df``
     itself when not supplied; at ingest, pass the persisted corpus
-    model). Low scores flag boilerplate/garbage for quality filtering."""
+    model). Low scores flag boilerplate/garbage for quality filtering.
+
+    When scoring NEW text under a stored model, bigrams absent from the
+    model must not silently drop (an all-novel garbage document would
+    otherwise vanish from — i.e. pass — the filter): pass
+    ``unseen_logp`` (e.g. ``ln(1/(max c_x + V))``, a floor below every
+    seen bigram) and unseen bigrams score that penalty via a left join.
+    Self-trained scoring covers every bigram by construction, so the
+    parameter is required exactly when ``model`` is supplied."""
+    ex = df.select(F.col(id_col), F.explode(_char_bigrams(text_col)).alias("bg"))
     if model is None:
         model = char_bigram_model(df, text_col)
-    ex = df.select(F.col(id_col), F.explode(_char_bigrams(text_col)).alias("bg"))
+        scored = ex.join(F.broadcast(model), "bg")
+    else:
+        if unseen_logp is None:
+            raise ValueError(
+                "scoring under an external model requires unseen_logp "
+                "(otherwise unseen bigrams drop and garbage scores high)"
+            )
+        scored = ex.join(F.broadcast(model), "bg", "left").withColumn(
+            "logp", F.coalesce(F.col("logp"), F.lit(float(unseen_logp)))
+        )
     return (
-        ex.join(F.broadcast(model), "bg")
-        .groupBy(id_col)
+        scored.groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg("logp"), scale).alias("avg_logp"),
