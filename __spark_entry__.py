@@ -1838,12 +1838,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_checksum": """
             SELECT count(*) AS n_rows,
                    sum((('0x' || substring(md5(concat_ws('|',
-                        coalesce(o_orderkey::VARCHAR, '␀'),
-                        coalesce(o_custkey::VARCHAR, '␀'),
-                        coalesce(o_orderstatus, '␀'),
-                        coalesce((o_totalprice::DECIMAL(12,2))::VARCHAR, '␀'),
-                        coalesce(epoch_us(o_orderdate)::VARCHAR, '␀'),
-                        coalesce(o_orderpriority, '␀')
+                        coalesce('V' || length(o_orderkey::VARCHAR) || ':' || o_orderkey::VARCHAR, 'N'),
+                        coalesce('V' || length(o_custkey::VARCHAR) || ':' || o_custkey::VARCHAR, 'N'),
+                        coalesce('V' || length(o_orderstatus) || ':' || o_orderstatus, 'N'),
+                        coalesce('V' || length((o_totalprice::DECIMAL(12,2))::VARCHAR) || ':' || (o_totalprice::DECIMAL(12,2))::VARCHAR, 'N'),
+                        coalesce('V' || length(epoch_us(o_orderdate)::VARCHAR) || ':' || epoch_us(o_orderdate)::VARCHAR, 'N'),
+                        coalesce('V' || length(o_orderpriority) || ':' || o_orderpriority, 'N')
                    )), 1, 15))::BIGINT)::HUGEINT)::VARCHAR AS checksum
             FROM orders
         """,
@@ -1852,9 +1852,9 @@ def oracle_sql() -> dict[str, str]:
                     % 64) AS bucket,
                    count(*) AS n_rows,
                    sum((('0x' || substring(md5(concat_ws('|',
-                        coalesce(o_orderkey::VARCHAR, '␀'),
-                        coalesce(o_orderstatus, '␀'),
-                        coalesce((o_totalprice::DECIMAL(12,2))::VARCHAR, '␀')
+                        coalesce('V' || length(o_orderkey::VARCHAR) || ':' || o_orderkey::VARCHAR, 'N'),
+                        coalesce('V' || length(o_orderstatus) || ':' || o_orderstatus, 'N'),
+                        coalesce('V' || length((o_totalprice::DECIMAL(12,2))::VARCHAR) || ':' || (o_totalprice::DECIMAL(12,2))::VARCHAR, 'N')
                    )), 1, 15))::BIGINT)::HUGEINT)::VARCHAR AS checksum
             FROM orders GROUP BY 1 ORDER BY 1
         """,

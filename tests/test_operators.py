@@ -475,6 +475,12 @@ def test_canonicalize_url(spark):
         "https://ex.com/p?z=1&a=2&utm_source=x&fbclid=9": "https://ex.com/p?a=2&z=1",
         "not a url": "not a url",
         "http://ex.com/deep/path/?gclid=1": "http://ex.com/deep/path",
+        # NON-default ports are a different origin — they must survive
+        "http://ex.com:8080/a": "http://ex.com:8080/a",
+        "https://Ex.com:8443/": "https://ex.com:8443/",
+        # a default port for the OTHER scheme is not default here
+        "https://ex.com:80/x": "https://ex.com:80/x",
+        "http://user@ex.com:80/x": "http://ex.com/x",
     }
     df = spark.createDataFrame([(k,) for k in cases], "url string")
     got = {
@@ -484,3 +490,52 @@ def test_canonicalize_url(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_asof_join_newest_right_row_wins_even_when_null(spark):
+    """The most recent right row's value must be taken ATOMICALLY —
+    a newest row with v=NULL yields NULL (not a stale older v), and two
+    value columns never stitch together from different right rows."""
+    from tiger_etl_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 5, "x"), (1, 2, None, "y")],
+        "k long, ts long, v long, w string",
+    )
+    left = spark.createDataFrame([(1, 3)], "k long, ts long")
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", value_cols=["v", "w"]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_v"] is None  # newest row's NULL, not stale 5
+    assert out[0]["asof_w"] == "y"  # both values from the SAME row
+
+
+def test_time_range_join_left_null_columns_not_duplicated(spark):
+    """A matched left row containing NULLs must not also appear
+    null-padded in the 'unmatched' arm (null-safe anti probe)."""
+    from tiger_etl_spark.operators.rangejoin import time_range_join
+
+    left = spark.createDataFrame(
+        [(1, 10, None), (2, 10, "b")], "k long, lts long, extra string"
+    )
+    right = spark.createDataFrame([(1, 12)], "k long, rts long")
+    out = time_range_join(
+        left, right, on=["k"], ts_left="lts", ts_right="rts",
+        lower=0, upper=5, how="left",
+    ).collect()
+    assert len(out) == 2  # one matched (k=1), one unmatched (k=2)
+    k1 = [r for r in out if r["k"] == 1]
+    assert len(k1) == 1 and k1[0]["rts"] == 12
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    from tiger_etl_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(
+            chain, max_iter=2, small_graph_threshold=0
+        )

@@ -208,3 +208,39 @@ def test_windowed_stream_drops_late_rows(spark, tmp_path):
     assert final[(0, "a")] == 2  # late t=30 NOT counted
     assert final[(9, "b")] == 1  # on-time within watermark counted
     assert final[(10, "a")] == 1
+
+
+def test_changes_between_emits_delete_for_vanished_keys(spark, table):
+    """truncate() (and tombstone GC) remove keys from the newer snapshot
+    entirely — the feed must still emit a D for them, carrying the
+    deleted row's own event time so downstream tombstones win LWW."""
+    table.merge(
+        spark,
+        batch_df(spark, [("I", i, f"k{i}", i, f"v{i}") for i in range(4)]),
+    )
+    v1 = table.manifest["version"]
+    table.truncate()
+    v2 = table.manifest["version"]
+    ch = {
+        r["url"]: (r["_change_op"], r["warc_ts"])
+        for r in table.changes_between(spark, v1, v2).collect()
+    }
+    assert set(ch) == {f"k{i}" for i in range(4)}
+    for i in range(4):
+        op, wts = ch[f"k{i}"]
+        assert op == "D"
+        assert wts.replace(tzinfo=UTC) == ts(i)  # the deleted row's ts
+
+
+def test_replica_follows_truncate(spark, table, tmp_path):
+    from tiger_etl_spark.cdc.replicate import create_replica, sync_to
+
+    table.merge(
+        spark, batch_df(spark, [("I", i, f"k{i}", i, f"v{i}") for i in range(3)])
+    )
+    rep = create_replica(table, str(tmp_path / "rep"))
+    sync_to(spark, table, rep)
+    assert rep.scan(spark).count() == 3
+    table.truncate()
+    sync_to(spark, table, rep)
+    assert rep.scan(spark).count() == 0

@@ -135,6 +135,19 @@ class IncrementalCountView:
             os.path.join(self.path, "_meta"),
             json.dumps({"view_version": new_version, "base_version": v_to}),
         )
+        # retention: a per-micro-batch refresh cadence would otherwise
+        # accumulate one full view copy per refresh forever
+        keep_from = new_version - 2
+        for fn in os.listdir(self.path):
+            if fn.startswith("v") and fn.endswith(".parquet"):
+                try:
+                    v = int(fn[1:-8])
+                except ValueError:
+                    continue
+                if v < keep_from:
+                    import shutil
+
+                    shutil.rmtree(os.path.join(self.path, fn), ignore_errors=True)
         return {
             "base_version_from": meta["base_version"] if meta else None,
             "base_version_to": v_to,

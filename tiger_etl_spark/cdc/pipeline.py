@@ -234,7 +234,11 @@ def apply_changes(
         ).alias("bytes_in"),
         F.min("batch_file").alias("offset_start"),
         F.max("batch_file").alias("offset_end"),
-        F.max("warc_ts").alias("max_ts"),
+        # watermark advances on VALID rows only: one quarantined event
+        # with a bogus far-future timestamp would otherwise poison the
+        # never-regressing high_watermark and mark every later event
+        # late (and mislead tombstone-horizon choices) forever
+        F.max(F.when(is_valid, F.col("warc_ts"))).alias("max_ts"),
         F.sum((~is_valid).cast("long")).alias("n_quarantined"),
         F.sum((is_valid & late_pred).cast("long")).alias("n_late"),
     )

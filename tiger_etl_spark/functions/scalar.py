@@ -112,7 +112,9 @@ TRACKING_PARAM_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_eid")
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical URL for dedup-by-url at crawl ingest: lowercase
-    scheme+host, strip a default :80/:443 port, strip the fragment,
+    scheme+host, strip the scheme's default port (http:80 / https:443;
+    non-default ports are a different origin and survive), strip the
+    fragment,
     drop tracking query params (utm_* etc), sort the surviving params,
     and strip one trailing slash from a non-root path. Two crawls of
     `HTTP://Ex.com/a?utm_x=1&b=2#f` and `http://ex.com/a?b=2` then
@@ -121,7 +123,21 @@ def canonicalize_url(url: Column) -> Column:
     trimmed input rather than null so no row loses its key."""
     scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(url, F.lit("HOST")))
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # parse_url HOST never carries the port; take it from AUTHORITY so
+    # a NON-default port survives into the key (ex.com:8080 is a
+    # different origin than ex.com!) and only the scheme's own default
+    # port is stripped (https://ex.com:80 is not default)
+    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    auth = F.element_at(F.split(auth, "@"), -1)  # drop userinfo
+    default_port = (
+        F.when(scheme == "http", F.lit(":80"))
+        .when(scheme == "https", F.lit(":443"))
+        .otherwise(F.lit("\x00never"))
+    )
+    hostport = F.when(
+        auth.endswith(default_port),
+        F.substring(auth, F.lit(1), F.length(auth) - F.length(default_port)),
+    ).otherwise(auth)
     path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
     path = F.when(path == "", F.lit("/")).otherwise(
         F.when(
@@ -142,7 +158,7 @@ def canonicalize_url(url: Column) -> Column:
     rebuilt = F.concat(
         scheme,
         F.lit("://"),
-        host,
+        hostport,
         path,
         F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm)),
     )

@@ -390,13 +390,24 @@ class LakeTable:
         newer = F.col("_b").isNotNull() & (
             F.col("_a").isNull() | (b_ord > a_ord)
         )
+        # a key ABSENT from the newer snapshot (truncate(), or a
+        # tombstone GC'd after its delete) still deletes a live v_from
+        # row — without this arm, truncate is invisible to the feed and
+        # downstream replicas keep the rows forever
+        gone = F.col("_b").isNull() & ~a_del
         op = (
             F.when(~a_del & b_del & newer, "D")
+            .when(gone, "D")
             .when(a_del & ~b_del & newer, "I")
             .when(~a_del & ~b_del & newer, "U")
         )
         payload = [
-            F.col(f"_b.{c}").alias(c)
+            # for the vanished-key D the b side is all NULL: carry the
+            # deleted row's own columns (consumers get its event time,
+            # so the tombstone can win LWW downstream)
+            F.when(gone, F.col(f"_a.{c}"))
+            .otherwise(F.col(f"_b.{c}"))
+            .alias(c)
             for c in b.columns
             if c != k and c not in INTERNAL_COLS
         ]

@@ -43,7 +43,12 @@ def asof_join(
         # (even when also exported as values) — a right row must never
         # order by a null
         *[F.col(c) for c in tb if c not in on and c != ts_col],
-        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        # ONE struct per right row, not per-column values: the struct is
+        # non-null even when its fields are null, so last(ignorenulls)
+        # picks the most recent right ROW atomically — a newest row with
+        # v=NULL yields NULL (not a stale older v), and multiple value
+        # columns can never stitch together from different right rows
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rpay"),
     ).withColumn("_side", F.lit(0))
     l = left.withColumn("_side", F.lit(1))
     unioned = l.unionByName(r, allowMissingColumns=True)
@@ -53,13 +58,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("_rpay", ignorenulls=True).over(w).alias("_c")
     )
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"_c_{c}").alias(f"{prefix}{c}") for c in value_cols
+        F.col(f"_c.{c}").alias(f"{prefix}{c}") for c in value_cols
     ]
     return carried.where(F.col("_side") == 1).select(*out_cols)

@@ -32,20 +32,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-NULL_SENTINEL = "␀"
+def _encode_field(c: Column | str) -> Column:
+    """Injective field encoding (netstring-style): NULL → 'N', value v →
+    'V<charlen>:<v>'. The length prefix makes the '|' join unambiguous
+    — ('a|b','c') and ('a','b|c') encode differently — and 'N' can
+    never collide with a real value (values always start with 'V')."""
+    s = (F.col(c) if isinstance(c, str) else c).cast("string")
+    return F.when(s.isNull(), F.lit("N")).otherwise(
+        F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
+    )
 
 
 def row_fingerprint(cols: list[Column | str]) -> Column:
     """60-bit per-row fingerprint: int64 of the first 15 md5 hex chars
-    of the canonical '|'-joined string encoding."""
-    parts = [
-        F.coalesce((F.col(c) if isinstance(c, str) else c).cast("string"),
-                   F.lit(NULL_SENTINEL))
-        for c in cols
-    ]
-    return F.conv(F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10).cast(
-        "bigint"
-    )
+    of the canonical '|'-joined length-prefixed encoding."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[_encode_field(c) for c in cols])), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
 
 
 def table_checksum(df: DataFrame, cols: list[Column | str] | None = None) -> DataFrame:

@@ -326,6 +326,17 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # NEVER return silently-wrong clusters: a component wider than
+        # max_iter hops would still carry split labels here, and
+        # keep-one-per-cluster would retain extra duplicates with no
+        # signal. Raise with the remedy instead.
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the duplicate graph "
+            "has a component wider than max_iter hops; raise max_iter "
+            "or use the union-find regime (raise small_graph_threshold)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

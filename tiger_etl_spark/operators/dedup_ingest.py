@@ -229,17 +229,26 @@ def apply_batch(
     stage guarantees this) — multiple same-key events in one call would
     pool their shingles into a single signature."""
     upserts = batch.where(F.col("op") != "D")
-    sigs = signature_rows(upserts, id_col, text_col, n_hashes, bands, k)
+    # persist the expensive subtrees once: without this, the index
+    # merge, n_in and n_kept each re-evaluate the full shingle →
+    # signature → band-join → decision pipeline (3× the batch cost)
+    sigs = signature_rows(upserts, id_col, text_col, n_hashes, bands, k).persist()
     corpus = index.scan(spark).select(id_col, "sig", "bands")
     decisions = dedup_decisions(sigs, corpus, id_col, threshold)
     dropped = decisions.where(F.col("is_dup")).select(id_col)
-    survivors = batch.join(dropped, id_col, "left_anti")
-    index_rows = survivors.select(
-        "op", "op_seq", id_col, F.col(order_col).alias(order_col)
-    ).join(sigs, id_col, "left")
-    stats = index.merge(spark, index_rows)
-    n_in = batch.count()
-    n_kept = survivors.count()
+    survivors = batch.join(dropped, id_col, "left_anti").persist()
+    try:
+        index_rows = survivors.select(
+            "op", "op_seq", id_col, F.col(order_col).alias(order_col)
+        ).join(sigs, id_col, "left")
+        stats = index.merge(spark, index_rows)
+        n_in = batch.count()
+        n_kept = survivors.count()
+    finally:
+        sigs.unpersist()
+    # survivors stays persisted: the caller merges it into the corpus
+    # table next (and may unpersist afterwards) — dropping the cache
+    # here would make that merge re-run the whole decision pipeline
     return survivors, IngestDedupStats(
         rows_in=n_in, rows_dropped=n_in - n_kept, rows_indexed=stats.rows_upserted
     )

@@ -56,8 +56,17 @@ def time_range_join(
             .drop("_band")
         )
         right_cols = [c for c in r.columns if c not in (*on, "_band")]
-        missing = left.join(
-            matched.select(*left.columns).distinct(), left.columns, "left_anti"
+        # null-safe anti probe: plain column-name equality is NULL for
+        # rows containing any NULL, which would keep a MATCHED row in
+        # `missing` too (emitted twice — once joined, once null-padded)
+        probe = matched.select(*left.columns).distinct().alias("_m")
+        lft = left.alias("_l")
+        cond = None
+        for c in left.columns:
+            e = F.col(f"_l.{c}").eqNullSafe(F.col(f"_m.{c}"))
+            cond = e if cond is None else cond & e
+        missing = lft.join(probe, cond, "left_anti").select(
+            *[F.col(f"_l.{c}").alias(c) for c in left.columns]
         )
         for c in right_cols:
             missing = missing.withColumn(
