@@ -165,3 +165,18 @@ def canonicalize_url(url: Column) -> Column:
     return F.when(
         scheme.isNotNull() & host.isNotNull(), rebuilt
     ).otherwise(F.trim(url))
+
+
+def guarded_positions(n: Column, start: int = 1) -> Column:
+    """``sequence(start, n)`` that is EMPTY when ``n < start``.
+
+    Spark's ``sequence(a, b)`` steps DOWNWARD when ``b < a`` — a short
+    document would yield ``[1, 0]`` and feed ``slice``/``substring`` an
+    invalid 0 index. Every rolling-window operator (shingles, n-grams,
+    char bigrams, chunking) needs this guard; keep it in ONE place so a
+    new call site cannot mis-port it."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        n < start, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(start), F.greatest(n, F.lit(start))))

@@ -204,15 +204,12 @@ def repetition_metrics(df, id_col: str, text_col: str):
     word bigrams). Two-level hash aggregation — count per (doc, word),
     then per doc — associative and map-side combining; the bigram stats
     are per-row array expressions, no extra shuffle."""
+    from tiger_etl_spark.functions.scalar import guarded_positions
+
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # guard: sequence(1, 0) steps downward in Spark → invalid slice(0)
-    bigrams = F.when(
-        F.size(words) < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-        )
+    bigrams = F.transform(
+        guarded_positions(F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
     )
     nb = F.greatest(F.size(words) - 1, F.lit(0))
     static = df.select(

@@ -28,13 +28,12 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """Array of k-word shingles (empty when the doc has < k words).
     Guarded: `sequence(1, 0)` steps DOWNWARD in Spark, which would feed
     slice() an invalid 0 index for short docs."""
+    from tiger_etl_spark.functions.scalar import guarded_positions
+
     w = _words(text)
-    n = F.size(w) - (k - 1)
-    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
-        )
+    return F.transform(
+        guarded_positions(F.size(w) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
     )
 
 

@@ -35,13 +35,12 @@ from pyspark.sql import functions as F
 
 def _char_bigrams(text_col: str):
     """Per-row array of character bigrams of lower(text)."""
+    from tiger_etl_spark.functions.scalar import guarded_positions
+
     t = F.lower(F.col(text_col))
-    n = F.length(t) - 1
-    return F.when(n < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-            lambda i: F.substring(t, i, F.lit(2)),
-        )
+    return F.transform(
+        guarded_positions(F.length(t) - 1),
+        lambda i: F.substring(t, i, F.lit(2)),
     )
 
 

@@ -63,13 +63,12 @@ def ngram_stream(df: DataFrame, text_col: str, n: int = 2) -> DataFrame:
     """One exploded (`ngram`) stream — build once, persist, and feed
     every n-gram consumer (`top_ngrams`, `bigram_pmi`) instead of
     re-exploding the corpus per query."""
+    from tiger_etl_spark.functions.scalar import guarded_positions
+
     toks = _word_arrays(text_col)
-    cnt = F.size(toks) - (n - 1)
-    grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+    grams = F.transform(
+        guarded_positions(F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return df.select(F.explode(grams).alias("ngram"))
 
