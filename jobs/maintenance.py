@@ -50,6 +50,12 @@ def main() -> None:
         default=None,
         help="evolve the table to this bucket count (full rewrite) first",
     )
+    ap.add_argument(
+        "--vacuum-hours",
+        type=float,
+        default=None,
+        help="also remove crash orphans older than this many hours",
+    )
     ap.add_argument("--local-cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -77,6 +83,8 @@ def main() -> None:
             cluster_ts=args.cluster_ts,
         )
     )
+    if args.vacuum_hours is not None:
+        out.update(table.vacuum(max_age_hours=args.vacuum_hours))
     out["version_after"] = table.manifest["version"]
     print(json.dumps(out))
 

@@ -178,3 +178,31 @@ def test_rebucket_lost_race_cleans_up(spark, tmp_path):
     fresh = LakeTable.load(path)
     assert fresh.num_buckets == 2
     assert len(_state(spark, fresh)) == 7
+
+
+def test_vacuum_removes_only_old_orphans(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    path = str(tmp_path / "t")
+    t = LakeTable.create(path, DDL, key_col="url", num_buckets=2)
+    t.merge(spark, batch_df(spark, [("I", i, f"k{i}", i, "v") for i in range(4)]))
+    before = _state(spark, t)
+    # crash debris: a stale stage dir + an unreferenced data file
+    _os.makedirs(_os.path.join(path, "stage-deadbeef"))
+    orphan = _os.path.join(path, "data", "b00000-orphan-0-delta.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    old = _time.time() - 7200
+    _os.utime(_os.path.join(path, "stage-deadbeef"), (old, old))
+    _os.utime(orphan, (old, old))
+    # a FRESH orphan (in-flight write) must survive
+    fresh = _os.path.join(path, "data", "b00001-inflight-0-delta.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"junk")
+
+    out = t.vacuum(max_age_hours=1.0)
+    assert out == {"stage_dirs_removed": 1, "orphan_files_removed": 1}
+    assert not _os.path.exists(orphan)
+    assert _os.path.exists(fresh)
+    assert _state(spark, t) == before  # committed data untouched

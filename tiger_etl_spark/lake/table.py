@@ -834,6 +834,39 @@ class LakeTable:
                 )
         return metas
 
+    def vacuum(self, max_age_hours: float = 24.0) -> dict:
+        """Remove crash debris (Iceberg remove_orphan_files analog):
+        staging dirs and data files referenced by NO live manifest,
+        older than `max_age_hours` (the age guard keeps an in-flight
+        concurrent write's files safe — never vacuum below the longest
+        plausible write duration). Committed data is untouched."""
+        import glob as _glob
+
+        cutoff = time.time() - max_age_hours * 3600
+        removed_stages = 0
+        for stage in _glob.glob(os.path.join(self.path, "stage-*")):
+            if os.path.getmtime(stage) < cutoff:
+                shutil.rmtree(stage, ignore_errors=True)
+                removed_stages += 1
+        meta_dir = os.path.join(self.path, "meta")
+        live: set[str] = set()
+        for fn in os.listdir(meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(meta_dir, fn)) as f:
+                    live.update(x["path"] for x in json.load(f)["files"])
+        removed_files = 0
+        data_dir = os.path.join(self.path, "data")
+        for fn in os.listdir(data_dir):
+            rel = f"data/{fn}"
+            fp = os.path.join(data_dir, fn)
+            if rel not in live and os.path.getmtime(fp) < cutoff:
+                os.remove(fp)
+                removed_files += 1
+        return {
+            "stage_dirs_removed": removed_stages,
+            "orphan_files_removed": removed_files,
+        }
+
     def expire_snapshots(self, keep_last: int = 5) -> int:
         """Drop old manifests and any data file no live manifest
         references (the Iceberg expire_snapshots / Timescale retention
