@@ -121,3 +121,57 @@ def test_stream_join_plan_is_streaming_symmetric_hash(spark, tmp_path):
     assert joined.isStreaming
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stream_join_state_survives_restart(spark, tmp_path):
+    """A left row arriving in run 1 must still match a right row that
+    only arrives in run 2 under the SAME checkpoint — the symmetric
+    join state is restored, not rebuilt empty."""
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    ckpt = str(tmp_path / "ckpt")
+    _write(
+        spark,
+        [(5, 500, ts(0.0))],
+        "user_id long, click_id long, click_ts timestamp",
+        cdir,
+    )
+    _write(
+        spark,
+        [(6, 9600, ts(1.0))],  # unrelated user — run 1 emits nothing
+        "user_id long, purchase_id long, p_ts timestamp",
+        pdir,
+    )
+
+    out_dir = str(tmp_path / "out")
+
+    def run(name):
+        # file sink, not memory: only file/durable sinks support
+        # checkpoint RECOVERY, which is the point of this test
+        l = spark.readStream.schema(
+            "user_id long, click_id long, click_ts timestamp"
+        ).parquet(cdir)
+        r = spark.readStream.schema(
+            "user_id long, purchase_id long, p_ts timestamp"
+        ).parquet(pdir)
+        joined = interval_join_stream(
+            l, r, ["user_id"], "click_ts", "p_ts",
+            lower="0 seconds", upper="15 minutes", watermark="30 minutes",
+        )
+        q = (
+            joined.select("click_id", "purchase_id")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return _pairs(spark.read.parquet(out_dir).collect())
+
+    assert run("sjr1") == []
+    # run 2: the matching purchase arrives in a NEW file
+    spark.createDataFrame(
+        [(5, 9500, ts(5.0))], "user_id long, purchase_id long, p_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(pdir)
+    assert run("sjr2") == [(500, 9500)]  # joined against restored state
