@@ -54,6 +54,12 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=8)
     ap.add_argument("--merge-mode", choices=["mor", "cow"], default="mor")
     ap.add_argument(
+        "--compact-cluster-ts",
+        choices=["year", "month", "day", "hour"],
+        default=None,
+        help="time-cluster base files at every compaction",
+    )
+    ap.add_argument(
         "--file-format",
         choices=["parquet", "jsonl", "warc"],
         default="parquet",
@@ -76,7 +82,10 @@ def main() -> None:
 
     if not LakeTable.exists(args.table):
         create_pages_table(
-            args.table, num_buckets=args.buckets, write_salts=args.write_salts
+            args.table,
+            num_buckets=args.buckets,
+            write_salts=args.write_salts,
+            compact_cluster_ts=args.compact_cluster_ts,
         )
 
     result = run_stream(

@@ -57,10 +57,13 @@ def create_pages_table(
     num_buckets: int = 16,
     write_salts: int = 1,
     enrich_ddl: str | None = None,
+    compact_cluster_ts: str | None = None,
 ) -> LakeTable:
     """`enrich_ddl` appends derived columns (e.g. "quality double,
     n_tokens long") to the table schema; fill them at ingest via
-    `apply_changes(enrichers=...)`."""
+    `apply_changes(enrichers=...)`. `compact_cluster_ts`
+    ('year'|'month'|'day'|'hour') makes every compaction — including
+    run_stream's periodic ones — time-cluster base files."""
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in PAGES_SCHEMA.fields)
     if enrich_ddl:
         ddl = f"{ddl}, {enrich_ddl}"
@@ -70,7 +73,14 @@ def create_pages_table(
         key_col="url",
         order_cols=("warc_ts",),
         num_buckets=num_buckets,
-        props={"write_salts": str(write_salts)},
+        props={
+            "write_salts": str(write_salts),
+            **(
+                {"compact_cluster_ts": compact_cluster_ts}
+                if compact_cluster_ts
+                else {}
+            ),
+        },
     )
 
 
