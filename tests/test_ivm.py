@@ -133,3 +133,34 @@ def test_refresh_falls_back_after_snapshot_expiry(spark, tmp_path):
     assert out["refreshed"]
     got = {r["lang"]: r["n_rows"] for r in view.read(spark).collect()}
     assert got == {"en": 4, "de": 7}
+
+
+def test_views_refresh_inside_run_stream(spark, tmp_path):
+    """Continuous materialized views: run_stream refreshes registered
+    views after every batch commit; the final view equals a recompute."""
+    from tiger_etl_spark.cdc.streaming import run_stream
+
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=17, n=1200, n_hosts=30)
+    write_change_files(ev, cdir, n_files=3)
+    tp = str(tmp_path / "pages")
+    create_pages_table(tp, num_buckets=4)
+    view = IncrementalCountView(str(tmp_path / "view"), "lang")
+    res = run_stream(
+        spark,
+        cdir,
+        tp,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        views=[view],
+    )
+    assert res.batches_applied == 3
+    from tiger_etl_spark.lake import LakeTable
+
+    table = LakeTable.load(tp)
+    got = {r["lang"]: r["n_rows"] for r in view.read(spark).collect()}
+    want = {
+        r["lang"]: r["n"]
+        for r in table.scan(spark).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want

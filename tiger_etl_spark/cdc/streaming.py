@@ -46,12 +46,20 @@ def run_stream(
     compact_every: int = 0,
     available_now: bool = True,
     file_format: str = "parquet",
+    views: list | None = None,
+    enrichers: dict | None = None,
 ) -> StreamResult:
     """Process all currently-available change files (availableNow
     trigger: drains the backlog in bounded micro-batches, then stops —
     the batch-oriented CDC tail). Resumable: same checkpoint_dir resumes
     from recorded offsets. `file_format`: "parquet", "jsonl" or "warc"
-    (cdc/sources.py) — identical normalized columns either way."""
+    (cdc/sources.py) — identical normalized columns either way.
+
+    `views`: IncrementalCountView instances refreshed after every batch
+    commit (continuous materialized views on the ingest path — each
+    refresh scans only the buckets the batch touched, via the manifest
+    diff; a refresh crash never corrupts the table, the next one
+    catches up). `enrichers`: see `apply_changes`."""
     result = StreamResult()
 
     source = read_change_stream(
@@ -77,11 +85,14 @@ def run_stream(
             batch_id,
             watermark_hours=watermark_hours,
             merge_mode=merge_mode,
+            enrichers=enrichers,
         )
         result.lineage.append(rec)
         result.batches_applied += 1
         if compact_every and (result.batches_applied % compact_every == 0):
             table.compact(spark)
+        for v in views or ():
+            v.refresh(spark, table)
         cache["table"] = table
 
     writer = (
