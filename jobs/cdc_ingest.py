@@ -60,6 +60,12 @@ def main() -> None:
         help="time-cluster base files at every compaction",
     )
     ap.add_argument(
+        "--stats-cols",
+        default=None,
+        help="comma-separated columns to track per-file min/max bounds "
+        "for in the manifest (enables scan(col_ranges=) data skipping)",
+    )
+    ap.add_argument(
         "--file-format",
         choices=["parquet", "jsonl", "warc"],
         default="parquet",
@@ -86,6 +92,7 @@ def main() -> None:
             num_buckets=args.buckets,
             write_salts=args.write_salts,
             compact_cluster_ts=args.compact_cluster_ts,
+            stats_cols=args.stats_cols,
         )
 
     result = run_stream(

@@ -163,3 +163,46 @@ def test_ingest_enrichment_columns(spark, tmp_path, change_dir):
         if r["text"] is not None:
             assert r["n_tokens"] == len(r["text"].split())
             assert r["text_sha"] == hashlib.sha256(r["text"].encode()).hexdigest()
+
+
+def test_ingest_stats_cols_enable_col_range_pruning(spark, tmp_path, change_dir):
+    """stats_cols on the pages table: every CDC commit records per-file
+    bounds for the enriched column, and a downstream `n_tokens >= K`
+    export range-prunes the file list while matching a plain filter."""
+    table = create_pages_table(
+        str(tmp_path / "pages_stats"),
+        num_buckets=4,
+        enrich_ddl="n_tokens long",
+        stats_cols="n_tokens",
+    )
+    enrichers = {
+        "n_tokens": F.when(
+            F.col("text").isNotNull(),
+            F.size(F.split(F.trim(F.col("text")), "\\s+")),
+        ).cast("long"),
+    }
+    for i, path in enumerate(sorted(glob.glob(os.path.join(change_dir, "*.parquet")))):
+        events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
+        apply_changes(spark, table, events, batch_id=i, enrichers=enrichers)
+    for f in table.manifest["files"]:
+        assert "n_tokens" in f["min"] and "n_tokens" in f["max"]
+    k = int(
+        table.scan(spark).agg(F.expr("percentile(n_tokens, 0.9)")).first()[0]
+    )
+    full = sorted(
+        r["url"] for r in table.scan(spark).where(F.col("n_tokens") >= k).collect()
+    )
+    pruned = sorted(
+        r["url"]
+        for r in table.scan(spark, col_ranges={"n_tokens": (k, None)}).collect()
+    )
+    assert pruned == full and pruned
+    # after compaction the table is all-base: bounds prune per file
+    table.compact(spark)
+    planned = table.plan_files(col_ranges={"n_tokens": (k, None)})
+    again = sorted(
+        r["url"]
+        for r in table.scan(spark, col_ranges={"n_tokens": (k, None)}).collect()
+    )
+    assert again == full
+    assert len(planned) <= len(table.manifest["files"])

@@ -167,6 +167,136 @@ def test_pruning_respects_deletes(spark, table):
     assert (w2, f"w-{w2}") not in got
 
 
+# ------------------------------------------------- column-range pruning
+
+CR_DDL = "url string, warc_ts timestamp, text string, quality double"
+
+
+def qbatch(spark, rows):
+    """rows: (op, op_seq, url, t, text, quality)"""
+    return spark.createDataFrame(
+        [(op, sq, u, ts(t), x, q) for op, sq, u, t, x, q in rows],
+        "op string, op_seq long, url string, warc_ts timestamp, "
+        "text string, quality double",
+    )
+
+
+# high-quality keys chosen (driver-side, parity-pinned hash) to land in
+# ONE bucket of 4, so the other three buckets stay clean after the delta
+HI_KEYS = [k for k in (f"hi{i}" for i in range(100)) if bucket_of(k, 4) == 1][:6]
+
+
+@pytest.fixture()
+def qtable(spark, tmp_path):
+    """quality tracked via the `stats_cols` prop: 12 compacted
+    low-quality rows (bounds ≤ 0.4 per base file), then 6 high-quality
+    delta rows (≥ 0.8) all in bucket 1 — so the manifest mixes clean
+    low buckets and one dirty bucket whose only qualifying rows are
+    deltas."""
+    t = LakeTable.create(
+        str(tmp_path / "q"),
+        CR_DDL,
+        key_col="url",
+        num_buckets=4,
+        props={"stats_cols": "quality"},
+    )
+    t.merge(
+        spark,
+        qbatch(
+            spark,
+            [
+                ("I", i, f"lo{i}", i, f"lo-{i}", round((i % 5) * 0.1, 1))
+                for i in range(12)
+            ],
+        ),
+    )
+    t.compact(spark)
+    t.merge(
+        spark,
+        qbatch(
+            spark,
+            [
+                ("I", 100 + i, k, 100 + i, f"v-{k}", 0.8 + (i % 3) * 0.1)
+                for i, k in enumerate(HI_KEYS)
+            ],
+        ),
+    )
+    return t
+
+
+def test_stats_cols_recorded_in_manifest(qtable):
+    for f in qtable.manifest["files"]:
+        assert isinstance(f["min"]["quality"], float)
+        assert isinstance(f["max"]["quality"], float)
+        assert f["min"]["quality"] <= f["max"]["quality"]
+
+
+def test_col_range_pruned_scan_matches_filtered_full_scan(spark, qtable):
+    full = qtable.scan(spark).where(F.col("quality") >= 0.75)
+    pruned = qtable.scan(spark, col_ranges={"quality": (0.75, None)})
+    assert _rows(pruned) == _rows(full)
+    assert _rows(pruned) == sorted((k, f"v-{k}") for k in HI_KEYS)
+    planned = qtable.plan_files(col_ranges={"quality": (0.75, None)})
+    assert len(planned) < len(qtable.manifest["files"])
+    # clean buckets (low-quality only, bounds ≤ 0.4) are fully pruned;
+    # dirty buckets (holding the high-quality deltas) stay all-or-nothing
+    dirty = {f["bucket"] for f in qtable.manifest["files"] if f["kind"] == "delta"}
+    assert {f["bucket"] for f in planned} <= dirty
+
+
+def test_col_range_dirty_bucket_stale_resurface_guard(spark, qtable):
+    """hi0's quality drops 0.8 → 0.1 in a newer version. A scan for
+    quality ≥ 0.75 must NOT resurface the 0.8 row: the dirty bucket is
+    kept whole (the OLD delta's bounds overlap), LWW resolves to the
+    0.1 winner, the residual filter drops it. Per-file pruning inside
+    the dirty bucket would skip the 0.1 delta and wrongly return 0.8."""
+    k0 = HI_KEYS[0]
+    qtable.merge(spark, qbatch(spark, [("U", 500, k0, 500, f"v-{k0}-b", 0.1)]))
+    got = dict(_rows(qtable.scan(spark, col_ranges={"quality": (0.75, None)})))
+    assert k0 not in got
+    assert all(k in got for k in HI_KEYS[1:])
+    # the key is still present below the threshold, with the new text
+    assert dict(_rows(qtable.scan(spark)))[k0] == f"v-{k0}-b"
+
+
+def test_col_range_combined_with_ts_range(spark, qtable):
+    lo_t, hi_t = ts(100), ts(102)
+    full = (
+        qtable.scan(spark)
+        .where(F.col("warc_ts").between(lo_t, hi_t))
+        .where(F.col("quality") >= 0.75)
+    )
+    pruned = qtable.scan(
+        spark, ts_range=(lo_t, hi_t), col_ranges={"quality": (0.75, None)}
+    )
+    assert _rows(pruned) == _rows(full)
+    assert _rows(pruned) == sorted((k, f"v-{k}") for k in HI_KEYS[:3])
+
+
+def test_col_range_untracked_column_keeps_all_files(spark, qtable):
+    # no stats recorded for `text`: pruning proves nothing, keeps every
+    # file, and the residual row filter still gives the right answer
+    planned = qtable.plan_files(col_ranges={"text": ("lo-0", "lo-9")})
+    assert len(planned) == len(qtable.manifest["files"])
+    got = _rows(qtable.scan(spark, col_ranges={"text": ("lo-0", "lo-9")}))
+    want = _rows(qtable.scan(spark).where(F.col("text").between("lo-0", "lo-9")))
+    assert got == want and len(got) == 12
+
+
+def test_col_range_compaction_preserves_stats(spark, qtable):
+    before = _rows(qtable.scan(spark, col_ranges={"quality": (0.75, None)}))
+    qtable.compact(spark)
+    assert all(f["kind"] == "base" for f in qtable.manifest["files"])
+    for f in qtable.manifest["files"]:
+        assert "quality" in f["min"] and "quality" in f["max"]
+    after = _rows(qtable.scan(spark, col_ranges={"quality": (0.75, None)}))
+    assert after == before
+    # post-compaction the hi rows' buckets are clean: files whose
+    # quality bounds top out below the threshold prune individually
+    planned = qtable.plan_files(col_ranges={"quality": (0.75, None)})
+    assert len(planned) < len(qtable.manifest["files"])
+
+
 # ------------------------------------------- time-clustered compaction
 
 

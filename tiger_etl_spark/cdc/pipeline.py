@@ -58,12 +58,17 @@ def create_pages_table(
     write_salts: int = 1,
     enrich_ddl: str | None = None,
     compact_cluster_ts: str | None = None,
+    stats_cols: str | None = None,
 ) -> LakeTable:
     """`enrich_ddl` appends derived columns (e.g. "quality double,
     n_tokens long") to the table schema; fill them at ingest via
     `apply_changes(enrichers=...)`. `compact_cluster_ts`
     ('year'|'month'|'day'|'hour') makes every compaction — including
-    run_stream's periodic ones — time-cluster base files."""
+    run_stream's periodic ones — time-cluster base files. `stats_cols`
+    (comma-separated column names, typically the enriched ones) records
+    per-file min/max bounds in the manifest at every commit so
+    downstream exports can range-prune on them
+    (`scan(col_ranges={"quality": (0.8, None)})`)."""
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in PAGES_SCHEMA.fields)
     if enrich_ddl:
         ddl = f"{ddl}, {enrich_ddl}"
@@ -80,6 +85,7 @@ def create_pages_table(
                 if compact_cluster_ts
                 else {}
             ),
+            **({"stats_cols": stats_cols} if stats_cols else {}),
         },
     )
 

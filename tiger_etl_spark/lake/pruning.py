@@ -121,6 +121,39 @@ def _file_ts_overlaps(f: dict, ts_col: str, lo, hi) -> bool:
     return True
 
 
+def _num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _file_col_overlaps(f: dict, col: str, lo, hi) -> bool:
+    """Closed-interval overlap test against a file's recorded bounds for
+    an arbitrary stats column. Conservative: prunes only when the bound
+    and the stat are the SAME comparable family (number/number or
+    string/string); anything else keeps the file."""
+    mn = f.get("min", {}).get(col)
+    mx = f.get("max", {}).get(col)
+    if mn is None or mx is None:
+        return True  # no stats → cannot prove irrelevant
+    if _num(mn) and _num(mx):
+        if lo is not None and _num(lo) and mx < lo:
+            return False
+        if hi is not None and _num(hi) and mn > hi:
+            return False
+        return True
+    if isinstance(mn, str) and isinstance(mx, str):
+        if lo is not None and isinstance(lo, str) and mx < lo:
+            return False
+        if hi is not None and isinstance(hi, str) and mn > hi:
+            return False
+    return True
+
+
+def _file_overlaps_all(f: dict, col_ranges: dict) -> bool:
+    return all(
+        _file_col_overlaps(f, c, lo, hi) for c, (lo, hi) in col_ranges.items()
+    )
+
+
 def _file_may_contain_key(f: dict, key_col: str, keys: list) -> bool:
     mn = f.get("min", {}).get(key_col)
     mx = f.get("max", {}).get(key_col)
@@ -138,12 +171,22 @@ def plan_files(
     manifest: dict,
     ts_range: tuple | None = None,
     keys: list[str] | None = None,
+    col_ranges: dict | None = None,
 ) -> list[dict]:
     """The minimal file subset a scan with these filters must read
     (see module docstring for the safety argument). Pure manifest math —
-    no I/O, no Spark."""
+    no I/O, no Spark.
+
+    `col_ranges`: {column: (lo, hi)} closed intervals over any column
+    recorded in per-file stats (the `stats_cols` table prop). Safety
+    mirrors time-range pruning: a clean (base) file holds final-state
+    rows, so bounds that miss every range prove it irrelevant; a dirty
+    bucket stays all-or-nothing — kept iff ANY of its files overlaps
+    every range simultaneously (a qualifying row's values lie within one
+    file's bounds for all columns at once), because LWW resolution for a
+    key needs every file of its bucket."""
     files = manifest["files"]
-    if ts_range is None and keys is None:
+    if ts_range is None and keys is None and not col_ranges:
         return files
     ts_col = manifest["order_cols"][0]
     key_col = manifest["key_col"]
@@ -159,6 +202,14 @@ def plan_files(
             if f["bucket"] in dirty and _file_ts_overlaps(f, ts_col, lo, hi)
         }
 
+    bucket_col_keep: set[int] = set()
+    if col_ranges:
+        bucket_col_keep = {
+            f["bucket"]
+            for f in files
+            if f["bucket"] in dirty and _file_overlaps_all(f, col_ranges)
+        }
+
     key_buckets: set[int] | None = None
     if keys is not None and all(isinstance(k, str) for k in keys):
         b = manifest["num_buckets"]
@@ -171,6 +222,14 @@ def plan_files(
                 f["bucket"] in bucket_ts_keep
                 if f["bucket"] in dirty
                 else _file_ts_overlaps(f, ts_col, lo, hi)
+            )
+            if not ok:
+                continue
+        if col_ranges:
+            ok = (
+                f["bucket"] in bucket_col_keep
+                if f["bucket"] in dirty
+                else _file_overlaps_all(f, col_ranges)
             )
             if not ok:
                 continue

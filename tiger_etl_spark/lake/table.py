@@ -280,15 +280,22 @@ class LakeTable:
             return LakeTable(self.path, json.load(f))
 
     def plan_files(
-        self, ts_range: tuple | None = None, keys: list | None = None
+        self,
+        ts_range: tuple | None = None,
+        keys: list | None = None,
+        col_ranges: dict | None = None,
     ) -> list[dict]:
         """Manifest-only scan planning (Iceberg data-skipping analog):
         the file subset a scan with these filters must read, from the
-        per-file (key, event-time) bounds recorded at commit. See
-        lake/pruning.py for the dirty-bucket safety argument."""
+        per-file (key, event-time) bounds recorded at commit —
+        `col_ranges` additionally prunes on any column named in the
+        `stats_cols` prop. See lake/pruning.py for the dirty-bucket
+        safety argument."""
         from tiger_etl_spark.lake.pruning import plan_files
 
-        return plan_files(self.manifest, ts_range=ts_range, keys=keys)
+        return plan_files(
+            self.manifest, ts_range=ts_range, keys=keys, col_ranges=col_ranges
+        )
 
     def scan(
         self,
@@ -298,6 +305,7 @@ class LakeTable:
         version: int | None = None,
         ts_range: tuple | None = None,
         keys: list | None = None,
+        col_ranges: dict | None = None,
     ) -> DataFrame:
         """Read the current snapshot (or a historical one via
         `version` — Iceberg time-travel analog). Buckets whose files are
@@ -305,11 +313,14 @@ class LakeTable:
         buckets with delta files get LWW-resolved. Tombstones are
         filtered at the end.
 
-        `ts_range=(lo, hi)` (closed interval on the event-time column)
-        and `keys=[...]` additionally filter rows — and, first, prune
-        the FILE LIST from manifest stats (`plan_files`), so a point
-        lookup reads 1/B of the table and a time-window scan only the
-        files that overlap it.
+        `ts_range=(lo, hi)` (closed interval on the event-time column),
+        `keys=[...]` and `col_ranges={col: (lo, hi)}` (closed intervals
+        over `stats_cols`-tracked columns) additionally filter rows —
+        and, first, prune the FILE LIST from manifest stats
+        (`plan_files`), so a point lookup reads 1/B of the table, a
+        time-window scan only the files that overlap it, and e.g. a
+        `quality >= 0.8` export only the files whose recorded bounds
+        can qualify.
         """
         if version is not None and version != self.manifest["version"]:
             return self.at_version(version).scan(
@@ -318,8 +329,9 @@ class LakeTable:
                 include_tombstones,
                 ts_range=ts_range,
                 keys=keys,
+                col_ranges=col_ranges,
             )
-        files = self.plan_files(ts_range=ts_range, keys=keys)
+        files = self.plan_files(ts_range=ts_range, keys=keys, col_ranges=col_ranges)
         dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
         clean = [f for f in files if f["bucket"] not in dirty_buckets]
         dirty = [f for f in files if f["bucket"] in dirty_buckets]
@@ -335,6 +347,12 @@ class LakeTable:
                 df = df.where(F.col(ts_col) <= F.lit(hi))
         if keys is not None:
             df = df.where(F.col(self.key_col).isin(list(keys)))
+        if col_ranges:
+            for c, (clo, chi) in col_ranges.items():
+                if clo is not None:
+                    df = df.where(F.col(c) >= F.lit(clo))
+                if chi is not None:
+                    df = df.where(F.col(c) <= F.lit(chi))
         if not include_tombstones:
             df = df.where(~F.col(_DELETED_COL))
         if not include_internal:
@@ -716,13 +734,26 @@ class LakeTable:
         return self._stats_from_metadata(pq.ParquetFile(path).metadata, ts_col)
 
     def _stats_from_metadata(self, md, ts_col: str) -> dict:
+        import math
+
+        # (key, event-time) bounds always; extra columns via the
+        # `stats_cols` table prop (Iceberg `write.metadata.metrics`
+        # analog) — lets scans range-prune on stored/enriched columns
+        # (e.g. a quality score) with zero extra commit I/O: the bounds
+        # come from the same parquet footer read.
+        extra = {
+            c.strip()
+            for c in self.manifest["props"].get("stats_cols", "").split(",")
+            if c.strip()
+        }
+        wanted = {ts_col, self.key_col} | extra
         schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
         mins: dict = {}
         maxs: dict = {}
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
                 name = schema_names[ci]
-                if name not in (ts_col, self.key_col):
+                if name not in wanted:
                     continue
                 st = md.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
@@ -733,6 +764,10 @@ class LakeTable:
                 if isinstance(mn, bytes):
                     mn = mn.decode("utf-8", "replace")
                     mx = mx.decode("utf-8", "replace")
+                if isinstance(mn, float) and not (
+                    math.isfinite(mn) and math.isfinite(mx)
+                ):
+                    continue  # NaN/Inf bounds prove nothing; JSON-unsafe
                 mins[name] = min(mins.get(name, mn), mn)
                 maxs[name] = max(maxs.get(name, mx), mx)
         return {"min": mins, "max": maxs}
