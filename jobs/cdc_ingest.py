@@ -94,6 +94,24 @@ def main() -> None:
             compact_cluster_ts=args.compact_cluster_ts,
             stats_cols=args.stats_cols,
         )
+    else:
+        # pure table props apply to an existing table too (--buckets is
+        # structural and creation-only; use LakeTable.rebucket to change
+        # it) — silently ignoring a flag the operator passed is worse
+        # than a props commit. stats_cols takes effect for FILES WRITTEN
+        # FROM NOW ON; older files keep their recorded (absent) bounds
+        # and are simply never pruned on that column.
+        tbl = LakeTable.load(args.table)
+        updates = {}
+        for prop, val in (
+            ("compact_cluster_ts", args.compact_cluster_ts),
+            ("stats_cols", args.stats_cols),
+        ):
+            if val is not None and tbl.props.get(prop) != val:
+                updates[prop] = val
+        if updates:
+            tbl.update_props(updates)
+            print(json.dumps({"props_updated": updates}))
 
     result = run_stream(
         spark,

@@ -164,3 +164,33 @@ def test_views_refresh_inside_run_stream(spark, tmp_path):
         for r in table.scan(spark).groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_views_refresh_on_replayed_skipped_batches(spark, tmp_path):
+    """The skip path (batch already applied — e.g. a crash landed
+    between merge commit and checkpoint commit) must ALSO refresh views:
+    here every batch was applied by a first run without views, and a
+    second run from a fresh checkpoint replays them all as skips — the
+    view must still end up current."""
+    from tiger_etl_spark.cdc.streaming import run_stream
+    from tiger_etl_spark.lake import LakeTable
+
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=23, n=900, n_hosts=20)
+    write_change_files(ev, cdir, n_files=2)
+    tp = str(tmp_path / "pages")
+    create_pages_table(tp, num_buckets=4)
+    run_stream(spark, cdir, tp, str(tmp_path / "ckpt1"), max_files_per_trigger=1)
+
+    view = IncrementalCountView(str(tmp_path / "view"), "lang")
+    res = run_stream(
+        spark,
+        cdir,
+        tp,
+        str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+        views=[view],
+    )
+    assert res.batches_applied == 0 and res.batches_skipped == 2
+    table = LakeTable.load(tp)
+    assert _view_state(spark, view) == _recompute(spark, table, "lang")

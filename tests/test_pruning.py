@@ -346,3 +346,88 @@ def test_compact_cluster_ts_default_from_props(spark, tmp_path):
     t.compact(spark)
     got = dict(_rows(t.scan(spark)))
     assert got["k1"] == "v1b" and got["k0"] == "v0"
+
+
+# --------------------------------- float-stats safety (NaN/Inf poisoning)
+
+
+def test_nan_or_inf_in_stats_col_poisons_file_bounds(spark, tmp_path):
+    """Spark's parquet writer surfaces NaN/Inf in the column's min/max
+    (Double.compare semantics — pinned here); _stats_from_metadata must
+    then drop the column's bounds for the WHOLE file, because finite
+    bounds derived from other row groups would let plan_files prune a
+    file whose NaN row still satisfies `quality >= lo` (Spark treats NaN
+    as greater than any number)."""
+    t = LakeTable.create(
+        str(tmp_path / "nan"),
+        CR_DDL,
+        key_col="url",
+        num_buckets=2,
+        props={"stats_cols": "quality"},
+    )
+    t.merge(
+        spark,
+        qbatch(
+            spark,
+            [("I", 0, "a", 0, "x", 0.1), ("I", 1, "b", 1, "y", float("nan")),
+             ("I", 2, "c", 2, "z", 0.3), ("I", 3, "d", 3, "w", float("inf"))],
+        ),
+    )
+    # every file that holds a NaN/Inf row must have NO quality bounds
+    df = t.scan(spark, include_internal=True)
+    for f in t.manifest["files"]:
+        has_q = "quality" in f["min"] or "quality" in f["max"]
+        if has_q:
+            import math
+
+            assert math.isfinite(f["min"]["quality"])
+            assert math.isfinite(f["max"]["quality"])
+    # pruned scan == plain filtered scan even though NaN rows exist
+    full = sorted(
+        r["url"] for r in t.scan(spark).where(F.col("quality") >= 0.8).collect()
+    )
+    pruned = sorted(
+        r["url"]
+        for r in t.scan(spark, col_ranges={"quality": (0.8, None)}).collect()
+    )
+    assert pruned == full
+    assert "b" in pruned and "d" in pruned  # NaN and Inf both >= 0.8 in Spark
+
+
+def test_all_null_stats_col_keeps_file_unpruned(spark, tmp_path):
+    """A file whose stats column is entirely NULL records no bounds and
+    is always kept; NULL rows never satisfy the residual range filter so
+    parity holds."""
+    t = LakeTable.create(
+        str(tmp_path / "nulls"),
+        CR_DDL,
+        key_col="url",
+        num_buckets=2,
+        props={"stats_cols": "quality"},
+    )
+    t.merge(
+        spark,
+        qbatch(spark, [("I", 0, "n1", 0, "x", None), ("I", 1, "n2", 1, "y", None)]),
+    )
+    for f in t.manifest["files"]:
+        assert "quality" not in f["min"] and "quality" not in f["max"]
+    assert t.plan_files(col_ranges={"quality": (0.5, None)}) == t.manifest["files"]
+    assert t.scan(spark, col_ranges={"quality": (0.5, None)}).count() == 0
+
+
+# ----------------------------------------------- explicit bucket subset
+
+
+def test_plan_files_buckets_param(spark, qtable):
+    sub = qtable.plan_files(buckets={1})
+    assert sub and all(f["bucket"] == 1 for f in sub)
+    want = sorted(
+        r["url"]
+        for r in qtable.scan(spark, include_internal=True)
+        .withColumn("_b", qtable.bucket_expr())
+        .where(F.col("_b") == 1)
+        .collect()
+    )
+    got = sorted(r["url"] for r in qtable.scan(spark, buckets={1}).collect())
+    assert got == want and got
+    assert qtable.scan(spark, buckets=set()).count() == 0

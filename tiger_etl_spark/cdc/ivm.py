@@ -102,7 +102,13 @@ class IncrementalCountView:
                 # so fall back to a full recompute instead of wedging
                 dirty = None
 
-        snap = base.scan(spark).withColumn(_BUCKET, base.bucket_expr())
+        # buckets= prunes the FILE LIST to the touched buckets (manifest
+        # records each file's bucket) — a per-micro-batch refresh reads
+        # only the batch's buckets, never a full-table pass. The residual
+        # row filter stays as belt-and-suspenders.
+        snap = base.scan(spark, buckets=dirty).withColumn(
+            _BUCKET, base.bucket_expr()
+        )
         if dirty is not None:
             snap = snap.where(F.col(_BUCKET).isin(*dirty) if dirty else F.lit(False))
         fresh = snap.groupBy(_BUCKET, self.group_col).agg(

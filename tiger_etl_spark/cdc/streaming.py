@@ -75,7 +75,13 @@ def run_stream(
     def handle(batch_df, batch_id: int):
         table = cache.pop("table", None) or LakeTable.load(table_path)
         if batch_applied(table.props, batch_id):
+            # replayed batch (crash landed between merge commit and
+            # checkpoint commit). The data is in; the views may not be —
+            # the same crash window can precede their refresh — so
+            # refresh (idempotent, no-op when current) runs here too.
             result.batches_skipped += 1
+            for v in views or ():
+                v.refresh(spark, table)
             cache["table"] = table
             return
         rec = apply_changes(

@@ -175,8 +175,6 @@ def guarded_positions(n: Column, start: int = 1) -> Column:
     invalid 0 index. Every rolling-window operator (shingles, n-grams,
     char bigrams, chunking) needs this guard; keep it in ONE place so a
     new call site cannot mis-port it."""
-    from pyspark.sql import functions as F
-
     return F.when(
         n < start, F.array().cast("array<int>")
     ).otherwise(F.sequence(F.lit(start), F.greatest(n, F.lit(start))))

@@ -172,6 +172,7 @@ def plan_files(
     ts_range: tuple | None = None,
     keys: list[str] | None = None,
     col_ranges: dict | None = None,
+    buckets: set | None = None,
 ) -> list[dict]:
     """The minimal file subset a scan with these filters must read
     (see module docstring for the safety argument). Pure manifest math —
@@ -184,8 +185,15 @@ def plan_files(
     bucket stays all-or-nothing — kept iff ANY of its files overlaps
     every range simultaneously (a qualifying row's values lie within one
     file's bounds for all columns at once), because LWW resolution for a
-    key needs every file of its bucket."""
+    key needs every file of its bucket.
+
+    `buckets`: explicit bucket-id subset (incremental-view refresh reads
+    only the buckets a commit touched). Trivially safe: every version of
+    a key lives in bucket(key), so whole-bucket selection preserves LWW
+    resolution exactly."""
     files = manifest["files"]
+    if buckets is not None:
+        files = [f for f in files if f["bucket"] in buckets]
     if ts_range is None and keys is None and not col_ranges:
         return files
     ts_col = manifest["order_cols"][0]

@@ -284,6 +284,7 @@ class LakeTable:
         ts_range: tuple | None = None,
         keys: list | None = None,
         col_ranges: dict | None = None,
+        buckets: set | None = None,
     ) -> list[dict]:
         """Manifest-only scan planning (Iceberg data-skipping analog):
         the file subset a scan with these filters must read, from the
@@ -294,7 +295,11 @@ class LakeTable:
         from tiger_etl_spark.lake.pruning import plan_files
 
         return plan_files(
-            self.manifest, ts_range=ts_range, keys=keys, col_ranges=col_ranges
+            self.manifest,
+            ts_range=ts_range,
+            keys=keys,
+            col_ranges=col_ranges,
+            buckets=buckets,
         )
 
     def scan(
@@ -306,6 +311,7 @@ class LakeTable:
         ts_range: tuple | None = None,
         keys: list | None = None,
         col_ranges: dict | None = None,
+        buckets: set | None = None,
     ) -> DataFrame:
         """Read the current snapshot (or a historical one via
         `version` — Iceberg time-travel analog). Buckets whose files are
@@ -330,8 +336,11 @@ class LakeTable:
                 ts_range=ts_range,
                 keys=keys,
                 col_ranges=col_ranges,
+                buckets=buckets,
             )
-        files = self.plan_files(ts_range=ts_range, keys=keys, col_ranges=col_ranges)
+        files = self.plan_files(
+            ts_range=ts_range, keys=keys, col_ranges=col_ranges, buckets=buckets
+        )
         dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
         clean = [f for f in files if f["bucket"] not in dirty_buckets]
         dirty = [f for f in files if f["bucket"] in dirty_buckets]
@@ -750,13 +759,29 @@ class LakeTable:
         schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
         mins: dict = {}
         maxs: dict = {}
+        # A row group whose stats are unusable (absent, or NaN/Inf —
+        # Spark's writer surfaces any NaN/Inf value as a non-finite
+        # bound, pinned by tests/test_pruning.py) POISONS the column for
+        # the whole file: recording only the other row groups' bounds
+        # would understate the true range and let plan_files prune a
+        # file that still holds qualifying rows. All-null row groups are
+        # the one safe skip — no non-null value exists to widen bounds,
+        # and NULL never satisfies a range predicate.
+        bad: set = set()
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
                 name = schema_names[ci]
-                if name not in wanted:
+                if name not in wanted or name in bad:
                     continue
                 st = md.row_group(rg).column(ci).statistics
                 if st is None or not st.has_min_max:
+                    if (
+                        st is not None
+                        and st.null_count is not None
+                        and st.null_count == md.row_group(rg).num_rows
+                    ):
+                        continue  # all-null row group proves nothing, safely
+                    bad.add(name)
                     continue
                 mn, mx = st.min, st.max
                 if hasattr(mn, "isoformat"):
@@ -767,9 +792,13 @@ class LakeTable:
                 if isinstance(mn, float) and not (
                     math.isfinite(mn) and math.isfinite(mx)
                 ):
-                    continue  # NaN/Inf bounds prove nothing; JSON-unsafe
+                    bad.add(name)  # NaN/Inf present; finite bounds would lie
+                    continue
                 mins[name] = min(mins.get(name, mn), mn)
                 maxs[name] = max(maxs.get(name, mx), mx)
+        for name in bad:
+            mins.pop(name, None)
+            maxs.pop(name, None)
         return {"min": mins, "max": maxs}
 
     def _commit(self, files: list[dict], summary: dict) -> None:
@@ -869,34 +898,61 @@ class LakeTable:
                 )
         return metas
 
+    def _live_files(self, exclude_versions: set[int] | None = None) -> set[str]:
+        """Union of data paths referenced by every on-disk manifest
+        (minus `exclude_versions`) — the one definition of "live" that
+        vacuum() and expire_snapshots() must agree on. A manifest that
+        disappears mid-listing (concurrent expire) is skipped: its files
+        are either referenced by a survivor or already expired."""
+        meta_dir = os.path.join(self.path, "meta")
+        live: set[str] = set()
+        for fn in os.listdir(meta_dir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            if exclude_versions and int(fn[1:-5]) in exclude_versions:
+                continue
+            try:
+                with open(os.path.join(meta_dir, fn)) as f:
+                    live.update(x["path"] for x in json.load(f)["files"])
+            except FileNotFoundError:
+                continue
+        return live
+
     def vacuum(self, max_age_hours: float = 24.0) -> dict:
         """Remove crash debris (Iceberg remove_orphan_files analog):
         staging dirs and data files referenced by NO live manifest,
         older than `max_age_hours` (the age guard keeps an in-flight
         concurrent write's files safe — never vacuum below the longest
-        plausible write duration). Committed data is untouched."""
+        plausible write duration). Committed data is untouched.
+        Concurrency-safe: entries that vanish between listing and
+        stat/remove (another writer finalizing, another maintenance
+        process) are skipped, not fatal."""
         import glob as _glob
 
         cutoff = time.time() - max_age_hours * 3600
         removed_stages = 0
         for stage in _glob.glob(os.path.join(self.path, "stage-*")):
-            if os.path.getmtime(stage) < cutoff:
+            try:
+                old = os.path.getmtime(stage) < cutoff
+            except FileNotFoundError:
+                continue
+            if old:
                 shutil.rmtree(stage, ignore_errors=True)
                 removed_stages += 1
-        meta_dir = os.path.join(self.path, "meta")
-        live: set[str] = set()
-        for fn in os.listdir(meta_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                with open(os.path.join(meta_dir, fn)) as f:
-                    live.update(x["path"] for x in json.load(f)["files"])
+        live = self._live_files()
         removed_files = 0
         data_dir = os.path.join(self.path, "data")
         for fn in os.listdir(data_dir):
             rel = f"data/{fn}"
             fp = os.path.join(data_dir, fn)
-            if rel not in live and os.path.getmtime(fp) < cutoff:
-                os.remove(fp)
-                removed_files += 1
+            if rel in live:
+                continue
+            try:
+                if os.path.getmtime(fp) < cutoff:
+                    os.remove(fp)
+                    removed_files += 1
+            except FileNotFoundError:
+                continue
         return {
             "stage_dirs_removed": removed_stages,
             "orphan_files_removed": removed_files,
@@ -913,12 +969,7 @@ class LakeTable:
             if fn.startswith("v") and fn.endswith(".json")
         )
         expire = versions[:-keep_last] if len(versions) > keep_last else []
-        live_files: set[str] = set()
-        for v in versions:
-            if v in expire:
-                continue
-            with open(os.path.join(meta_dir, f"v{v}.json")) as f:
-                live_files.update(x["path"] for x in json.load(f)["files"])
+        live_files = self._live_files(exclude_versions=set(expire))
         removed = 0
         expired_refs: set[str] = set()
         for v in expire:
