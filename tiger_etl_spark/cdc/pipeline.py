@@ -24,6 +24,7 @@ from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tiger_etl_spark.cdc.schema_evolution import map_to_live_schema
 from tiger_etl_spark.cdc.schemas import PAGES_SCHEMA
@@ -240,24 +241,27 @@ def apply_changes(
     else:
         late_pred = F.lit(False)
 
+    def metric_cols() -> list:
+        return [
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(
+                F.coalesce(F.length("html"), F.length("body"), F.lit(0))
+                + F.coalesce(F.length("url"), F.lit(0))
+            ).alias("bytes_in"),
+            F.min("batch_file").alias("offset_start"),
+            F.max("batch_file").alias("offset_end"),
+            # watermark advances on VALID rows only: one quarantined event
+            # with a bogus far-future timestamp would otherwise poison the
+            # never-regressing high_watermark and mark every later event
+            # late (and mislead tombstone-horizon choices) forever
+            F.max(F.when(is_valid, F.col("warc_ts"))).alias("max_ts"),
+            F.sum((~is_valid).cast("long")).alias("n_quarantined"),
+            F.sum((is_valid & late_pred).cast("long")).alias("n_late"),
+        ]
+
     obs = Observation(f"lineage_b{batch_id}")
-    checked = checked.observe(
-        obs,
-        F.count(F.lit(1)).alias("rows_in"),
-        F.sum(
-            F.coalesce(F.length("html"), F.length("body"), F.lit(0))
-            + F.coalesce(F.length("url"), F.lit(0))
-        ).alias("bytes_in"),
-        F.min("batch_file").alias("offset_start"),
-        F.max("batch_file").alias("offset_end"),
-        # watermark advances on VALID rows only: one quarantined event
-        # with a bogus far-future timestamp would otherwise poison the
-        # never-regressing high_watermark and mark every later event
-        # late (and mislead tombstone-horizon choices) forever
-        F.max(F.when(is_valid, F.col("warc_ts"))).alias("max_ts"),
-        F.sum((~is_valid).cast("long")).alias("n_quarantined"),
-        F.sum((is_valid & late_pred).cast("long")).alias("n_late"),
-    )
+    unobserved = checked  # fallback plan without the CollectMetrics node
+    checked = checked.observe(obs, *metric_cols())
     valid = checked.where(is_valid).drop("_invalid_reasons")
     mapped = map_to_live_schema(valid)
 
@@ -293,7 +297,21 @@ def apply_changes(
         observed metrics into the same commit as the data files, and
         join the quarantine job so a reader never sees a committed batch
         without its dead-letter rows."""
-        m = obs.get
+        try:
+            m = obs.get
+            if not m or not m.get("rows_in"):
+                raise ValueError("empty/degenerate observation")
+        except Exception:
+            # When a batch dedupes/filters to ZERO write rows, AQE can
+            # propagate the empty relation past the CollectMetrics node:
+            # the observation then completes either with a schema-less
+            # row py4j cannot deserialize, or with a default row
+            # (count 0, null sums) that never saw the input — all-invalid
+            # batches hit this. Recompute the identical aggregates
+            # directly; for a genuinely empty batch the recompute is an
+            # empty scan, so the extra pass is paid only in this rare
+            # degenerate case.
+            m = unobserved.agg(*metric_cols()).first().asDict()
         mark("observe")
         record.offset_start = m["offset_start"] or ""
         record.offset_end = m["offset_end"] or ""
@@ -416,3 +434,79 @@ def read_quarantine(spark: SparkSession, table: LakeTable) -> DataFrame:
             }
         )
     return spark.read.option("basePath", qdir).parquet(qdir)
+
+
+def replay_quarantine(
+    spark: SparkSession,
+    table: LakeTable,
+    fixer=None,
+    enrichers: dict | None = None,
+) -> dict:
+    """Reprocess dead-letter rows (the recovery half of the quarantine
+    split — the reference raises per-row and drops the request,
+    validations.py:49-430; a pipeline must instead repair and re-ingest).
+
+    Per quarantined batch dir: read the original wire-schema rows, apply
+    the optional `fixer(df) -> df` repair transform, re-validate, run
+    now-valid rows through the same fused dedup→extract→MERGE hot path
+    as live ingest, and rewrite the dir with only the rows that are
+    STILL invalid (removing it when none are). Deliberately does NOT
+    touch the applied-batch ledger — those ids belong to the stream's
+    exactly-once bookkeeping, and a replayed merge is idempotent under
+    the LWW guard anyway, which also makes this call crash-safe: a crash
+    between merge-commit and dir-rewrite just re-merges no-op winners on
+    the next call. An administrative operation (one merge commit per
+    dead-letter batch), not a hot-path one.
+    """
+    import glob
+    import shutil
+
+    from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+
+    qroot = os.path.join(table.path, "_quarantine")
+    read_schema = T.StructType(
+        list(EVENTS_READ_SCHEMA.fields)
+        + [T.StructField("_invalid_reasons", T.StringType(), True)]
+    )
+    out = {"batches": 0, "rows_applied": 0, "rows_still_invalid": 0}
+    for qdir in sorted(glob.glob(os.path.join(qroot, "batch_id=*"))):
+        df = spark.read.schema(read_schema).parquet(qdir).drop("_invalid_reasons")
+        if fixer is not None:
+            df = fixer(df)
+        checked = with_validation(df)
+        is_valid = F.size("_invalid_reasons") == 0
+        counts = checked.select(
+            F.sum(is_valid.cast("long")).alias("ok"),
+            F.sum((~is_valid).cast("long")).alias("bad"),
+        ).first()
+        n_ok, n_bad = counts["ok"] or 0, counts["bad"] or 0
+        if n_ok:
+            mapped = map_to_live_schema(checked.where(is_valid).drop("_invalid_reasons"))
+            if table.merge_policy == "lww":
+                batch = _fused_dedup_extract(table, mapped, enrichers)
+                table.merge(spark, batch, mode="mor", prepared=True)
+            else:
+                # partial-policy tables store raw events (see apply_changes)
+                batch = mapped.withColumn(
+                    "text", extract_text_udf(F.col("html"))
+                ).select(
+                    "op", "op_seq", "url", "warc_ts",
+                    "html", "text", "lang", "content_len",
+                )
+                if enrichers:
+                    batch = batch.withColumns(dict(enrichers))
+                table.merge(spark, batch, mode="mor")
+        if n_bad:
+            still = checked.where(~is_valid).withColumn(
+                "_invalid_reasons", F.array_join("_invalid_reasons", ",")
+            )
+            tmp = f"{qdir}.replay-tmp"
+            still.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(qdir, ignore_errors=True)
+            os.rename(tmp, qdir)
+        else:
+            shutil.rmtree(qdir, ignore_errors=True)
+        out["batches"] += 1
+        out["rows_applied"] += n_ok
+        out["rows_still_invalid"] += n_bad
+    return out

@@ -855,6 +855,41 @@ class LakeTable:
         self._commit(self.manifest["files"], {"operation": "evolve-schema"})
         return new_id
 
+    # ----------------------------------------------------------- rollback
+    def rollback(self, version: int) -> MergeStats:
+        """Roll the table back to snapshot `version` (Iceberg
+        `rollback_to_snapshot` analog): a NEW commit whose file list,
+        schema registry, bucket layout and properties are the target
+        snapshot's. History rolls FORWARD — nothing is deleted, the bad
+        snapshots stay inspectable (and time-travelable) until
+        `expire_snapshots` — and a reader mid-scan of any snapshot is
+        unaffected. Because the exactly-once batch ledger and the high
+        watermark ride `props`, a rollback rewinds them too: change
+        batches applied after the target re-apply on replay from an old
+        checkpoint, and LWW makes that re-application deterministic.
+        Raises FileNotFoundError if `version` was expired."""
+        target = self.at_version(version).manifest
+        cur = self.manifest
+        restored = dict(target)
+        # keep the live version counters: the commit must append to the
+        # current history, not resurrect the old numbering
+        restored["version"] = cur["version"]
+        restored["snapshot_id"] = cur["snapshot_id"]
+        self.manifest = restored
+        try:
+            self._commit(
+                list(target["files"]),
+                {"operation": "rollback", "to_version": version},
+            )
+        except BaseException:
+            self.manifest = cur
+            raise
+        return MergeStats(
+            snapshot_id=self.manifest["snapshot_id"],
+            files_added=len(target["files"]),
+            files_removed=len(cur["files"]),
+        )
+
     # ----------------------------------------------------------- truncate
     def truncate(self) -> None:
         """S5 analog — `TRUNCATE … RESTART IDENTITY`
