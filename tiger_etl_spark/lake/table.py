@@ -206,8 +206,16 @@ class LakeTable:
         col = col if col is not None else F.col(self.key_col)
         return F.pmod(F.hash(col), F.lit(self.num_buckets)).cast("int")
 
-    def _physical_ddl(self) -> str:
-        ddl = f"{self.schema_ddl}, {_SEQ_COL} long, {_DELETED_COL} boolean"
+    def _physical_ddl(self, schema_id: int | None = None) -> str:
+        sid = str(
+            schema_id
+            if schema_id is not None
+            else self.manifest["current_schema_id"]
+        )
+        ddl = (
+            f"{self.manifest['schemas'][sid]['ddl']}, "
+            f"{_SEQ_COL} long, {_DELETED_COL} boolean"
+        )
         if self.merge_policy == "partial":
             ddl += f", {_OP_COL} string"
         return ddl
@@ -216,10 +224,49 @@ class LakeTable:
         return os.path.join(self.path, rel)
 
     def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+        """Read data files, lifting every file to the LIVE schema (the
+        Iceberg schema-id read path): each file was written under the
+        schema current at its commit (`schema_id` in the manifest entry;
+        absent = this manifest's own schema — pre-evolution tables).
+        Files are grouped by schema id, each group is read with ITS
+        physical schema, then lifted: renames recorded by the newer
+        schema entries applied oldest-first, added columns filled with
+        typed NULLs, widened types cast. Without the per-id read a
+        renamed column in an old file would silently read as NULL
+        (parquet matches by name)."""
+        cur_sid = int(self.manifest["current_schema_id"])
+        live = spark.createDataFrame([], self._physical_ddl()).schema
         if not files:
-            return spark.createDataFrame([], self._physical_ddl())
-        paths = [self._abs(f["path"]) for f in files]
-        return spark.read.schema(self._physical_ddl()).parquet(*paths)
+            return spark.createDataFrame([], live)
+        groups: dict[int, list[dict]] = {}
+        for f in files:
+            groups.setdefault(int(f.get("schema_id", cur_sid)), []).append(f)
+        parts: list[DataFrame] = []
+        for sid, fs in sorted(groups.items()):
+            paths = [self._abs(f["path"]) for f in fs]
+            df = spark.read.schema(self._physical_ddl(sid)).parquet(*paths)
+            for step in range(sid + 1, cur_sid + 1):
+                entry = self.manifest["schemas"].get(str(step), {})
+                for old, new in entry.get("renames", {}).items():
+                    if old in df.columns:
+                        df = df.withColumnRenamed(old, new)
+            have = set(df.columns)
+            parts.append(
+                df.select(
+                    *[
+                        (
+                            F.col(fl.name).cast(fl.dataType)
+                            if fl.name in have
+                            else F.lit(None).cast(fl.dataType)
+                        ).alias(fl.name)
+                        for fl in live.fields
+                    ]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _resolve(self, df: DataFrame) -> DataFrame:
         if self.merge_policy == "partial":
@@ -396,6 +443,15 @@ class LakeTable:
         b = self.scan(
             spark, include_internal=True, include_tombstones=True, version=v_to
         )
+        # the feed is emitted in the NEWER snapshot's schema: columns
+        # added since v_from read as typed NULLs on the old side (each
+        # scan already lifted ITS files to ITS schema; this aligns the
+        # two schemas to each other across an evolve_schema boundary)
+        a_have = set(a.columns)
+        for fl in b.schema.fields:
+            if fl.name not in a_have:
+                a = a.withColumn(fl.name, F.lit(None).cast(fl.dataType))
+        a = a.select(*b.columns)
         k = self.key_col
         ocols = self.manifest["order_cols"] + [_SEQ_COL]
         af = a.select(
@@ -722,6 +778,10 @@ class LakeTable:
                 "kind": kind,
                 "rows": md.num_rows,
                 "bytes": os.path.getsize(self._abs(rel)),
+                # the schema this file's columns are physically laid out
+                # in — the read path lifts old-schema files to the live
+                # schema (renames/adds/widens) by this id
+                "schema_id": int(self.manifest["current_schema_id"]),
                 **self._stats_from_metadata(md, ts_col),
             }
 
@@ -846,6 +906,14 @@ class LakeTable:
         schema; scans of mixed files rely on parquet fill-null for added
         columns and upcast for widened ones; `renames` maps old physical
         name → new name for files written before the rename."""
+        protected = {self.key_col, *self.manifest["order_cols"]}
+        bad = protected & set((renames or {}))
+        if bad:
+            raise ValueError(
+                f"cannot rename merge-key/order columns {sorted(bad)}: the "
+                "manifest's key_col/order_cols and every recorded per-file "
+                "stat bound refer to them"
+            )
         new_id = max(int(k) for k in self.manifest["schemas"]) + 1
         schemas = dict(self.manifest["schemas"])
         schemas[str(new_id)] = {"ddl": new_ddl, "renames": dict(renames or {})}
