@@ -56,6 +56,19 @@ def main() -> None:
         default=None,
         help="also remove crash orphans older than this many hours",
     )
+    ap.add_argument(
+        "--rollback-to",
+        type=int,
+        default=None,
+        help="FIRST roll the table back to this snapshot version "
+        "(history rolls forward; skips all other maintenance)",
+    )
+    ap.add_argument(
+        "--replay-quarantine",
+        action="store_true",
+        help="re-validate and re-ingest dead-letter rows before "
+        "maintenance (rows still invalid stay quarantined)",
+    )
     ap.add_argument("--local-cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -71,6 +84,18 @@ def main() -> None:
         spark = SparkSession.builder.appName("lake-maintenance").getOrCreate()
     table = LakeTable.load(args.table)
     out: dict = {"table": args.table, "version_before": table.manifest["version"]}
+    if args.rollback_to is not None:
+        # rollback is an emergency operation: run it alone so compaction
+        # or snapshot expiry never races the operator's intent
+        table.rollback(args.rollback_to)
+        out["rolled_back_to"] = args.rollback_to
+        out["version_after"] = table.manifest["version"]
+        print(json.dumps(out))
+        return
+    if args.replay_quarantine:
+        from tiger_etl_spark.cdc.pipeline import replay_quarantine
+
+        out["quarantine_replay"] = replay_quarantine(spark, table)
     if args.rebucket is not None and args.rebucket != table.num_buckets:
         stats = table.rebucket(spark, args.rebucket)
         out["rebucketed_to"] = args.rebucket
