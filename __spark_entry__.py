@@ -46,6 +46,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Loader for the compute-heavy text/embedding pipelines (explode,
+    per-position hashing, LM scoring): when the file layout yields fewer
+    scan tasks than cores — the small-SF testdata is ONE parquet file,
+    so every pre-shuffle map stage would run on ONE core — repartition
+    to the default parallelism first. The shuffled payload is just the
+    raw rows (KBs–MBs here), repaid many times over by parallelizing
+    the 1000×-amplified downstream work. At 100 TB the scan already
+    produces thousands of tasks and this is a no-op."""
+    df = _t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # deterministic fixed query vector for similarity search (dim 64, the
 # testdata embeddings dim)
 _QUERY_VEC = [((i * 37) % 17 - 8) / 8.0 for i in range(64)]
@@ -73,7 +89,7 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("minhash", sf_dir),
         lambda: dedup.minhash_signatures(
-            _t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, k=3
+            _t_wide(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=8, k=3
         ),
     )
 
@@ -85,7 +101,7 @@ def _ann_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("ann_sig", sf_dir),
         lambda: similarity.build_lsh_signatures(
-            _t(spark, sf_dir, "embeddings"), "embedding", n_planes=8, dim=64
+            _t_wide(spark, sf_dir, "embeddings"), "embedding", n_planes=8, dim=64
         ),
     )
 
@@ -509,7 +525,7 @@ def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (exact): md5-of-normalized-text groups."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return dedup.exact_dedup_groups(d, "doc_id", "text")
 
 
@@ -534,7 +550,7 @@ def doc_lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis — token counting + mean token length."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     n_tok = token_count(F.col("text"))
     return d.select(
         "doc_id",
@@ -553,7 +569,7 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is a distributed two-phase prefix scan: range partition →
     per-partition window → P-row offset broadcast; no single-task
     global window over the corpus. Returns per-bin stats."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     sized = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     packed = scan_ops.pack_by_budget(sized, ["doc_id"], "n_tokens", budget=4096)
     return (
@@ -591,7 +607,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis — quality features (punct/upper/stopword ratios)."""
     from tiger_etl_spark.functions.text import quality_score_cols
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     cols = quality_score_cols(F.col("text"))
     return d.select(
         "doc_id",
@@ -606,7 +622,7 @@ def doc_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis — n-gram/stopword language ID heuristic."""
     from tiger_etl_spark.functions.text import detect_lang
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return (
         d.select(detect_lang(F.col("text")).alias("detected"))
         .groupBy("detected")
@@ -620,7 +636,7 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     patterns chosen to match identically under Java regex and RE2."""
     from tiger_etl_spark.functions.text import pii_counts, redact_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     counts = pii_counts(F.col("text"))
     return d.select(
         "doc_id",
@@ -637,7 +653,7 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction."""
     from tiger_etl_spark.functions.text import repetition_metrics
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     out = repetition_metrics(d, "doc_id", "text")
     return out.select(
         "doc_id",
@@ -651,7 +667,7 @@ def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (SimHash) — 32-bit fingerprints; DuckDB oracle reproduces
     the md5-derived token-hash bits via hex-nibble arithmetic."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return dedup.simhash(d, "doc_id", "text", bits=32)
 
 
@@ -661,7 +677,7 @@ def embedding_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes + probe set, so the DuckDB oracle reproduces the exact bucket
     filter + rerank."""
     out = similarity.lsh_topk(
-        _t(spark, sf_dir, "embeddings"),
+        _t_wide(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         _QUERY_VEC,
@@ -676,7 +692,7 @@ def embedding_ann_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search — brute-force cosine top-k to a fixed query
     vector (JVM-side zip_with/aggregate arithmetic)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")
     out = similarity.cosine_topk(e, "vec_id", "embedding", _QUERY_VEC, 10)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
@@ -686,7 +702,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint: min-4 of md5 over sliding 8-char windows."""
     from tiger_etl_spark.functions.text import chargram_fingerprint
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return d.select(
         "doc_id", chargram_fingerprint(F.col("text"), k=8, keep=4).alias("fingerprint")
     )
@@ -695,7 +711,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (n-gram Jaccard) — LSH candidate pairs verified with exact
     3-word-shingle Jaccard (the verify step after banding)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     sigs = _minhash_sigs(spark, sf_dir)
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4).select(
         "id_a", "id_b"
@@ -718,7 +734,7 @@ def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (word_chunk_segments); real web pages use line_segments. Returns
     per-doc totals plus md5 of the rebuilt text (NULL when everything
     was dropped)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     out = dedup.segment_dedup(
         d,
         "doc_id",
@@ -741,7 +757,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell pairs exactly (BLAS triangle sub-blocks, per-task memory
     capped), drop the higher id of every pair with cosine ≥ 0.35.
     Returns the dropped ids."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup_dropped(
         e, "vec_id", "embedding", threshold=0.35, n_cells=16, dim=64
     ).orderBy("vec_id")
@@ -754,7 +770,7 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash band index — corpus text is never re-shingled; Jaccard is
     estimated from stored signatures. Keep-earliest within the batch,
     corpus matches outrank batch matches."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     mh = _minhash_sigs(spark, sf_dir)  # shared persisted signature table
     corpus = dedup_ingest.signature_rows(
         d.where(F.col("doc_id") % 5 != 0), "doc_id", "text", minhash=mh
@@ -813,7 +829,7 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of its distinct 3-word shingles appearing anywhere in the
     benchmark set (source = 'src0'); docs over threshold are eval-set
     leaks. Shingle-keyed semi-join, linear (operators/dedup.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     shingles = _shared(
         spark,
         ("shingles", sf_dir),
@@ -841,7 +857,7 @@ def doc_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per member doc with its cluster id (min doc id in the component) —
     the keep-one-per-cluster grouping step of a corpus dedup pipeline.
     Iterative min-label propagation (operators/dedup.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     sigs = _minhash_sigs(spark, sf_dir)
     cands = dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, bands=4).select(
         "id_a", "id_b"
@@ -862,7 +878,7 @@ def doc_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → one keeper (min id) per cluster; every other
     member is dropped, unique docs kept. This is the row-level output a
     corpus dedup pipeline actually applies (filter keep = true)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     clusters = doc_duplicate_clusters(spark, sf_dir)
     return (
         d.select("doc_id")
@@ -882,7 +898,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup (embedding-cosine near-dup): EXACT pairs with cosine ≥ 0.4,
     computed as a distributed triangle block join (no driver collect, no
     corpus broadcast — pinned in tests/test_plans.py)."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")
     out = similarity.neardup_pairs(e, "vec_id", "embedding", threshold=0.4)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -896,7 +912,7 @@ def _neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("neardup_banded", sf_dir),
         lambda: similarity.banded_signatures(
-            _t(spark, sf_dir, "embeddings"),
+            _t_wide(spark, sf_dir, "embeddings"),
             "vec_id",
             "embedding",
             dim=64,
@@ -914,7 +930,7 @@ def embedding_neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     discriminates weakly — 8×6 bands trade recall for pruning here; the
     production ≥0.9 regime (defaults 16×8, recall ≈ 0.996) is covered by
     the planted-pair test in tests/test_similarity.py."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")
     out = similarity.neardup_pairs_lsh(
         e,
         "vec_id",
@@ -936,7 +952,7 @@ def embedding_neardup_pairs_lsh_capped(spark: SparkSession, sf_dir: str) -> Data
     sub-blocks scored as triangle block-pair groups. The cap must not
     change the answer, so the oracle is the SAME SQL as the uncapped
     query — this is the parity gate for the sub-block path."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _t_wide(spark, sf_dir, "embeddings")
     out = similarity.neardup_pairs_lsh(
         e,
         "vec_id",
@@ -958,7 +974,7 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex-nibble byte extraction over the utf-8 blob)."""
     from tiger_etl_spark.operators.multimodal import extract_media_features
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     feats = extract_media_features(d, "doc_id", "blob", n_features=8)
@@ -976,7 +992,7 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure projection + hash agg, no shuffle beyond the rollup; the same
     row lands in the same split on any cluster size
     (operators/sampling.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     out = sampling.hash_split(
         d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     )
@@ -989,7 +1005,7 @@ def doc_alpha_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     source kept whole). Per-row deterministic hash Bernoulli, source
     thresholds one tiny broadcast agg (operators/sampling.py);
     summarized as per-source kept counts."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     kept = sampling.alpha_mixture_sample(d, "source", "doc_id", alpha=0.5)
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
@@ -998,7 +1014,7 @@ def doc_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling — 20 docs per language by deterministic
     md5-hash order; the hash-threshold prefilter bounds the per-stratum
     sort to ~oversample×n rows (operators/sampling.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return sampling.stratified_sample(d, "lang", "doc_id", 20).select(
         "doc_id", "lang"
     )
@@ -1009,7 +1025,7 @@ def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     most 10 docs per source, longest-first (n_chars desc, doc_id
     tiebreak). Salted two-phase per-key top-K — no single task ever
     holds a whole hot domain (operators/windows.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     out = windows.topk_per_key(
         d.select("doc_id", "source", "n_chars"),
         ["source"],
@@ -1029,7 +1045,7 @@ def _tok_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared(
         spark,
         ("tok_stream", sf_dir),
-        lambda: search.tokens(_t(spark, sf_dir, "documents"), "doc_id", "text"),
+        lambda: search.tokens(_t_wide(spark, sf_dir, "documents"), "doc_id", "text"),
     )
 
 
@@ -1038,7 +1054,7 @@ def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared(
         spark,
         ("bigram_stream", sf_dir),
-        lambda: search.ngram_stream(_t(spark, sf_dir, "documents"), "text", 2),
+        lambda: search.ngram_stream(_t_wide(spark, sf_dir, "documents"), "text", 2),
     )
 
 
@@ -1046,7 +1062,7 @@ def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters — top-20 tokens by occurrence count with
     document frequency (stopword mining / vocab seeding;
     operators/search.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return search.top_tokens(
         d, "doc_id", "text", k=20, tok=_tok_stream(spark, sf_dir)
     )
@@ -1055,7 +1071,7 @@ def doc_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram heavy hitters — top-20 word bigrams by occurrence
     (collocation/vocab mining; operators/search.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return search.top_ngrams(
         d, "doc_id", "text", n=2, k=20, ngrams=_bigram_stream(spark, sf_dir)
     )
@@ -1065,7 +1081,7 @@ def doc_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF relevance search — top-10 docs for a bag-of-terms query,
     tf × ln(N/df) scoring; term filter before aggregation, IDF table
     broadcast (operators/search.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return search.tfidf_search(
         d,
         "doc_id",
@@ -1103,7 +1119,7 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination op. Rolling md5 windows (no Python), duplicated-hash
     semi-join, per-doc gaps-and-islands merge; the only sort is the
     per-document window."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return dedup.duplicate_spans(d, "doc_id", "text", k=20)
 
 
@@ -1112,7 +1128,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-of-terms query as `doc_tfidf_search`, with document-length
     normalization (k1=1.2, b=0.75); dl/avgdl computed corpus-side and
     broadcast, never collected (operators/search.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return search.bm25_search(
         d,
         "doc_id",
@@ -1128,7 +1144,7 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 32-bit fingerprint, found by the exact banded self-join
     (pigeonhole over 4 × 8-bit slices); the O(n²) DuckDB oracle checks
     the pruning loses nothing (operators/dedup.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     sigs = dedup.simhash(d, "doc_id", "text", bits=32)
     out = dedup.simhash_pairs(sigs, "doc_id", max_hamming=3, bits=32, bands=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
@@ -1141,7 +1157,7 @@ def _ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         ("ivf", sf_dir),
         lambda: similarity.build_ivf_cells(
-            _t(spark, sf_dir, "embeddings"), "embedding", n_cells=16, dim=64
+            _t_wide(spark, sf_dir, "embeddings"), "embedding", n_cells=16, dim=64
         ),
     )
 
@@ -1153,7 +1169,7 @@ def embedding_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; a learned k-means quantizer swaps only the centroid source
     (operators/similarity.py)."""
     out = similarity.ivf_topk(
-        _t(spark, sf_dir, "embeddings"),
+        _t_wide(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         _QUERY_VEC,
@@ -1188,7 +1204,7 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol-ratio → stopword-presence gates — the shape of a real
     pretraining curation pipeline, as ONE single-pass aggregation
     (conditional sums, no per-stage scans) unpivoted via stack()."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     n_chars = F.length("text")
     w = F.split(F.trim(F.col("text")), r"\s+")
     n_words = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
@@ -1272,7 +1288,7 @@ def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (percentile_cont semantics); `approx=True` (mergeable KLL sketch,
     map-side combine, no per-group materialization) is the 100 TB
     default — same column names, drop-in."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return stats.group_quantiles(
         d, ["lang"], "n_chars", [0.25, 0.5, 0.9, 0.99]
     ).orderBy("lang")
@@ -1328,12 +1344,12 @@ def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/garbage. Linear, no Python in the plan."""
     from tiger_etl_spark.operators import langmodel
 
-    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = _t_wide(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     model = _shared(
         spark,
         ("char_lm_model", sf_dir),
         lambda: langmodel.char_bigram_model(
-            _t(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
+            _t_wide(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
             "text",
         ),
     )
@@ -1351,7 +1367,7 @@ def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined hash aggregates + broadcast scalar totals +
     keyed unigram joins; ordering on the rounded pmi so the k-boundary
     is deterministic."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return search.bigram_pmi(
         d,
         "doc_id",

@@ -542,8 +542,14 @@ def duplicate_spans(
     Plan (all linear, all keyed):
       1. k-char rolling windows with positions — per-row higher-order
          functions, no shuffle, no Python;
-      2. window occurrence counts on md5 window hashes (hash agg,
-         map-side combined) → the duplicated-hash set;
+      2. window occurrence counts on 64-bit xxhash64 window hashes
+         (hash agg, map-side combined) → the duplicated-hash set. The
+         hash never leaves the plan (output is character spans), so the
+         cheapest collision-free-in-practice hash wins: xxhash64 is
+         ~10× cheaper than md5 per window and aggregates as a long, and
+         at 10^12 windows the 64-bit birthday bound predicts ~10¹
+         colliding pairs corpus-wide — a per-window false-duplicate
+         rate ~10⁻¹¹, invisible against the ≥k-char span threshold;
       3. semi-join windows against duplicated hashes (AQE handles the
          skew of a globally common window);
       4. gaps-and-islands merge per document: consecutive duplicated
@@ -560,7 +566,7 @@ def duplicate_spans(
     # filtered out instead (they have no k-char window at all)
     win = F.expr(
         f"transform(sequence(1, length({text_col}) - {k} + 1), "
-        f"i -> struct(i AS pos, substring(md5(substring({text_col}, i, {k})), 1, 16) AS h))"
+        f"i -> struct(i AS pos, xxhash64(substring({text_col}, i, {k})) AS h))"
     )
     shingled = (
         df.where(F.length(text_col) >= k)
