@@ -282,13 +282,25 @@ def pagerank(
     rank-partitioned aggregation. Dangling mass is dropped, matching
     the unrolled-SQL oracle exactly (same formula, same float order up
     to summation — parity verified by the rounded driver query)."""
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # The edge list is iteration-invariant and referenced by every
+    # iteration's join, the node count, the outdeg agg, and the node
+    # list — persist it so the (possibly expensive) upstream lineage
+    # runs ONCE, the standard iterative-graph pattern (GraphX caches
+    # its edge RDD for the same reason). MEMORY_AND_DISK: at 10^10
+    # edges partitions spill instead of recomputing. Left persisted —
+    # the returned ranks plan references it lazily; Spark evicts LRU.
+    from pyspark import StorageLevel
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("node_key"))
         .unionByName(e.select(F.col("dst").alias("node_key")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("od"))
