@@ -262,7 +262,13 @@ def duplicate_clusters(
     edges_slim = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
-    if edges_slim.count() <= small_graph_threshold:
+    # regime probe and small-graph fetch in ONE action: collecting
+    # threshold+1 rows (CollectLimit stops early on big graphs) both
+    # decides the regime and, in the small case, already delivers every
+    # edge — the verified-pairs lineage above is the expensive part and
+    # must not run twice (count + collect)
+    probe = edges_slim.limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -274,7 +280,7 @@ def duplicate_clusters(
             return root
 
         nodes: set[int] = set()
-        for r in edges_slim.collect():
+        for r in probe:
             a, b = r["src"], r["dst"]
             nodes.add(a)
             nodes.add(b)
