@@ -431,3 +431,70 @@ def test_plan_files_buckets_param(spark, qtable):
     got = sorted(r["url"] for r in qtable.scan(spark, buckets={1}).collect())
     assert got == want and got
     assert qtable.scan(spark, buckets=set()).count() == 0
+
+
+# ------------------------------------- cluster-by-column compaction
+
+
+def test_compact_cluster_cols_tightens_stats_bounds(spark, tmp_path):
+    """CLUSTER BY analog: compacting with cluster_cols sorts each bucket
+    by the column and splits files sequentially (maxRecordsPerFile), so
+    per-file stats bounds become tight contiguous ranges and a
+    col_ranges scan of a fully-compacted table skips most files."""
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp, q double",
+        key_col="url",
+        num_buckets=2,
+        props={"stats_cols": "q"},
+    )
+    rows = [("I", i + 1, f"u{i}", ts(i), (i % 100) / 100.0) for i in range(200)]
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            rows, "op string, op_seq long, url string, warc_ts timestamp, q double"
+        ),
+    )
+    t.compact(spark, cluster_cols=["q"], max_records_per_file=25)
+    files = t.manifest["files"]
+    # several files per bucket, all base
+    assert len(files) >= 8 and all(f["kind"] == "base" for f in files)
+    # bounds are tight: each file spans ≤ ~(25/100 of the q range)
+    spans = [f["max"]["q"] - f["min"]["q"] for f in files]
+    assert max(spans) <= 0.35
+    planned = t.plan_files(col_ranges={"q": (0.9, None)})
+    assert 0 < len(planned) < len(files) / 2
+    # parity: pruned scan equals full-scan filter
+    want = sorted(
+        r["url"] for r in t.scan(spark).where(F.col("q") >= 0.9).collect()
+    )
+    got = sorted(
+        r["url"] for r in t.scan(spark, col_ranges={"q": (0.9, None)}).collect()
+    )
+    assert got == want and len(got) == 20
+
+
+def test_compact_cluster_cols_defaults_from_props(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp, q double",
+        key_col="url",
+        num_buckets=2,
+        props={
+            "stats_cols": "q",
+            "compact_cluster_cols": "q",
+            "compact_max_records_per_file": "25",
+        },
+    )
+    rows = [("I", i + 1, f"u{i}", ts(i), (i % 100) / 100.0) for i in range(200)]
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            rows, "op string, op_seq long, url string, warc_ts timestamp, q double"
+        ),
+    )
+    t.compact(spark)  # everything from props — the maintain() path
+    assert len(t.manifest["files"]) >= 8
+    assert len(t.plan_files(col_ranges={"q": (0.9, None)})) < len(
+        t.manifest["files"]
+    )

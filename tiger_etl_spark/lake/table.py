@@ -635,6 +635,8 @@ class LakeTable:
         spark: SparkSession,
         tombstone_horizon=None,
         cluster_ts: str | None = None,
+        cluster_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> MergeStats:
         """Rewrite dirty buckets to unique-key base files sorted by key
         (the Timescale 'compress segmentby/orderby' analog). Tombstones
@@ -650,8 +652,31 @@ class LakeTable:
         (lake/pruning.py) degrades to nothing on compacted data; with
         it, a time-window scan of a compacted 10^10-row table reads only
         the files whose window overlaps. Same single shuffle — the
-        writer splits files within each bucket task, no extra exchange."""
+        writer splits files within each bucket task, no extra exchange.
+
+        `cluster_cols` (+ `max_records_per_file`, default from table
+        props `compact_cluster_cols` / `compact_max_records_per_file`)
+        is the generic "CLUSTER BY" analog for `stats_cols` pruning:
+        each bucket's rows are SORTED by these columns and the writer
+        splits the sorted run into ≤max_records_per_file files, so every
+        file covers a tight, contiguous value range of the cluster
+        columns and `scan(col_ranges=...)` skips most of a compacted
+        table instead of matching every file's full-span bounds. (A
+        single sort key is the common case; multiple columns nest
+        lexicographically — for genuinely multi-dimensional pruning an
+        interleaved Z-order expression can be swapped in as the sort
+        key.) Same shuffle count; the sort is per-bucket."""
         cluster_ts = cluster_ts or self.manifest["props"].get("compact_cluster_ts")
+        cluster_cols = cluster_cols or [
+            c
+            for c in self.manifest["props"]
+            .get("compact_cluster_cols", "")
+            .split(",")
+            if c.strip()
+        ]
+        if max_records_per_file is None:
+            mrpf = self.manifest["props"].get("compact_max_records_per_file")
+            max_records_per_file = int(mrpf) if mrpf else None
         files = self.manifest["files"]
         dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
         if not dirty_buckets:
@@ -670,6 +695,8 @@ class LakeTable:
             kind="base",
             sort_in_bucket=True,
             ts_cluster=cluster_ts,
+            sort_cols=cluster_cols or None,
+            max_records_per_file=max_records_per_file,
         )
         kept = [f for f in files if f["bucket"] not in dirty_buckets]
         self._commit(kept + new_files, {"operation": "compact"})
@@ -690,6 +717,8 @@ class LakeTable:
         sort_in_bucket: bool = False,
         skip_repartition: bool = False,
         ts_cluster: str | None = None,
+        sort_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict]:
         """One shuffle: hash-partition by bucket, then file-per-bucket
         via partitionBy into a staging dir; files then move (same-fs
@@ -731,13 +760,22 @@ class LakeTable:
             )
             part_cols.append(_TSWIN_COL)
             if sort_in_bucket:
-                # writer emits one partition dir at a time per task
+                # writer emits one partition dir at a time per task;
+                # cluster columns sort INSIDE each dir so the
+                # maxRecordsPerFile splits below cut contiguous ranges
                 out = out.sortWithinPartitions(
-                    _BUCKET_COL, _TSWIN_COL, self.key_col
+                    _BUCKET_COL, _TSWIN_COL, *(sort_cols or []), self.key_col
                 )
         elif sort_in_bucket:
-            out = out.sortWithinPartitions(_BUCKET_COL, self.key_col)
+            out = out.sortWithinPartitions(
+                _BUCKET_COL, *(sort_cols or []), self.key_col
+            )
         writer = out.write.mode("overwrite")
+        if max_records_per_file:
+            # sequential splits of the sorted partition: each emitted
+            # file covers a tight contiguous range of the sort columns,
+            # which is what makes stats_cols bounds prunable
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         # opt-in parquet bloom filter on the merge key: manifest pruning
         # narrows a point lookup to one bucket's files; the bloom then
         # skips row groups inside them without reading key pages. Off by
