@@ -498,3 +498,49 @@ def test_compact_cluster_cols_defaults_from_props(spark, tmp_path):
     assert len(t.plan_files(col_ranges={"q": (0.9, None)})) < len(
         t.manifest["files"]
     )
+
+
+def test_compact_zorder_prunes_on_every_clustered_column(spark, tmp_path):
+    """Z-order compaction: files cover small (x, y) hyper-rectangles, so
+    col_ranges prunes on BOTH columns — a lexicographic sort would only
+    ever prune on the first."""
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp, x double, y double",
+        key_col="url",
+        num_buckets=2,
+        props={"stats_cols": "x,y"},
+    )
+    rows = [
+        ("I", i + 1, f"u{i}", ts(i), (i % 20) / 20.0, ((i // 20) % 20) / 20.0)
+        for i in range(400)
+    ]
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "op string, op_seq long, url string, warc_ts timestamp, x double, y double",
+        ),
+    )
+    t.compact(spark, zorder_cols=["x", "y"], max_records_per_file=25)
+    files = t.manifest["files"]
+    assert len(files) >= 12
+    px = t.plan_files(col_ranges={"x": (0.8, None)})
+    py = t.plan_files(col_ranges={"y": (0.8, None)})
+    pbox = t.plan_files(col_ranges={"x": (0.8, None), "y": (0.8, None)})
+    # every dimension prunes, and the box prunes at least as hard
+    assert len(px) < 0.7 * len(files), (len(px), len(files))
+    assert len(py) < 0.7 * len(files), (len(py), len(files))
+    assert len(pbox) <= min(len(px), len(py))
+    # parity on the box scan
+    want = sorted(
+        r["url"]
+        for r in t.scan(spark).where((F.col("x") >= 0.8) & (F.col("y") >= 0.8)).collect()
+    )
+    got = sorted(
+        r["url"]
+        for r in t.scan(
+            spark, col_ranges={"x": (0.8, None), "y": (0.8, None)}
+        ).collect()
+    )
+    assert got == want and got

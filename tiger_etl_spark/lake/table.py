@@ -637,6 +637,7 @@ class LakeTable:
         cluster_ts: str | None = None,
         cluster_cols: list[str] | None = None,
         max_records_per_file: int | None = None,
+        zorder_cols: list[str] | None = None,
     ) -> MergeStats:
         """Rewrite dirty buckets to unique-key base files sorted by key
         (the Timescale 'compress segmentby/orderby' analog). Tombstones
@@ -663,9 +664,16 @@ class LakeTable:
         columns and `scan(col_ranges=...)` skips most of a compacted
         table instead of matching every file's full-span bounds. (A
         single sort key is the common case; multiple columns nest
-        lexicographically — for genuinely multi-dimensional pruning an
-        interleaved Z-order expression can be swapped in as the sort
-        key.) Same shuffle count; the sort is per-bucket."""
+        lexicographically.) Same shuffle count; the sort is per-bucket.
+
+        `zorder_cols` (prop `compact_zorder_cols`) is the
+        multi-dimensional variant (Iceberg/Delta Z-ORDER): rows sort by
+        the interleaved bit pattern of the columns' normalized ranks
+        (lake/zorder.py), so each emitted file covers a small
+        hyper-rectangle and `col_ranges` prunes on EVERY listed column,
+        not just the first. Normalization bounds come from one narrow
+        min/max scan of the rewritten files (column-pruned — reads only
+        the z-order columns)."""
         cluster_ts = cluster_ts or self.manifest["props"].get("compact_cluster_ts")
         cluster_cols = cluster_cols or [
             c
@@ -677,6 +685,13 @@ class LakeTable:
         if max_records_per_file is None:
             mrpf = self.manifest["props"].get("compact_max_records_per_file")
             max_records_per_file = int(mrpf) if mrpf else None
+        zorder_cols = zorder_cols or [
+            c
+            for c in self.manifest["props"]
+            .get("compact_zorder_cols", "")
+            .split(",")
+            if c.strip()
+        ]
         files = self.manifest["files"]
         dirty_buckets = {f["bucket"] for f in files if f["kind"] == "delta"}
         if not dirty_buckets:
@@ -689,13 +704,24 @@ class LakeTable:
             resolved = resolved.where(
                 (~F.col(_DELETED_COL)) | (F.col(ts_col) >= F.lit(tombstone_horizon))
             )
+        sort_exprs: list = list(cluster_cols or [])
+        if zorder_cols:
+            from tiger_etl_spark.lake.zorder import column_bounds, zorder_key
+
+            # bounds over the RAW dirty files (a superset of the resolved
+            # values — valid, possibly slightly wide, normalization): a
+            # column-pruned narrow scan, no LWW resolution needed
+            bounds = column_bounds(
+                self._read_files(spark, old).select(*zorder_cols), zorder_cols
+            )
+            sort_exprs = [zorder_key(zorder_cols, bounds)] + sort_exprs
         new_files = self._write_data(
             spark,
             resolved,
             kind="base",
             sort_in_bucket=True,
             ts_cluster=cluster_ts,
-            sort_cols=cluster_cols or None,
+            sort_cols=sort_exprs or None,
             max_records_per_file=max_records_per_file,
         )
         kept = [f for f in files if f["bucket"] not in dirty_buckets]
