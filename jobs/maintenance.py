@@ -45,6 +45,25 @@ def main() -> None:
         help="time-cluster base files at compaction (bucket+window layout)",
     )
     ap.add_argument(
+        "--cluster-cols",
+        default=None,
+        help="comma list: sort compacted buckets by these columns "
+        "(tight per-file stats_cols bounds)",
+    )
+    ap.add_argument(
+        "--zorder-cols",
+        default=None,
+        help="comma list: Z-order compacted buckets across these "
+        "columns (multi-dimensional pruning)",
+    )
+    ap.add_argument(
+        "--max-records-per-file",
+        type=int,
+        default=None,
+        help="split compacted files at this row count (enables "
+        "cluster/zorder pruning granularity)",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -106,6 +125,13 @@ def main() -> None:
             max_delta_files_per_bucket=args.max_delta_files_per_bucket,
             keep_snapshots=args.keep_snapshots,
             cluster_ts=args.cluster_ts,
+            cluster_cols=(
+                args.cluster_cols.split(",") if args.cluster_cols else None
+            ),
+            zorder_cols=(
+                args.zorder_cols.split(",") if args.zorder_cols else None
+            ),
+            max_records_per_file=args.max_records_per_file,
         )
     )
     if args.vacuum_hours is not None:

@@ -1158,6 +1158,9 @@ class LakeTable:
         keep_snapshots: int = 5,
         tombstone_horizon=None,
         cluster_ts: str | None = None,
+        cluster_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict:
         """One-call maintenance policy (the Iceberg maintenance-job /
         Timescale background-worker analog, reference retention intent
@@ -1178,6 +1181,9 @@ class LakeTable:
                 spark,
                 tombstone_horizon=tombstone_horizon,
                 cluster_ts=cluster_ts,
+                cluster_cols=cluster_cols,
+                zorder_cols=zorder_cols,
+                max_records_per_file=max_records_per_file,
             )
         expired = self.expire_snapshots(keep_last=keep_snapshots)
         return {
