@@ -584,6 +584,29 @@ def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized half of sequence packing: per training bin, the
+    ordered member list a sequence builder concatenates (here doc ids;
+    the text variant is the same plan with the text column). Bins come
+    from the same distributed prefix scan as `doc_pack_bins`; the per-bin
+    member ordering is a SMALL in-group sort (bins hold a few docs each
+    — bounded by budget/min-doc-size), never a corpus-wide one."""
+    d = _t_wide(spark, sf_dir, "documents")
+    sized = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = scan_ops.pack_by_budget(sized, ["doc_id"], "n_tokens", budget=4096)
+    member = F.array_sort(F.collect_list("doc_id"))
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.concat_ws(
+                ",", F.transform(member, lambda x: x.cast("string"))
+            ).alias("doc_ids"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
 def sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 — execute_raw_sql analog (pg_db.py:518-617): the SQL escape
     hatch is spark.sql over registered views; Catalyst produces the same
@@ -1430,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lsh_bands": doc_lsh_bands,
         "doc_token_stats": doc_token_stats,
         "doc_pack_bins": doc_pack_bins,
+        "doc_packed_sequences": doc_packed_sequences,
         "doc_quality_scores": doc_quality_scores,
         "doc_lang_detect": doc_lang_detect,
         "doc_pii_scan": doc_pii_scan,
@@ -2065,6 +2089,27 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_tokens)::BIGINT AS n_tokens,
                    min(doc_id) AS first_doc,
                    max(doc_id) AS last_doc
+            FROM packed GROUP BY bin_id ORDER BY bin_id
+        """,
+        "doc_packed_sequences": r"""
+            WITH sized AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            packed AS (
+                SELECT doc_id, n_tokens,
+                       CAST(floor(
+                           (sum(n_tokens) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+                           / 4096.0) AS BIGINT) AS bin_id
+                FROM sized
+            )
+            SELECT bin_id,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids,
+                   sum(n_tokens)::BIGINT AS n_tokens
             FROM packed GROUP BY bin_id ORDER BY bin_id
         """,
         "doc_token_stats": r"""
