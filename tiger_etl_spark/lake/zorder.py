@@ -56,9 +56,15 @@ def zorder_key(
                 lo.timestamp(),
                 hi.timestamp(),
             )
-        if lo is None or hi is None or not (hi > lo):
+        if lo is None or hi is None or hi == lo:
             ranks.append(F.lit(0).cast("long"))
             continue
+        if not isinstance(lo, (int, float)):
+            raise ValueError(
+                f"z-order clustering needs numeric or timestamp columns; "
+                f"{c!r} has {type(lo).__name__} bounds (sort strings via "
+                "cluster_cols instead)"
+            )
         span = float(hi) - float(lo)
         q = F.floor(
             (col.cast("double") - F.lit(float(lo))) / F.lit(span) * F.lit(top)
