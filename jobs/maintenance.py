@@ -76,6 +76,11 @@ def main() -> None:
         help="also remove crash orphans older than this many hours",
     )
     ap.add_argument(
+        "--describe",
+        action="store_true",
+        help="print the manifest-only table summary and exit (no Spark)",
+    )
+    ap.add_argument(
         "--rollback-to",
         type=int,
         default=None,
@@ -94,6 +99,10 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from tiger_etl_spark.lake import LakeTable
+
+    if args.describe:  # pure manifest math — skip Spark startup entirely
+        print(json.dumps(LakeTable.load(args.table).describe()))
+        return
 
     if args.local_cores is not None:
         from tiger_etl_spark.session import get_spark

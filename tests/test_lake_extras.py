@@ -87,3 +87,26 @@ def test_map_column_documents(spark, tmp_path):
     t.merge(spark, df)
     rows = {r["doc_key"]: r["doc"] for r in t.scan(spark).collect()}
     assert rows == {"d1": {"a": "2", "b": "3"}}
+
+
+def test_describe_manifest_summary(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "d"), "url string, warc_ts timestamp, v string", "url",
+        num_buckets=4,
+    )
+    rows = [("I", i + 1, f"u{i}", ts(i), "x") for i in range(40)]
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            rows, "op string, op_seq long, url string, warc_ts timestamp, v string"
+        ),
+    )
+    d = t.describe()
+    assert d["rows"] == 40 and d["num_buckets"] == 4
+    assert d["n_delta_files"] == d["n_files"] > 0
+    assert d["delta_ratio"] == 1.0
+    assert d["bucket_skew"] >= 1.0
+    t.compact(spark)
+    d2 = t.describe()
+    assert d2["delta_ratio"] == 0.0 and d2["n_delta_files"] == 0
+    assert d2["rows"] == 40 and d2["version"] == d["version"] + 1

@@ -1047,6 +1047,45 @@ class LakeTable:
         )
         return self.merge(spark, batch)
 
+    def describe(self) -> dict:
+        """Manifest-only table summary (DESCRIBE TABLE / Iceberg
+        `snapshots`+`files` metadata-table analog): zero I/O, zero
+        Spark — the numbers an operator checks before deciding to
+        compact/rebucket. `delta_ratio` is the fraction of rows in
+        delta files (read amplification pressure); `bucket_skew` is
+        max/mean bucket row count (1.0 = perfectly even)."""
+        files = self.manifest["files"]
+        per_bucket: dict[int, int] = {}
+        delta_rows = 0
+        for f in files:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + f["rows"]
+            if f["kind"] == "delta":
+                delta_rows += f["rows"]
+        total_rows = sum(f["rows"] for f in files)
+        counts = list(per_bucket.values())
+        return {
+            "path": self.path,
+            "version": self.manifest["version"],
+            "snapshot_id": self.manifest["snapshot_id"],
+            "format_version": self.manifest.get("format_version", 1),
+            "key_col": self.key_col,
+            "order_cols": list(self.manifest["order_cols"]),
+            "num_buckets": self.num_buckets,
+            "merge_policy": self.merge_policy,
+            "current_schema_id": self.manifest["current_schema_id"],
+            "n_schemas": len(self.manifest["schemas"]),
+            "n_files": len(files),
+            "n_delta_files": sum(1 for f in files if f["kind"] == "delta"),
+            "rows": total_rows,
+            "bytes": sum(f["bytes"] for f in files),
+            "delta_ratio": (delta_rows / total_rows) if total_rows else 0.0,
+            "buckets_populated": len(per_bucket),
+            "bucket_skew": (
+                max(counts) / (sum(counts) / len(counts)) if counts else 0.0
+            ),
+            "props": dict(self.manifest["props"]),
+        }
+
     # ------------------------------------------------------------ history
     def history(self) -> list[dict]:
         metas = []
