@@ -186,3 +186,29 @@ def test_export_cli_smoke(spark, tmp_path):
     back = spark.read.option("basePath", out).parquet(out)
     assert back.count() == man["rows"] > 0
     assert back.select("text").distinct().count() == back.count()
+
+
+def test_export_stable_across_parallelism(spark, tmp_path):
+    """The shard/split-membership claim: hash projections of the key,
+    so a different shuffle-partition count (a different 'cluster size')
+    produces the identical dataset layout."""
+    t = _table(spark, tmp_path)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        frames = []
+        for i, parts in enumerate(["3", "13"]):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            out = str(tmp_path / f"p{i}")
+            export_training_shards(
+                spark, t, out,
+                split_weights={"train": 0.8, "val": 0.2},
+                pack_budget=300, size_col="n_tokens", num_shards=4,
+            )
+            frames.append(
+                spark.read.option("basePath", out).parquet(out)
+                .select("url", "split", "shard", "bin_id").toPandas()
+                .sort_values("url").reset_index(drop=True)
+            )
+        assert frames[0].equals(frames[1])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
