@@ -194,3 +194,61 @@ def test_views_refresh_on_replayed_skipped_batches(spark, tmp_path):
     assert res.batches_applied == 0 and res.batches_skipped == 2
     table = LakeTable.load(tp)
     assert _view_state(spark, view) == _recompute(spark, table, "lang")
+
+
+def test_agg_view_sum_min_max(spark, tmp_path):
+    """Generalized view: sum/min/max partials fold exactly through
+    incremental refreshes, updates and deletes included."""
+    from tiger_etl_spark.cdc.ivm import IncrementalAggView
+
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=23, n=1500, n_hosts=40)
+    write_change_files(ev, cdir, n_files=3)
+    table = create_pages_table(str(tmp_path / "pages"), num_buckets=8)
+    view = IncrementalAggView(
+        str(tmp_path / "view"),
+        "lang",
+        {
+            "n_rows": (None, "count"),
+            "total_len": ("content_len", "sum"),
+            "min_len": ("content_len", "min"),
+            "max_len": ("content_len", "max"),
+        },
+    )
+
+    def expected():
+        return {
+            r["lang"]: (r["n_rows"], r["total_len"], r["min_len"], r["max_len"])
+            for r in table.scan(spark)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("content_len").alias("total_len"),
+                F.min("content_len").alias("min_len"),
+                F.max("content_len").alias("max_len"),
+            )
+            .collect()
+        }
+
+    for i, p in enumerate(sorted(glob.glob(os.path.join(cdir, "*.parquet")))):
+        apply_changes(
+            spark, table, spark.read.schema(EVENTS_READ_SCHEMA).parquet(p), batch_id=i
+        )
+        stats = view.refresh(spark, table)
+        assert stats["refreshed"]
+        got = {
+            r["lang"]: (r["n_rows"], r["total_len"], r["min_len"], r["max_len"])
+            for r in view.read(spark).collect()
+        }
+        assert got == expected()
+    # the later refreshes were incremental, not full recomputes
+    assert stats["n_dirty_buckets"] <= table.num_buckets
+
+
+def test_agg_view_rejects_nonfoldable(spark, tmp_path):
+    from tiger_etl_spark.cdc.ivm import IncrementalAggView
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not bucket-foldable"):
+        IncrementalAggView(str(tmp_path / "v"), "lang", {"d": ("x", "avg")})

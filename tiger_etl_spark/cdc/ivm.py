@@ -55,15 +55,48 @@ def dirty_buckets_between(table: LakeTable, v_from: int, v_to: int) -> set[int]:
     }
 
 
-class IncrementalCountView:
-    """Materialized grouped row count over a LakeTable, maintained by
-    dirty-bucket refresh. Layout: ``<path>/v{N}.parquet`` +
+# how a per-bucket partial of each aggregate folds to the group total
+_FOLD = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+class IncrementalAggView:
+    """Materialized grouped aggregate over a LakeTable, maintained by
+    dirty-bucket refresh. `aggs` maps output column → (source column,
+    fn) with fn ∈ {count, sum, min, max} — the associative aggregates
+    whose per-bucket partials fold exactly (avg = a sum view + a count
+    view folded at read time). Layout: ``<path>/v{N}.parquet`` +
     ``<path>/_meta`` (JSON: current view version + base table version)."""
 
-    def __init__(self, path: str, group_col: str):
+    def __init__(
+        self,
+        path: str,
+        group_col: str,
+        aggs: dict[str, tuple[str | None, str]] | None = None,
+    ):
         self.path = path
         self.group_col = group_col
+        self.aggs = aggs or {"n_rows": (None, "count")}
+        for name, (_col, fn) in self.aggs.items():
+            if fn not in _FOLD:
+                raise ValueError(
+                    f"aggregate {name}={fn!r} is not bucket-foldable "
+                    f"(supported: {sorted(_FOLD)})"
+                )
         os.makedirs(path, exist_ok=True)
+
+    def _fresh_aggs(self) -> list:
+        out = []
+        for name, (col, fn) in self.aggs.items():
+            if fn == "count":
+                out.append(F.count(F.lit(1)).alias(name))
+            else:
+                out.append(getattr(F, fn)(col).alias(name))
+        return out
+
+    def _fold_aggs(self) -> list:
+        return [
+            _FOLD[fn](name).alias(name) for name, (_c, fn) in self.aggs.items()
+        ]
 
     # ------------------------------------------------------------ state
     def _meta(self) -> dict | None:
@@ -111,9 +144,7 @@ class IncrementalCountView:
         )
         if dirty is not None:
             snap = snap.where(F.col(_BUCKET).isin(*dirty) if dirty else F.lit(False))
-        fresh = snap.groupBy(_BUCKET, self.group_col).agg(
-            F.count(F.lit(1)).alias("n_rows")
-        )
+        fresh = snap.groupBy(_BUCKET, self.group_col).agg(*self._fresh_aggs())
         if dirty is None:
             out = fresh  # full recompute: first refresh OR expired base
         elif dirty:
@@ -165,12 +196,19 @@ class IncrementalCountView:
 
     # ------------------------------------------------------------- read
     def read(self, spark: SparkSession) -> DataFrame:
-        """(group, n_rows) — partials folded to group totals."""
+        """(group, *aggs) — partials folded to group totals."""
         meta = self._meta()
         if meta is None:
             raise FileNotFoundError(f"view at {self.path} never refreshed")
         return (
             self._partials(spark, meta)
             .groupBy(self.group_col)
-            .agg(F.sum("n_rows").alias("n_rows"))
+            .agg(*self._fold_aggs())
         )
+
+
+class IncrementalCountView(IncrementalAggView):
+    """The grouped row-count special case (original surface)."""
+
+    def __init__(self, path: str, group_col: str):
+        super().__init__(path, group_col, {"n_rows": (None, "count")})
