@@ -71,6 +71,15 @@ def main() -> None:
         default="parquet",
         help="change-file wire format of --changes",
     )
+    ap.add_argument(
+        "--enrich",
+        choices=["standard"],
+        default=None,
+        help="materialize the standard derived columns at ingest "
+        "(n_chars, n_tokens, stopword_ratio, detected_lang, content_fp; "
+        "adds them to the table DDL at creation and tracks n_tokens "
+        "in per-file stats for export pruning)",
+    )
     ap.add_argument("--local-cores", type=int, default=0, help=">0: run local[N] (smoke)")
     args = ap.parse_args()
 
@@ -82,10 +91,18 @@ def main() -> None:
         spark = SparkSession.builder.appName("cdc_ingest").getOrCreate()
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    from tiger_etl_spark.cdc.pipeline import create_pages_table
+    from tiger_etl_spark.cdc.pipeline import (
+        STANDARD_ENRICH_DDL,
+        STANDARD_STATS_COLS,
+        create_pages_table,
+        standard_enrichers,
+    )
     from tiger_etl_spark.cdc.streaming import run_stream
     from tiger_etl_spark.lake import LakeTable
 
+    enrichers = standard_enrichers() if args.enrich == "standard" else None
+    if args.enrich == "standard" and args.stats_cols is None:
+        args.stats_cols = STANDARD_STATS_COLS
     if not LakeTable.exists(args.table):
         create_pages_table(
             args.table,
@@ -93,6 +110,7 @@ def main() -> None:
             write_salts=args.write_salts,
             compact_cluster_ts=args.compact_cluster_ts,
             stats_cols=args.stats_cols,
+            enrich_ddl=STANDARD_ENRICH_DDL if args.enrich == "standard" else None,
         )
     else:
         # pure table props apply to an existing table too (--buckets is
@@ -123,6 +141,7 @@ def main() -> None:
         merge_mode=args.merge_mode,
         compact_every=args.compact_every,
         file_format=args.file_format,
+        enrichers=enrichers,
     )
     print(
         json.dumps(

@@ -93,6 +93,14 @@ def main() -> None:
         help="re-validate and re-ingest dead-letter rows before "
         "maintenance (rows still invalid stay quarantined)",
     )
+    ap.add_argument(
+        "--enrich",
+        choices=["standard"],
+        default=None,
+        help="apply the standard enricher preset during --replay-"
+        "quarantine (MUST match what ingest used, or repaired rows "
+        "land with NULL derived columns)",
+    )
     ap.add_argument("--local-cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -121,9 +129,18 @@ def main() -> None:
         print(json.dumps(out))
         return
     if args.replay_quarantine:
-        from tiger_etl_spark.cdc.pipeline import replay_quarantine
+        from tiger_etl_spark.cdc.pipeline import (
+            replay_quarantine,
+            standard_enrichers,
+        )
 
-        out["quarantine_replay"] = replay_quarantine(spark, table)
+        out["quarantine_replay"] = replay_quarantine(
+            spark,
+            table,
+            enrichers=(
+                standard_enrichers() if args.enrich == "standard" else None
+            ),
+        )
     if args.rebucket is not None and args.rebucket != table.num_buckets:
         stats = table.rebucket(spark, args.rebucket)
         out["rebucketed_to"] = args.rebucket

@@ -188,3 +188,45 @@ def test_replay_is_idempotent_and_lww_safe(spark, tmp_path):
     rows = t.scan(spark).collect()
     assert len(rows) == 1
     assert rows[0]["text"] == "new"
+
+
+def test_standard_enrichers_ingest_and_replay(spark, tmp_path):
+    """The named preset: ingest with standard_enrichers materializes the
+    derived columns, and a quarantine replay with the same preset
+    enriches repaired rows identically (no NULL derived columns)."""
+    from tiger_etl_spark.cdc.pipeline import (
+        STANDARD_ENRICH_DDL,
+        STANDARD_STATS_COLS,
+        standard_enrichers,
+    )
+
+    t = create_pages_table(
+        str(tmp_path / "pages"),
+        num_buckets=4,
+        enrich_ddl=STANDARD_ENRICH_DDL,
+        stats_cols=STANDARD_STATS_COLS,
+    )
+    html = b"<p>the quick brown fox and the lazy dog</p>"
+    rows = [
+        ("I", 1, "http://ok/1", ts(1), html, "en", 10, 2, "f0"),
+        ("I", 2, "http://fix/2", None, html, "en", 10, 2, "f0"),
+    ]
+    apply_changes(
+        spark, t, _raw_events(spark, rows), batch_id=0,
+        enrichers=standard_enrichers(),
+    )
+    live = t.scan(spark).where("url = 'http://ok/1'").collect()[0]
+    assert live["n_tokens"] == 8 and live["detected_lang"] == "en"
+    assert live["content_fp"] is not None
+    # per-file bounds recorded for the preset stats col
+    assert any("n_tokens" in f["min"] for f in t.manifest["files"])
+
+    fix = lambda df: df.withColumn(  # noqa: E731
+        "warc_ts", F.coalesce("warc_ts", F.lit(ts(2)))
+    )
+    res = replay_quarantine(spark, t, fixer=fix, enrichers=standard_enrichers())
+    assert res["rows_applied"] == 1
+    replayed = t.scan(spark).where("url = 'http://fix/2'").collect()[0]
+    assert replayed["n_tokens"] == live["n_tokens"]
+    assert replayed["detected_lang"] == "en"
+    assert replayed["content_fp"] == live["content_fp"]

@@ -91,6 +91,36 @@ def create_pages_table(
     )
 
 
+# The named enricher preset the spark-submit jobs expose (--enrich
+# standard): derived columns a training-data pipeline filters/exports
+# on, computed on LWW winners inside the fused ingest stage. Keeping it
+# HERE (library, not job script) means ingest and quarantine REPLAY
+# apply the identical expressions — a replay must enrich exactly like
+# live ingest or repaired rows land with NULL derived columns.
+STANDARD_ENRICH_DDL = (
+    "n_chars long, n_tokens long, stopword_ratio double, "
+    "detected_lang string, content_fp long"
+)
+STANDARD_STATS_COLS = "n_tokens"
+
+
+def standard_enrichers() -> dict:
+    from tiger_etl_spark.functions.text import (
+        detect_lang,
+        doc_fingerprint,
+        quality_score_cols,
+    )
+
+    q = quality_score_cols(F.col("text"))
+    return {
+        "n_chars": q["n_chars"],
+        "n_tokens": q["n_tokens"],
+        "stopword_ratio": q["stopword_ratio"],
+        "detected_lang": detect_lang(F.col("text")),
+        "content_fp": doc_fingerprint(F.col("text")),
+    }
+
+
 def _fused_dedup_extract(
     table: LakeTable, mapped: DataFrame, enrichers: dict | None = None
 ) -> DataFrame:
