@@ -120,6 +120,18 @@ def main() -> None:
         # FROM NOW ON; older files keep their recorded (absent) bounds
         # and are simply never pruned on that column.
         tbl = LakeTable.load(args.table)
+        if args.enrich == "standard":
+            # an existing table created WITHOUT the preset lacks the
+            # derived columns in its live schema; without this evolve,
+            # the enriched values would be written into delta files and
+            # silently dropped by every scan (the schema lift projects
+            # to the live schema). Pre-existing rows read the new
+            # columns as NULL until rewritten.
+            have = {f.split()[0] for f in tbl.schema_ddl.split(", ")}
+            preset_cols = {f.split()[0] for f in STANDARD_ENRICH_DDL.split(", ")}
+            if not preset_cols <= have:
+                tbl.evolve_schema(f"{tbl.schema_ddl}, {STANDARD_ENRICH_DDL}")
+                print(json.dumps({"schema_evolved": sorted(preset_cols - have)}))
         updates = {}
         for prop, val in (
             ("compact_cluster_ts", args.compact_cluster_ts),

@@ -101,10 +101,22 @@ def main() -> None:
 
     keep_list = None
     if args.dedup_exact:
-        # exact dedup decision: one winner (min key) per identical text;
-        # hash groupBy with map-side combine — the cheapest dedup tier
+        # exact dedup decision: one winner (min key) per identical
+        # normalized text (the library's doc_fingerprint — same
+        # whitespace/case normalization as the rest of the exact-dedup
+        # tier), computed over the SAME filtered population the export
+        # reads: choosing winners over the full table would let a
+        # below-threshold winner shadow its qualifying duplicates out
+        # of the corpus entirely. NULL-text rows carry no content to
+        # deduplicate and are never marked dropped.
+        from tiger_etl_spark.functions.text import doc_fingerprint
+
         key = table.key_col
-        cur = table.scan(spark).select(key, F.md5(F.col("text")).alias("_fp"))
+        cur = (
+            table.scan(spark, col_ranges=col_ranges)
+            .where(F.col("text").isNotNull())
+            .select(key, doc_fingerprint(F.col("text")).alias("_fp"))
+        )
         winners = cur.groupBy("_fp").agg(F.min(key).alias("_keep_key"))
         keep_list = (
             cur.join(winners, "_fp")

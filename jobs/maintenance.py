@@ -111,6 +111,17 @@ def main() -> None:
     if args.describe:  # pure manifest math — skip Spark startup entirely
         print(json.dumps(LakeTable.load(args.table).describe()))
         return
+    if args.rollback_to is not None:
+        # rollback is an emergency operation AND pure manifest math: run
+        # it alone (no other maintenance racing the operator's intent)
+        # and without paying Spark/JVM startup
+        table = LakeTable.load(args.table)
+        out = {"table": args.table, "version_before": table.manifest["version"]}
+        table.rollback(args.rollback_to)
+        out["rolled_back_to"] = args.rollback_to
+        out["version_after"] = table.manifest["version"]
+        print(json.dumps(out))
+        return
 
     if args.local_cores is not None:
         from tiger_etl_spark.session import get_spark
@@ -120,14 +131,6 @@ def main() -> None:
         spark = SparkSession.builder.appName("lake-maintenance").getOrCreate()
     table = LakeTable.load(args.table)
     out: dict = {"table": args.table, "version_before": table.manifest["version"]}
-    if args.rollback_to is not None:
-        # rollback is an emergency operation: run it alone so compaction
-        # or snapshot expiry never races the operator's intent
-        table.rollback(args.rollback_to)
-        out["rolled_back_to"] = args.rollback_to
-        out["version_after"] = table.manifest["version"]
-        print(json.dumps(out))
-        return
     if args.replay_quarantine:
         from tiger_etl_spark.cdc.pipeline import (
             replay_quarantine,

@@ -182,10 +182,12 @@ def test_export_cli_smoke(spark, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     man = json.loads(r.stdout.strip().splitlines()[-1])
-    # 5 distinct texts survive exact dedup within the quality band
+    # exactly 5 distinct texts exist in the quality band, and dedup
+    # winners are chosen WITHIN the band — a below-threshold winner
+    # must never shadow its qualifying duplicates out of the corpus
     back = spark.read.option("basePath", out).parquet(out)
-    assert back.count() == man["rows"] > 0
-    assert back.select("text").distinct().count() == back.count()
+    assert back.count() == man["rows"] == 5
+    assert back.select("text").distinct().count() == 5
 
 
 def test_export_stable_across_parallelism(spark, tmp_path):

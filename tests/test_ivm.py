@@ -252,3 +252,32 @@ def test_agg_view_rejects_nonfoldable(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not bucket-foldable"):
         IncrementalAggView(str(tmp_path / "v"), "lang", {"d": ("x", "avg")})
+
+
+def test_agg_view_count_of_column_counts_non_nulls(spark, tmp_path):
+    from tiger_etl_spark.cdc.ivm import IncrementalAggView
+
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=31, n=600, n_hosts=20)
+    write_change_files(ev, cdir, n_files=1)
+    table = create_pages_table(str(tmp_path / "pages"), num_buckets=4)
+    p = sorted(glob.glob(os.path.join(cdir, "*.parquet")))[0]
+    apply_changes(
+        spark, table, spark.read.schema(EVENTS_READ_SCHEMA).parquet(p), batch_id=0
+    )
+    view = IncrementalAggView(
+        str(tmp_path / "v"), "lang",
+        {"n_rows": (None, "count"), "n_with_html": ("html", "count")},
+    )
+    view.refresh(spark, table)
+    want = {
+        r["lang"]: (r["a"], r["b"])
+        for r in table.scan(spark).groupBy("lang").agg(
+            F.count("*").alias("a"), F.count("html").alias("b")
+        ).collect()
+    }
+    got = {
+        r["lang"]: (r["n_rows"], r["n_with_html"])
+        for r in view.read(spark).collect()
+    }
+    assert got == want

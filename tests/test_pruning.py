@@ -544,3 +544,37 @@ def test_compact_zorder_prunes_on_every_clustered_column(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_compact_zorder_handles_date_and_timestamp_columns(spark, tmp_path):
+    """DateType bounds arrive as datetime.date (no .timestamp()); both
+    date and timestamp columns must rank through explicit-UTC epochs."""
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp, d date, x double",
+        key_col="url",
+        num_buckets=2,
+        props={"stats_cols": "x"},
+    )
+    rows = [
+        ("I", i + 1, f"u{i}", ts(i), dt.date(2025, 1, 1 + i % 28), (i % 50) / 50.0)
+        for i in range(200)
+    ]
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "op string, op_seq long, url string, warc_ts timestamp, d date, x double",
+        ),
+    )
+    t.compact(spark, zorder_cols=["d", "x"], max_records_per_file=25)
+    files = t.manifest["files"]
+    assert len(files) >= 8 and all(f["kind"] == "base" for f in files)
+    # x still prunes despite sharing the interleave with the date dim
+    px = t.plan_files(col_ranges={"x": (0.9, None)})
+    assert len(px) < len(files)
+    want = sorted(r["url"] for r in t.scan(spark).where("x >= 0.9").collect())
+    got = sorted(
+        r["url"] for r in t.scan(spark, col_ranges={"x": (0.9, None)}).collect()
+    )
+    assert got == want and got

@@ -230,3 +230,39 @@ def test_standard_enrichers_ingest_and_replay(spark, tmp_path):
     assert replayed["n_tokens"] == live["n_tokens"]
     assert replayed["detected_lang"] == "en"
     assert replayed["content_fp"] == live["content_fp"]
+
+
+def test_ingest_cli_enrich_standard_evolves_existing_table(spark, tmp_path):
+    """--enrich standard against a table created WITHOUT the preset must
+    evolve the schema first — otherwise the enriched values would be
+    written but dropped by every scan (the schema lift projects to the
+    live schema)."""
+    import subprocess
+    import sys
+
+    from tiger_etl_spark.cdc.datagen import gen_change_events, write_change_files
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=5, n=300, n_hosts=10)
+    write_change_files(ev, cdir, n_files=2)
+
+    def run(extra):
+        r = subprocess.run(
+            [sys.executable, os.path.join(root, "jobs", "cdc_ingest.py"),
+             "--changes", cdir, "--table", str(tmp_path / "pages"),
+             "--checkpoint", str(tmp_path / ("ck" + str(len(extra)))),
+             "--buckets", "4", "--local-cores", "2", *extra],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    run([])  # plain table, no enrichment
+    out = run(["--enrich", "standard"])  # same table, fresh checkpoint
+    assert "schema_evolved" in out
+    t = LakeTable.load(str(tmp_path / "pages"))
+    assert "n_tokens" in t.scan(spark).columns
+    # replayed batches are exactly-once no-ops, so rows keep their
+    # pre-evolution versions: enriched columns read as typed NULLs
+    assert t.scan(spark).count() > 0

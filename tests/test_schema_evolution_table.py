@@ -164,3 +164,45 @@ def test_rename_of_key_or_order_cols_refused(spark, tmp_path):
         t.evolve_schema(
             "page string, warc_ts timestamp, v string", renames={"url": "page"}
         )
+
+
+def test_rename_of_stats_col_refused(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp, n_tokens long",
+        "url",
+        num_buckets=2,
+        props={"stats_cols": "n_tokens"},
+    )
+    with pytest.raises(ValueError, match="stats"):
+        t.evolve_schema(
+            "url string, warc_ts timestamp, token_count long",
+            renames={"n_tokens": "token_count"},
+        )
+
+
+def test_evolve_stamps_schema_id_on_pre_upgrade_files(spark, tmp_path):
+    """Files written before per-file schema ids existed must be stamped
+    with their implicit id at the next evolve, or a later rename would
+    skip their lift and silently null the column."""
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("I", 1, "a", ts(1), "keep")],
+            "op string, op_seq long, url string, warc_ts timestamp, v string",
+        ),
+    )
+    # simulate a pre-upgrade manifest: strip the recorded schema ids
+    stripped = [
+        {k: v for k, v in f.items() if k != "schema_id"}
+        for f in t.manifest["files"]
+    ]
+    t.manifest = dict(t.manifest, files=stripped)
+    t._commit(stripped, {"operation": "strip-ids-for-test"})
+    t.evolve_schema(
+        "url string, warc_ts timestamp, val string", renames={"v": "val"}
+    )
+    assert all("schema_id" in f for f in t.manifest["files"])
+    got = {r["url"]: r["val"] for r in t.scan(spark).collect()}
+    assert got == {"a": "keep"}

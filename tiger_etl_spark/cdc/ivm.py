@@ -88,7 +88,10 @@ class IncrementalAggView:
         out = []
         for name, (col, fn) in self.aggs.items():
             if fn == "count":
-                out.append(F.count(F.lit(1)).alias(name))
+                # count(col) = non-null count; count with col=None = rows
+                out.append(
+                    (F.count(col) if col else F.count(F.lit(1))).alias(name)
+                )
             else:
                 out.append(getattr(F, fn)(col).alias(name))
         return out

@@ -530,7 +530,13 @@ def replay_quarantine(
             still = checked.where(~is_valid).withColumn(
                 "_invalid_reasons", F.array_join("_invalid_reasons", ",")
             )
-            tmp = f"{qdir}.replay-tmp"
+            # tmp name must sit OUTSIDE the `batch_id=*` glob namespace
+            # (and be dot-hidden from partition discovery): a crash
+            # between write and rename must never leave a phantom dir a
+            # later replay or read_quarantine would treat as a batch
+            import uuid as _uuid
+
+            tmp = os.path.join(qroot, f".replay-tmp-{_uuid.uuid4().hex}")
             still.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(qdir, ignore_errors=True)
             os.rename(tmp, qdir)

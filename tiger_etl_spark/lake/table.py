@@ -970,14 +970,30 @@ class LakeTable:
         schema; scans of mixed files rely on parquet fill-null for added
         columns and upcast for widened ones; `renames` maps old physical
         name → new name for files written before the rename."""
-        protected = {self.key_col, *self.manifest["order_cols"]}
+        stats_cols = {
+            c.strip()
+            for c in self.manifest["props"].get("stats_cols", "").split(",")
+            if c.strip()
+        }
+        protected = {self.key_col, *self.manifest["order_cols"], *stats_cols}
         bad = protected & set((renames or {}))
         if bad:
             raise ValueError(
-                f"cannot rename merge-key/order columns {sorted(bad)}: the "
-                "manifest's key_col/order_cols and every recorded per-file "
-                "stat bound refer to them"
+                f"cannot rename merge-key/order/stats columns {sorted(bad)}: "
+                "the manifest's key_col/order_cols/stats_cols props and every "
+                "recorded per-file stat bound refer to them by name (for a "
+                "stats column, drop it from the stats_cols prop first)"
             )
+        cur = int(self.manifest["current_schema_id"])
+        # stamp the implicit schema id onto any pre-upgrade file entry
+        # (written before per-file ids existed): without this, a LATER
+        # rename would read those files under the new schema and skip
+        # the rename lift, silently nulling the column
+        files = [
+            f if "schema_id" in f else dict(f, schema_id=cur)
+            for f in self.manifest["files"]
+        ]
+        self.manifest = dict(self.manifest, files=files)
         new_id = max(int(k) for k in self.manifest["schemas"]) + 1
         schemas = dict(self.manifest["schemas"])
         schemas[str(new_id)] = {"ddl": new_ddl, "renames": dict(renames or {})}

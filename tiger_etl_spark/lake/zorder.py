@@ -50,11 +50,25 @@ def zorder_key(
     for c in cols:
         lo, hi = bounds[c]
         col = F.col(c)
-        if lo is not None and hasattr(lo, "isoformat"):  # datetime bounds
+        if lo is not None and hasattr(lo, "isoformat"):  # date/datetime
+            # rank via epoch seconds. Bounds convert through an EXPLICIT
+            # UTC attachment: naive .timestamp() would use the driver's
+            # local timezone while Spark's unix_timestamp uses the
+            # (UTC) session timezone — a silent rank skew. DateType
+            # bounds arrive as datetime.date (no .timestamp() at all).
+            import datetime as _dt
+
+            def _epoch(v):
+                if not isinstance(v, _dt.datetime):  # datetime.date
+                    v = _dt.datetime(v.year, v.month, v.day)
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                return v.timestamp()
+
             col, lo, hi = (
-                F.unix_timestamp(col).cast("double"),
-                lo.timestamp(),
-                hi.timestamp(),
+                F.unix_timestamp(col.cast("timestamp")).cast("double"),
+                _epoch(lo),
+                _epoch(hi),
             )
         if lo is None or hi is None or hi == lo:
             ranks.append(F.lit(0).cast("long"))

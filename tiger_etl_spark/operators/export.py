@@ -122,14 +122,19 @@ def export_training_shards(
         _SHARD_COL, F.pmod(F.hash(F.col(key)), F.lit(num_shards)).cast("int")
     )
     obs = Observation("export")
-    metrics = [F.count(F.lit(1)).alias("rows")]
-    for name in weights:
-        metrics.append(
-            F.sum((F.col("split") == name).cast("long")).alias(f"rows_{name}")
-        )
-    if size_col in df.columns:
-        metrics.append(F.sum(F.col(size_col)).alias("size_units"))
-    df = df.observe(obs, *metrics)
+
+    def metric_cols() -> list:
+        out = [F.count(F.lit(1)).alias("rows")]
+        for name in weights:
+            out.append(
+                F.sum((F.col("split") == name).cast("long")).alias(f"rows_{name}")
+            )
+        if size_col in df.columns:
+            out.append(F.sum(F.col(size_col)).alias("size_units"))
+        return out
+
+    unobserved = df  # fallback plan without the CollectMetrics node
+    df = df.observe(obs, *metric_cols())
 
     out = df.repartition(len(weights) * num_shards, F.col("split"), F.col(_SHARD_COL))
     writer_df = out
@@ -148,9 +153,12 @@ def export_training_shards(
         if not m.get("rows"):
             raise ValueError("empty/degenerate observation")
     except Exception:
-        # same AQE empty-relation degeneracy as cdc/pipeline.py — an
-        # all-filtered export still deserves a correct manifest
-        m = {"rows": 0, **{f"rows_{n}": 0 for n in weights}}
+        # same AQE empty-relation degeneracy as cdc/pipeline.py: the
+        # observation can complete schema-less or with a default row.
+        # RECOMPUTE the aggregates (never just zero them — a manifest
+        # contradicting billions of written rows is worse than a second
+        # pass; for a genuinely empty export this recompute is free).
+        m = unobserved.agg(*metric_cols()).first().asDict()
 
     manifest = {
         "source_table": table.path,
