@@ -178,3 +178,56 @@ def test_full_resync_after_source_snapshot_expiry(spark, pair):
     out2 = sync_to(spark, src, rep)
     assert out2["synced"] and not out2["full_resync"]
     assert _state(spark, rep) == _state(spark, src)
+
+
+def test_sync_propagates_schema_evolution(spark, tmp_path):
+    """Source adds and renames columns between syncs: the replica's
+    schema registry mirrors the source's, added columns carry values
+    (not silently dropped by the merge projection), and pre-rename
+    replica files still lift their old values under the new name."""
+    src = LakeTable.create(str(tmp_path / "src"), DDL, key_col="url", num_buckets=4)
+    rep = create_replica(src, str(tmp_path / "rep"))
+    src.merge(spark, batch_df(spark, [("I", 1, "a", 1, "alpha")]))
+    sync_to(spark, src, rep)
+    assert _state(spark, rep) == _state(spark, src)
+
+    # rename text -> body, add a score column, then write through v2
+    src.evolve_schema(
+        "url string, warc_ts timestamp, body string, score long",
+        renames={"text": "body"},
+    )
+    src.merge(
+        spark,
+        spark.createDataFrame(
+            [("I", 2, "b", ts(2), "beta", 9)],
+            "op string, op_seq long, url string, warc_ts timestamp, "
+            "body string, score long",
+        ),
+    )
+    res = sync_to(spark, src, rep)
+    assert res["synced"]
+    got = {r["url"]: (r["body"], r["score"]) for r in rep.scan(spark).collect()}
+    # 'a' was written pre-rename on BOTH sides; its text lifts to body.
+    # 'b' carries the new column's value through the CDF merge.
+    assert got == {"a": ("alpha", None), "b": ("beta", 9)}
+    # registries mirrored: one more evolution later still aligns
+    assert rep.manifest["schemas"] == src.manifest["schemas"]
+    chk_s = audit.table_checksum(
+        src.scan(spark).select("url", "body", "score")
+    ).collect()[0]
+    chk_r = audit.table_checksum(
+        rep.scan(spark).select("url", "body", "score")
+    ).collect()[0]
+    assert chk_s["checksum"] == chk_r["checksum"]
+
+
+def test_create_replica_from_evolved_source_aligns_ids(spark, tmp_path):
+    src = LakeTable.create(str(tmp_path / "src"), DDL, key_col="url", num_buckets=4)
+    src.evolve_schema(
+        "url string, warc_ts timestamp, body string", renames={"text": "body"}
+    )
+    rep = create_replica(src, str(tmp_path / "rep2"))
+    assert rep.manifest["schemas"] == src.manifest["schemas"]
+    assert (
+        rep.manifest["current_schema_id"] == src.manifest["current_schema_id"]
+    )

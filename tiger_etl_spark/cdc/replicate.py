@@ -49,6 +49,7 @@ def sync_to(spark: SparkSession, source: LakeTable, replica: LakeTable) -> dict:
             f"replica is ahead of source ({v_from} > {v_to}) — "
             "was the source table recreated?"
         )
+    _mirror_schema_registry(source, replica)
     key = source.key_col
     full_resync = False
     try:
@@ -109,16 +110,41 @@ def sync_to(spark: SparkSession, source: LakeTable, replica: LakeTable) -> dict:
     }
 
 
+def _mirror_schema_registry(source: LakeTable, replica: LakeTable) -> None:
+    """Propagate source schema evolution to the replica (Fivetran-style
+    schema drift): the replica's schema REGISTRY (ids, DDLs, rename
+    maps) is kept a verbatim copy of the source's, so replica file
+    entries' schema-id stamps mean the same thing as the source's and
+    the read-time lift (renames/adds/widens) resolves identically.
+    Without this, a column added on the source is silently DROPPED by
+    the replica merge (merge projects the batch to the replica's live
+    schema) and a rename would null out pre-rename replica files."""
+    if (
+        source.manifest["schemas"] == replica.manifest["schemas"]
+        and source.manifest["current_schema_id"]
+        == replica.manifest["current_schema_id"]
+    ):
+        return
+    replica.manifest = dict(
+        replica.manifest,
+        schemas={k: dict(v) for k, v in source.manifest["schemas"].items()},
+        current_schema_id=source.manifest["current_schema_id"],
+    )
+    replica._commit(replica.manifest["files"], {"operation": "mirror-schema"})
+
+
 def create_replica(source: LakeTable, path: str) -> LakeTable:
     """An empty replica with the source's schema/key/bucketing — same
     bucket count and hash, so future co-located bucket joins and
-    `audit.bucket_checksums` drill-downs line up file-for-file.
+    `audit.bucket_checksums` drill-downs line up file-for-file. The
+    source's full schema registry is mirrored (ids aligned), so later
+    source evolutions propagate on sync.
 
     The replica is ALWAYS whole-row LWW, even for a `partial`-policy
     source: CDF rows are full current states (column resolution already
     happened on the source), so a column-coalescing apply would wrongly
     resurrect old values where the source holds an explicit NULL."""
-    return LakeTable.create(
+    rep = LakeTable.create(
         path,
         source.schema_ddl,
         key_col=source.key_col,
@@ -126,3 +152,5 @@ def create_replica(source: LakeTable, path: str) -> LakeTable:
         num_buckets=source.num_buckets,
         merge_policy="lww",
     )
+    _mirror_schema_registry(source, rep)
+    return rep
