@@ -206,3 +206,51 @@ def test_ingest_stats_cols_enable_col_range_pruning(spark, tmp_path, change_dir)
     )
     assert again == full
     assert len(planned) <= len(table.manifest["files"])
+
+
+def test_static_dim_enrichment_broadcast_join(spark, tmp_path, change_dir):
+    """Stream-static join: a small dimension broadcast-joined onto the
+    LWW winners; declared dim columns persist, and the fused plan keeps
+    its single-exchange shape (broadcast adds no shuffle)."""
+    from tiger_etl_spark.cdc.pipeline import _fused_dedup_extract
+    from tiger_etl_spark.cdc.schema_evolution import map_to_live_schema
+
+    table = create_pages_table(
+        str(tmp_path / "pages_dim"),
+        num_buckets=4,
+        enrich_ddl="lang_family string, lang_rank long",
+    )
+    dim = spark.createDataFrame(
+        [("en", "germanic", 1), ("de", "germanic", 2), ("fr", "romance", 3)],
+        "lang string, lang_family string, dim_rank long",
+    )
+    enrichers = {"lang_rank": F.col("dim_rank") * 10}
+    for i, path in enumerate(sorted(glob.glob(os.path.join(change_dir, "*.parquet")))):
+        events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
+        apply_changes(
+            spark, table, events, batch_id=i,
+            enrichers=enrichers, static_dim=(dim, "lang"),
+        )
+    assert_final_state_matches_oracle(spark, table, change_dir)
+    rows = table.scan(spark).collect()
+    fam = {r["lang"]: r["lang_family"] for r in rows if r["lang"] is not None}
+    want = {"en": "germanic", "de": "germanic", "fr": "romance"}
+    for lang, f in fam.items():
+        assert f == want.get(lang), (lang, f)
+    for r in rows:
+        if r["lang"] in want:
+            assert r["lang_rank"] in (10, 20, 30)
+    # un-declared dim column never leaks into the table
+    assert "dim_rank" not in table.scan(spark).columns
+    # plan shape: broadcast join, still exactly one hash-partition
+    # exchange (the bucket repartition)
+    events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(
+        sorted(glob.glob(os.path.join(change_dir, "*.parquet")))[0]
+    )
+    plan_df = _fused_dedup_extract(
+        table, map_to_live_schema(events.where(F.col("url").isNotNull())),
+        enrichers, (dim, "lang"),
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -122,7 +122,10 @@ def standard_enrichers() -> dict:
 
 
 def _fused_dedup_extract(
-    table: LakeTable, mapped: DataFrame, enrichers: dict | None = None
+    table: LakeTable,
+    mapped: DataFrame,
+    enrichers: dict | None = None,
+    static_dim: tuple[DataFrame, object] | None = None,
 ) -> DataFrame:
     """The hot path, one shuffle total (SURVEY.md §3 steps 3–5 fused):
 
@@ -175,6 +178,18 @@ def _fused_dedup_extract(
         "_deleted",
         table.bucket_expr().alias("_bucket"),
     )
+    if static_dim is not None:
+        # stream-static dimension enrichment: a BROADCAST left join with
+        # a small dim table (host metadata, language families, domain
+        # reputation) on the winners-only, bucket-aligned stage — the
+        # broadcast preserves the partitioning, so the prepared merge
+        # still writes with zero further shuffles and losers never pay
+        # the join. `on` is a join column name or Column expression.
+        # Dim columns persist only if declared in the table schema
+        # (enrich_ddl); others feed `enrichers` expressions and are
+        # projected away below.
+        dim_df, on = static_dim
+        out = out.join(F.broadcast(dim_df), on, "left")
     if enrichers:
         # derived columns materialized at ingest (quality scores, token
         # counts, fingerprints): computed on WINNERS only, inside the
@@ -182,6 +197,19 @@ def _fused_dedup_extract(
         # pay, and scans filter on the stored column instead of
         # recomputing (the CCNet/RefinedWeb "score at ingest" pattern)
         out = out.withColumns(dict(enrichers))
+    if static_dim is not None:
+        # project to the table's physical columns: un-declared dim
+        # columns must not leak into data files
+        fields = [
+            f.name
+            for f in mapped.sparkSession.createDataFrame(
+                [], table.schema_ddl
+            ).schema.fields
+        ]
+        have = set(out.columns)
+        out = out.select(
+            *[f for f in fields if f in have], "_op_seq", "_deleted", "_bucket"
+        )
     return out
 
 
@@ -223,13 +251,18 @@ def apply_changes(
     watermark_hours: int = WATERMARK_HOURS_DEFAULT,
     merge_mode: str = "mor",
     enrichers: dict | None = None,
+    static_dim: tuple[DataFrame, object] | None = None,
 ) -> LineageRecord:
     """Apply one bounded batch of raw change events. `events` has the
     superset read schema (cdc.schemas.EVENTS_READ_SCHEMA).
 
     `enrichers`: name → Column over (url, warc_ts, html, text, lang,
     content_len), materialized into matching `enrich_ddl` table columns
-    at ingest (winners only on the fused path)."""
+    at ingest (winners only on the fused path). `static_dim`:
+    (dim_df, on) — broadcast left-join a small static dimension onto
+    the winners before enrichment (stream-static join; dim columns
+    persist when declared in the table schema, and enrichers may
+    reference them)."""
     applied = table.props.get("applied_batches", {})
     if batch_applied(table.props, batch_id):
         # exactly-once: replayed batch (restart between data commit and
@@ -366,7 +399,7 @@ def apply_changes(
 
     try:
         if merge_mode == "mor" and table.merge_policy == "lww":
-            batch = _fused_dedup_extract(table, mapped, enrichers)
+            batch = _fused_dedup_extract(table, mapped, enrichers, static_dim)
             stats = table.merge(
                 spark, batch, mode="mor", prepared=True, props_updates_fn=commit_props
             )

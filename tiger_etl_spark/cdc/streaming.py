@@ -48,6 +48,7 @@ def run_stream(
     file_format: str = "parquet",
     views: list | None = None,
     enrichers: dict | None = None,
+    static_dim=None,
 ) -> StreamResult:
     """Process all currently-available change files (availableNow
     trigger: drains the backlog in bounded micro-batches, then stops —
@@ -92,6 +93,7 @@ def run_stream(
             watermark_hours=watermark_hours,
             merge_mode=merge_mode,
             enrichers=enrichers,
+            static_dim=static_dim,
         )
         result.lineage.append(rec)
         result.batches_applied += 1
