@@ -80,6 +80,17 @@ def main() -> None:
         "adds them to the table DDL at creation and tracks n_tokens "
         "in per-file stats for export pruning)",
     )
+    ap.add_argument(
+        "--dim-table",
+        default=None,
+        help="path to a small static dimension (parquet) to broadcast-"
+        "join onto LWW winners at ingest (stream-static enrichment)",
+    )
+    ap.add_argument(
+        "--dim-on",
+        default="lang",
+        help="join column for --dim-table",
+    )
     ap.add_argument("--local-cores", type=int, default=0, help=">0: run local[N] (smoke)")
     args = ap.parse_args()
 
@@ -154,6 +165,11 @@ def main() -> None:
         compact_every=args.compact_every,
         file_format=args.file_format,
         enrichers=enrichers,
+        static_dim=(
+            (spark.read.parquet(args.dim_table), args.dim_on)
+            if args.dim_table
+            else None
+        ),
     )
     print(
         json.dumps(
