@@ -114,14 +114,36 @@ def main() -> None:
     enrichers = standard_enrichers() if args.enrich == "standard" else None
     if args.enrich == "standard" and args.stats_cols is None:
         args.stats_cols = STANDARD_STATS_COLS
+    # dim columns must exist in the table schema or every joined value
+    # is projected away before the write — derive their DDL from the
+    # dim parquet and append/evolve it (join key excluded: the stream
+    # already carries it)
+    dim_ddl = None
+    static_dim = None
+    if args.dim_table:
+        dim_df = spark.read.parquet(args.dim_table)
+        static_dim = (dim_df, args.dim_on)
+        dim_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in dim_df.schema.fields
+            if f.name != args.dim_on
+        )
     if not LakeTable.exists(args.table):
+        extra_ddl = ", ".join(
+            d
+            for d in (
+                STANDARD_ENRICH_DDL if args.enrich == "standard" else None,
+                dim_ddl,
+            )
+            if d
+        )
         create_pages_table(
             args.table,
             num_buckets=args.buckets,
             write_salts=args.write_salts,
             compact_cluster_ts=args.compact_cluster_ts,
             stats_cols=args.stats_cols,
-            enrich_ddl=STANDARD_ENRICH_DDL if args.enrich == "standard" else None,
+            enrich_ddl=extra_ddl or None,
         )
     else:
         # pure table props apply to an existing table too (--buckets is
@@ -131,18 +153,26 @@ def main() -> None:
         # FROM NOW ON; older files keep their recorded (absent) bounds
         # and are simply never pruned on that column.
         tbl = LakeTable.load(args.table)
+        # columns the flags imply must exist in the live schema; without
+        # this evolve, enriched/dim values would be written into delta
+        # files and silently dropped by every scan (the schema lift
+        # projects to the live schema). Pre-existing rows read the new
+        # columns as NULL until rewritten.
+        wanted_ddls = []
         if args.enrich == "standard":
-            # an existing table created WITHOUT the preset lacks the
-            # derived columns in its live schema; without this evolve,
-            # the enriched values would be written into delta files and
-            # silently dropped by every scan (the schema lift projects
-            # to the live schema). Pre-existing rows read the new
-            # columns as NULL until rewritten.
+            wanted_ddls.append(STANDARD_ENRICH_DDL)
+        if dim_ddl:
+            wanted_ddls.append(dim_ddl)
+        for ddl in wanted_ddls:
             have = {f.split()[0] for f in tbl.schema_ddl.split(", ")}
-            preset_cols = {f.split()[0] for f in STANDARD_ENRICH_DDL.split(", ")}
-            if not preset_cols <= have:
-                tbl.evolve_schema(f"{tbl.schema_ddl}, {STANDARD_ENRICH_DDL}")
-                print(json.dumps({"schema_evolved": sorted(preset_cols - have)}))
+            cols = {f.split()[0] for f in ddl.split(", ")}
+            missing = cols - have
+            if missing:
+                add = ", ".join(
+                    f for f in ddl.split(", ") if f.split()[0] in missing
+                )
+                tbl.evolve_schema(f"{tbl.schema_ddl}, {add}")
+                print(json.dumps({"schema_evolved": sorted(missing)}))
         updates = {}
         for prop, val in (
             ("compact_cluster_ts", args.compact_cluster_ts),
@@ -165,11 +195,7 @@ def main() -> None:
         compact_every=args.compact_every,
         file_format=args.file_format,
         enrichers=enrichers,
-        static_dim=(
-            (spark.read.parquet(args.dim_table), args.dim_on)
-            if args.dim_table
-            else None
-        ),
+        static_dim=static_dim,
     )
     print(
         json.dumps(

@@ -101,6 +101,13 @@ def main() -> None:
         "quarantine (MUST match what ingest used, or repaired rows "
         "land with NULL derived columns)",
     )
+    ap.add_argument(
+        "--dim-table",
+        default=None,
+        help="static dimension (parquet) for --replay-quarantine "
+        "(MUST match what ingest used)",
+    )
+    ap.add_argument("--dim-on", default="lang", help="join column for --dim-table")
     ap.add_argument("--local-cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -142,6 +149,11 @@ def main() -> None:
             table,
             enrichers=(
                 standard_enrichers() if args.enrich == "standard" else None
+            ),
+            static_dim=(
+                (spark.read.parquet(args.dim_table), args.dim_on)
+                if args.dim_table
+                else None
             ),
         )
     if args.rebucket is not None and args.rebucket != table.num_buckets:

@@ -254,3 +254,72 @@ def test_static_dim_enrichment_broadcast_join(spark, tmp_path, change_dir):
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_static_dim_guards(spark, tmp_path, change_dir):
+    """Duplicate dim join keys are rejected (they would multiply LWW
+    winners); dim columns shadowing stream columns are dropped, stream
+    value wins; Column-expression join keys are refused."""
+    import pytest as _pytest
+
+    from tiger_etl_spark.cdc.pipeline import _fused_dedup_extract
+    from tiger_etl_spark.cdc.schema_evolution import map_to_live_schema
+
+    table = create_pages_table(
+        str(tmp_path / "pages_g"), num_buckets=4, enrich_ddl="lang_family string"
+    )
+    events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(
+        sorted(glob.glob(os.path.join(change_dir, "*.parquet")))[0]
+    )
+    mapped = map_to_live_schema(events.where(F.col("url").isNotNull()))
+
+    dup_dim = spark.createDataFrame(
+        [("en", "germanic"), ("en", "other")], "lang string, lang_family string"
+    )
+    with _pytest.raises(ValueError, match="duplicate join keys"):
+        apply_changes(
+            spark, table, events, batch_id=0, static_dim=(dup_dim, "lang")
+        )
+
+    shadow_dim = spark.createDataFrame(
+        [("en", "germanic", 999)],
+        "lang string, lang_family string, content_len long",
+    )
+    out = _fused_dedup_extract(table, mapped, None, (shadow_dim, "lang"))
+    row = out.where(F.col("lang") == "en").limit(1).collect()
+    if row:  # stream's content_len wins over the dim's 999
+        assert row[0]["content_len"] != 999
+
+    with _pytest.raises(ValueError, match="column name"):
+        _fused_dedup_extract(
+            table, mapped, None, (shadow_dim, F.col("lang") == shadow_dim["lang"])
+        )
+
+
+def test_static_dim_replay_matches_live_ingest(spark, tmp_path, change_dir):
+    """replay_quarantine with the same static_dim enriches repaired rows
+    exactly like live ingest."""
+    import datetime as dt
+
+    from tiger_etl_spark.cdc.pipeline import replay_quarantine
+
+    table = create_pages_table(
+        str(tmp_path / "pages_r"), num_buckets=4, enrich_ddl="lang_family string"
+    )
+    dim = spark.createDataFrame(
+        [("en", "germanic")], "lang string, lang_family string"
+    )
+    bad = spark.createDataFrame(
+        [("I", 5, "http://q/1", None, b"<p>q</p>", "en", 5, 2, "fq")],
+        "op string, op_seq long, url string, warc_ts timestamp, html binary, "
+        "lang string, content_len long, schema_id int, batch_file string",
+    ).withColumn("body", F.lit(None).cast("binary"))
+    apply_changes(spark, table, bad, batch_id=0, static_dim=(dim, "lang"))
+    fix = lambda d: d.withColumn(  # noqa: E731
+        "warc_ts",
+        F.coalesce("warc_ts", F.lit(dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc))),
+    )
+    res = replay_quarantine(spark, table, fixer=fix, static_dim=(dim, "lang"))
+    assert res["rows_applied"] == 1
+    got = table.scan(spark).where("url='http://q/1'").collect()[0]
+    assert got["lang_family"] == "germanic"

@@ -231,3 +231,27 @@ def test_create_replica_from_evolved_source_aligns_ids(spark, tmp_path):
     assert (
         rep.manifest["current_schema_id"] == src.manifest["current_schema_id"]
     )
+
+
+def test_mirror_refuses_source_registry_regression(spark, tmp_path):
+    """A source rolled back past an evolution the replica already
+    mirrored must fail the sync loudly — silently shrinking the
+    replica's registry would orphan its files' schema-id stamps."""
+    src = LakeTable.create(str(tmp_path / "src"), DDL, key_col="url", num_buckets=2)
+    rep = create_replica(src, str(tmp_path / "rep"))
+    v_pre = src.manifest["version"]
+    src.evolve_schema(
+        "url string, warc_ts timestamp, body string", renames={"text": "body"}
+    )
+    src.merge(
+        spark,
+        spark.createDataFrame(
+            [("I", 1, "a", ts(1), "x")],
+            "op string, op_seq long, url string, warc_ts timestamp, body string",
+        ),
+    )
+    sync_to(spark, src, rep)  # replica now has files stamped schema id 3
+    src.rollback(v_pre)
+    src.merge(spark, batch_df(spark, [("I", 2, "b", 2, "y")]))
+    with pytest.raises(RuntimeError, match="absent from the source registry"):
+        sync_to(spark, src, rep)

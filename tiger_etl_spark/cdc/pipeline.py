@@ -121,6 +121,42 @@ def standard_enrichers() -> dict:
     }
 
 
+def _checked_dim(static_dim: tuple, stream_cols: list[str]) -> DataFrame:
+    """Validate + sanitize the static dimension once per handle:
+    `on` must be a column NAME (a Column-expression join would keep two
+    copies of the key and crash the post-join projection); dim columns
+    that shadow stream/internal columns are dropped (the stream's value
+    wins — a dim that redefines `content_len` must not make the select
+    ambiguous); duplicate join keys are rejected (they would multiply
+    LWW winners and break the prepared-merge one-row-per-key contract).
+    The duplicate check is one tiny action on the (small, broadcastable)
+    dim — cached on the DataFrame handle so a streaming run pays it
+    once, not per micro-batch."""
+    dim_df, on = static_dim
+    if not isinstance(on, str):
+        raise ValueError(
+            "static_dim join key must be a column name (string); a join "
+            "expression would keep both key copies and break the "
+            "post-join projection"
+        )
+    if not getattr(dim_df, "_tiger_dim_checked", False):
+        dups = (
+            dim_df.groupBy(on).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dups:
+            raise ValueError(
+                f"static_dim has duplicate join keys on {on!r}: a 1:N dim "
+                "join would multiply LWW winners (one row per key is the "
+                "merge contract). Deduplicate the dim first."
+            )
+        try:
+            dim_df._tiger_dim_checked = True
+        except AttributeError:
+            pass
+    shadowed = [c for c in dim_df.columns if c in stream_cols and c != on]
+    return dim_df.drop(*shadowed) if shadowed else dim_df
+
+
 def _fused_dedup_extract(
     table: LakeTable,
     mapped: DataFrame,
@@ -184,12 +220,10 @@ def _fused_dedup_extract(
         # reputation) on the winners-only, bucket-aligned stage — the
         # broadcast preserves the partitioning, so the prepared merge
         # still writes with zero further shuffles and losers never pay
-        # the join. `on` is a join column name or Column expression.
-        # Dim columns persist only if declared in the table schema
-        # (enrich_ddl); others feed `enrichers` expressions and are
-        # projected away below.
-        dim_df, on = static_dim
-        out = out.join(F.broadcast(dim_df), on, "left")
+        # the join. Dim columns persist only if declared in the table
+        # schema (enrich_ddl); others feed `enrichers` expressions and
+        # are projected away below.
+        out = out.join(F.broadcast(_checked_dim(static_dim, out.columns)), static_dim[1], "left")
     if enrichers:
         # derived columns materialized at ingest (quality scores, token
         # counts, fingerprints): computed on WINNERS only, inside the
@@ -415,8 +449,27 @@ def apply_changes(
             ).select(
                 "op", "op_seq", "url", "warc_ts", "html", "text", "lang", "content_len"
             )
+            if static_dim is not None:
+                # same stream-static enrichment as the fused path —
+                # silently dropping the flag on cow/partial tables would
+                # null declared dim columns (or crash enrichers that
+                # reference dim fields) with no signal to the operator
+                batch = batch.join(
+                    F.broadcast(_checked_dim(static_dim, batch.columns)),
+                    static_dim[1],
+                    "left",
+                )
             if enrichers:
                 batch = batch.withColumns(dict(enrichers))
+            if static_dim is not None:
+                fields = [
+                    f.name
+                    for f in spark.createDataFrame([], table.schema_ddl).schema.fields
+                ]
+                have = set(batch.columns)
+                batch = batch.select(
+                    "op", "op_seq", *[f for f in fields if f in have]
+                )
             stats = table.merge(
                 spark, batch, mode=merge_mode, props_updates_fn=commit_props
             )
@@ -504,6 +557,7 @@ def replay_quarantine(
     table: LakeTable,
     fixer=None,
     enrichers: dict | None = None,
+    static_dim: tuple[DataFrame, object] | None = None,
 ) -> dict:
     """Reprocess dead-letter rows (the recovery half of the quarantine
     split — the reference raises per-row and drops the request,
@@ -546,7 +600,9 @@ def replay_quarantine(
         if n_ok:
             mapped = map_to_live_schema(checked.where(is_valid).drop("_invalid_reasons"))
             if table.merge_policy == "lww":
-                batch = _fused_dedup_extract(table, mapped, enrichers)
+                # pass static_dim exactly as live ingest did — a replay
+                # that enriched differently would null dim columns
+                batch = _fused_dedup_extract(table, mapped, enrichers, static_dim)
                 table.merge(spark, batch, mode="mor", prepared=True)
             else:
                 # partial-policy tables store raw events (see apply_changes)
@@ -556,8 +612,25 @@ def replay_quarantine(
                     "op", "op_seq", "url", "warc_ts",
                     "html", "text", "lang", "content_len",
                 )
+                if static_dim is not None:
+                    batch = batch.join(
+                        F.broadcast(_checked_dim(static_dim, batch.columns)),
+                        static_dim[1],
+                        "left",
+                    )
                 if enrichers:
                     batch = batch.withColumns(dict(enrichers))
+                if static_dim is not None:
+                    fields = [
+                        f.name
+                        for f in spark.createDataFrame(
+                            [], table.schema_ddl
+                        ).schema.fields
+                    ]
+                    have = set(batch.columns)
+                    batch = batch.select(
+                        "op", "op_seq", *[f for f in fields if f in have]
+                    )
                 table.merge(spark, batch, mode="mor")
         if n_bad:
             still = checked.where(~is_valid).withColumn(

@@ -125,9 +125,37 @@ def _mirror_schema_registry(source: LakeTable, replica: LakeTable) -> None:
         == replica.manifest["current_schema_id"]
     ):
         return
+    # Safety: the mirror must not reinterpret or orphan the schema-id
+    # stamps on the replica's EXISTING data files. Every id a replica
+    # file references must exist in the source registry with the exact
+    # entry the replica recorded it under — a source rollback past an
+    # evolution the replica already mirrored (or a registry fork) fails
+    # loudly here instead of making the replica unreadable/NULLing data.
+    src_schemas = source.manifest["schemas"]
+    rep_schemas = replica.manifest["schemas"]
+    referenced = {
+        str(f.get("schema_id", replica.manifest["current_schema_id"]))
+        for f in replica.manifest["files"]
+    }
+    for sid in sorted(referenced):
+        if sid not in src_schemas:
+            raise RuntimeError(
+                f"cannot mirror source schema registry onto replica "
+                f"{replica.path}: replica data files reference schema id "
+                f"{sid}, absent from the source registry (source rolled "
+                "back past an evolution the replica already applied?). "
+                "Rebuild the replica or roll it back in step."
+            )
+        if sid in rep_schemas and src_schemas[sid] != rep_schemas[sid]:
+            raise RuntimeError(
+                f"cannot mirror source schema registry onto replica "
+                f"{replica.path}: schema id {sid} differs between source "
+                "and replica (registry fork) — replica files written "
+                "under it would be reinterpreted. Rebuild the replica."
+            )
     replica.manifest = dict(
         replica.manifest,
-        schemas={k: dict(v) for k, v in source.manifest["schemas"].items()},
+        schemas={k: dict(v) for k, v in src_schemas.items()},
         current_schema_id=source.manifest["current_schema_id"],
     )
     replica._commit(replica.manifest["files"], {"operation": "mirror-schema"})
