@@ -673,18 +673,13 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering — Gopher/C4-style repetition signals: word
     count, distinct-word ratio, top-word share, duplicate-bigram
-    fraction."""
+    fraction. Ratios are emitted as integer parts-per-million (integer
+    floor division on BIGINTs) so the values are engine-exact vs the
+    DuckDB oracle — rounded doubles can disagree at a ...5e-7 boundary."""
     from tiger_etl_spark.functions.text import repetition_metrics
 
     d = _t_wide(spark, sf_dir, "documents")
-    out = repetition_metrics(d, "doc_id", "text")
-    return out.select(
-        "doc_id",
-        "n_words",
-        F.round("distinct_word_ratio", 6).alias("distinct_word_ratio"),
-        F.round("top_word_frac", 6).alias("top_word_frac"),
-        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
-    )
+    return repetition_metrics(d, "doc_id", "text", ppm=True)
 
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1745,17 +1740,18 @@ def oracle_sql() -> dict[str, str]:
             WITH marked AS (
                 SELECT user_id, ts, event_id,
                        CASE WHEN lag(ts) OVER w IS NULL
-                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 1800000000
                             THEN 1 ELSE 0 END AS is_new
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ),
             idx AS (
                 SELECT user_id, ts,
-                       sum(is_new) OVER (
+                       CAST(sum(is_new) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING
-                       ) - 1 AS session_idx
+                       ) - 1 AS BIGINT) AS session_idx
                 FROM marked
             )
             SELECT user_id, session_idx,
@@ -2523,16 +2519,16 @@ per_doc AS (
     FROM wc GROUP BY doc_id
 )
 SELECT s.doc_id,
-       coalesce(p.total, 0) AS n_words,
-       round(CASE WHEN coalesce(p.total, 0) > 0
-                  THEN p.n_distinct / CAST(p.total AS DOUBLE)
-                  ELSE 0.0 END, 6) AS distinct_word_ratio,
-       round(CASE WHEN coalesce(p.total, 0) > 0
-                  THEN p.top / CAST(p.total AS DOUBLE)
-                  ELSE 0.0 END, 6) AS top_word_frac,
-       round(CASE WHEN s.nb > 0
-                  THEN 1.0 - s.db / CAST(s.nb AS DOUBLE)
-                  ELSE 0.0 END, 6) AS dup_bigram_frac
+       CAST(coalesce(p.total, 0) AS BIGINT) AS n_words,
+       CAST(CASE WHEN coalesce(p.total, 0) > 0
+                 THEN (p.n_distinct * 1000000) // p.total
+                 ELSE 0 END AS BIGINT) AS distinct_word_ppm,
+       CAST(CASE WHEN coalesce(p.total, 0) > 0
+                 THEN (p.top * 1000000) // p.total
+                 ELSE 0 END AS BIGINT) AS top_word_ppm,
+       CAST(CASE WHEN s.nb > 0
+                 THEN ((s.nb - s.db) * 1000000) // s.nb
+                 ELSE 0 END AS BIGINT) AS dup_bigram_ppm
 FROM static s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
 """
 

@@ -246,7 +246,47 @@ def main() -> None:
         result["queries"] = bench_queries(spark, sf_dir)
         result.setdefault("value", round(sum(result["queries"].values()), 3))
     result["host_memcpy_mb_s_post"] = host_memcpy_mb_s()
-    print(json.dumps(result))
+
+    # Output contract: the driver captures only the LAST 2000 chars of
+    # stdout and parses the final line as JSON. The full result (77-query
+    # dict + per-batch rates) is ~6 KB, which overflowed that window in
+    # round 2 (BENCH_r02 parsed:null). So: full detail goes to an earlier
+    # line + a file; the VERY LAST line is a compact headline-only JSON
+    # guaranteed to fit.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run_detail.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        detail_path = ""
+    print("DETAIL " + json.dumps(result), flush=True)
+
+    compact = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "sf", "cpus",
+            "cdc_events", "cdc_batches", "cdc_sec", "events_per_sec",
+            "best_batch_events_per_sec", "median_batch_events_per_sec",
+            "final_rows",
+            "host_memcpy_mb_s_pre", "host_memcpy_mb_s_post",
+        )
+        if k in result
+    }
+    if "queries" in result:
+        q = result["queries"]
+        compact["queries"] = {
+            "n_queries": len(q),
+            "total_sec": round(sum(q.values()), 3),
+            "max_sec": round(max(q.values()), 3) if q else 0.0,
+            "detail_file": detail_path,
+        }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never overflow the window
+        line = json.dumps({k: compact[k] for k in ("metric", "value", "unit", "sf")})
+    print(line, flush=True)
     spark.stop()
 
 

@@ -319,6 +319,24 @@ def test_repetition_metrics(spark):
     assert got[2].n_words == 0 and got[2].top_word_frac == 0.0
     assert got[3].distinct_word_ratio == 1.0 and got[3].dup_bigram_frac == 0.0
 
+    # ppm mode: integer floor-division parts-per-million, BIGINT columns.
+    ppm = {
+        r.doc_id: r
+        for r in repetition_metrics(df, "doc_id", "text", ppm=True).collect()
+    }
+    assert ppm[1].n_words == 4
+    assert ppm[1].top_word_ppm == 750_000
+    assert ppm[1].distinct_word_ppm == 500_000
+    assert ppm[1].dup_bigram_ppm == 1_000_000 // 3  # floor(1/3 * 1e6)
+    assert ppm[2].n_words == 0 and ppm[2].top_word_ppm == 0
+    assert ppm[3].distinct_word_ppm == 1_000_000 and ppm[3].dup_bigram_ppm == 0
+    sch = dict(
+        repetition_metrics(df, "doc_id", "text", ppm=True).dtypes
+    )
+    assert sch["distinct_word_ppm"] == "bigint"
+    assert sch["top_word_ppm"] == "bigint"
+    assert sch["dup_bigram_ppm"] == "bigint"
+
 
 def test_word_shingles_short_docs_yield_empty(spark):
     """Regression: sequence(1, 0) steps downward in Spark — docs with

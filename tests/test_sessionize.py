@@ -86,3 +86,21 @@ def test_batch_sessionize_gap_boundaries(spark):
         for r in sessionize(df, ["user_id"], "ts", 1800).collect()
     )
     assert got == [(0, 2), (1, 1)]
+
+
+def test_batch_sessionize_subsecond_gap(spark):
+    """Gaps are compared in integer microseconds, not truncated seconds:
+    1800.5s splits, 1799.5s does not — second-truncated unix_timestamp()
+    would get both wrong relative to a fractional-epoch oracle."""
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(seconds=1800, microseconds=500_000)),  # split
+        (2, T0),
+        (2, T0 + dt.timedelta(seconds=1799, microseconds=500_000)),  # same
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r.user_id, r.session_idx, r.n_events)
+        for r in sessionize(df, ["user_id"], "ts", 1800).collect()
+    )
+    assert got == [(1, 0, 1), (1, 1, 1), (2, 0, 2)]

@@ -197,13 +197,19 @@ def redact_pii(text: Column) -> Column:
 
 
 # ------------------------------------------------- repetition metrics
-def repetition_metrics(df, id_col: str, text_col: str):
+def repetition_metrics(df, id_col: str, text_col: str, ppm: bool = False):
     """Gopher/C4-style repetition quality signals per document:
     `n_words`, `distinct_word_ratio`, `top_word_frac` (most frequent
     word's share of all words) and `dup_bigram_frac` (1 − distinct/total
     word bigrams). Two-level hash aggregation — count per (doc, word),
     then per doc — associative and map-side combining; the bigram stats
-    are per-row array expressions, no extra shuffle."""
+    are per-row array expressions, no extra shuffle.
+
+    With ``ppm=True`` the three ratios are emitted as integer
+    parts-per-million (`*_ppm`, BIGINT) computed with integer floor
+    division — engine-exact across Spark/DuckDB/any SQL engine, unlike
+    rounded doubles whose ulp/rounding paths can disagree at a
+    ...5e-7 boundary."""
     from tiger_etl_spark.functions.scalar import guarded_positions
 
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -230,6 +236,28 @@ def repetition_metrics(df, id_col: str, text_col: str):
     )
     out = static.join(per_doc, id_col, "left")
     total = F.coalesce(F.col("_total"), F.lit(0))
+    if ppm:
+        # Integer floor division (`div`) on BIGINTs: no floating point
+        # anywhere, so every engine produces the identical value.
+        return out.select(
+            F.col(id_col),
+            total.alias("n_words"),
+            F.when(total > 0, F.expr("_distinct * 1000000 div _total"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("distinct_word_ppm"),
+            F.when(total > 0, F.expr("_top * 1000000 div _total"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("top_word_ppm"),
+            F.when(
+                F.col("_nb") > 0,
+                F.expr("(_nb - _db) * 1000000 div _nb"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_bigram_ppm"),
+        )
     return out.select(
         F.col(id_col),
         total.alias("n_words"),

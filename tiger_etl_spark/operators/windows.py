@@ -51,9 +51,14 @@ def sessionize(
     order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
+    # Compare gaps in integer MICROseconds (unix_micros), never seconds:
+    # unix_timestamp() truncates to seconds, which can split sessions
+    # differently from a fractional-epoch oracle for gaps within 1s of
+    # the threshold. Integer-microsecond arithmetic is engine-exact.
+    gap_micros = int(gap_seconds) * 1_000_000
     is_new = (
         prev.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds)
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_micros)
     ).cast("long")
     with_idx = df.withColumn(
         "_session_idx",
