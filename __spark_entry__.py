@@ -334,6 +334,207 @@ def cdc_partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_validation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F9/F11/F12/F13 composite — the reference's request-validation
+    surface (passwords.py:34-44 strength, model.py:263-278 isoformat,
+    session_manager.py:185-206 client-ip precedence, validations.py:
+    104-114 ip check, user_group_management.py:151-178 id coercion) over
+    strings synthesized deterministically from the events table."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp_ltz").alias("ts"),
+        "event_type",
+    )
+    pwd = F.concat(
+        F.upper(F.substring("event_type", 1, 1)),
+        F.substring("event_type", 2, 100),
+        F.lit("#"),
+        F.col("event_id").cast("string"),
+    )
+    fwd = (
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(
+                F.lit("10.0."),
+                (F.col("user_id") % 256).cast("string"),
+                F.lit(".1, 192.168.0.9"),
+            ),
+        )
+        .when(F.col("user_id") % 3 == 1, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    real = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(F.lit("172.16.0."), (F.col("event_id") % 300).cast("string")),
+    ).otherwise(F.lit(None).cast("string"))
+    host = F.lit("203.0.113.7")
+    ip = scalar.client_ip(fwd, real, host)
+    return ev.select(
+        "user_id",
+        "event_id",
+        scalar.validate_password_strength(pwd).alias("pwd_strong"),
+        scalar.iso_format(F.col("ts")).alias("iso_ts"),
+        ip.alias("client_ip"),
+        scalar.valid_ipv4(ip).alias("ip_valid"),
+        scalar.coerce_positive_long(
+            F.when(F.col("user_id") % 5 == 0, F.lit("x12"))
+            .when(F.col("user_id") % 5 == 1, F.lit("-3"))
+            .otherwise(F.col("event_id").cast("string"))
+        ).alias("coerced_id"),
+    )
+
+
+def _scratch_table(prefix: str):
+    """Unique scratch dir for the mutation-path queries: each call
+    builds a real LakeTable, mutates it through the PUBLIC operators,
+    and returns its scan — the driver collects lazily, so the dir must
+    outlive the call (left to OS tmp cleanup; a few MB per run)."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"entry_{prefix}_")
+
+
+def _events_batch(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
+    """events subset as a change batch: key user_id, LWW order
+    (warc_ts=ts, op_seq=event_id)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        # NULL event times would make the LWW order engine-dependent
+        # (NULL placement differs across engines); real CDC events always
+        # carry a change timestamp
+        .where(F.col("ts").isNotNull())
+        .select(
+            F.lit("I").alias("op"),
+            F.col("event_id").alias("op_seq"),
+            "user_id",
+            F.col("ts").cast("timestamp_ltz").alias("warc_ts"),
+            "event_id",
+            "event_type",
+        )
+    )
+    return ev.where(pred) if pred is not None else ev
+
+
+_EVENTS_TABLE_DDL = (
+    "user_id long, warc_ts timestamp, event_id long, event_type string"
+)
+
+
+def lake_truncate_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — TRUNCATE + RESTART semantics (pg_db.py:400-438) as a
+    final-state query: merge all events, truncate, re-merge only the
+    clicks; the surviving state must be exactly the LWW-latest click
+    per user — nothing pre-truncate may survive."""
+    from tiger_etl_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        os.path.join(_scratch_table("trunc"), "t"),
+        _EVENTS_TABLE_DDL,
+        key_col="user_id",
+        num_buckets=4,
+    )
+    t.merge(spark, _events_batch(spark, sf_dir))
+    t.truncate()
+    t.merge(
+        spark, _events_batch(spark, sf_dir, F.col("event_type") == "click")
+    )
+    return t.scan(spark).select(
+        "user_id",
+        _epoch_us("warc_ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+
+
+def lake_rollback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback (Iceberg rollback_to_snapshot analog,
+    lake/table.py) as a final-state query: merge the even-event_id half,
+    then the odd half, roll back to the first snapshot — the state must
+    be exactly the LWW resolution of the even half."""
+    from tiger_etl_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        os.path.join(_scratch_table("rb"), "t"),
+        _EVENTS_TABLE_DDL,
+        key_col="user_id",
+        num_buckets=4,
+    )
+    t.merge(spark, _events_batch(spark, sf_dir, F.col("event_id") % 2 == 0))
+    v1 = t.manifest["version"]
+    t.merge(spark, _events_batch(spark, sf_dir, F.col("event_id") % 2 == 1))
+    t.rollback(v1)
+    return t.scan(spark).select(
+        "user_id",
+        _epoch_us("warc_ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+
+
+def lake_cascade_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — FK ondelete=CASCADE (sessions_management/model.py:45-50) as a
+    final-state query: customers (every 10th key) are the parent, their
+    orders the child; deleting the BUILDING-segment parents tombstones
+    their orders via a D-batch merge (deletes are change events — the
+    scalable cascade, a keyed join, not an isin list)."""
+    from tiger_etl_spark.lake import LakeTable
+
+    base = _scratch_table("casc")
+    fixed_ts = F.lit("2025-01-01 00:00:00").cast("timestamp_ltz")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    parent = LakeTable.create(
+        os.path.join(base, "parent"),
+        "c_custkey long, warc_ts timestamp, c_mktsegment string",
+        key_col="c_custkey",
+        num_buckets=4,
+    )
+    parent.merge(
+        spark,
+        cust.select(
+            F.lit("I").alias("op"),
+            F.lit(1).cast("long").alias("op_seq"),
+            "c_custkey",
+            fixed_ts.alias("warc_ts"),
+            "c_mktsegment",
+        ),
+    )
+    child = LakeTable.create(
+        os.path.join(base, "child"),
+        "o_orderkey long, warc_ts timestamp, o_custkey long",
+        key_col="o_orderkey",
+        num_buckets=4,
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 10 == 0)
+    child.merge(
+        spark,
+        orders.select(
+            F.lit("I").alias("op"),
+            F.lit(1).cast("long").alias("op_seq"),
+            "o_orderkey",
+            fixed_ts.alias("warc_ts"),
+            "o_custkey",
+        ),
+    )
+    # doomed keys from the SOURCE (not parent.scan: DataFrames are lazy —
+    # a post-delete scan would see the tombstones and cascade nothing)
+    doomed = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    parent.delete_where(
+        spark, F.col("c_mktsegment") == "BUILDING", op_seq=2
+    )
+    dbatch = (
+        child.scan(spark)
+        .join(doomed, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select(
+            F.lit("D").alias("op"),
+            F.lit(3).cast("long").alias("op_seq"),
+            "o_orderkey",
+            F.col("warc_ts").cast("timestamp_ltz").alias("warc_ts"),
+            "o_custkey",
+        )
+    )
+    child.merge(spark, dbatch)
+    return child.scan(spark).select("o_orderkey", "o_custkey")
+
+
 def part_relevance_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 — relevance scoring (exact=10/prefix=5/contains=2) + top-N."""
     p = _t(spark, sf_dir, "part")
@@ -1428,6 +1629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": latest_event_per_user,
         "cdc_final_state": cdc_final_state,
         "cdc_partial_update_state": cdc_partial_update_state,
+        "event_validation_profile": event_validation_profile,
+        "lake_truncate_state": lake_truncate_state,
+        "lake_rollback_state": lake_rollback_state,
+        "lake_cascade_delete_state": lake_cascade_delete_state,
         "part_relevance_top20": part_relevance_top20,
         "orders_page3": orders_page3,
         "supplier_zset_top10": supplier_zset_top10,
@@ -1659,6 +1864,74 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             WHERE m_row IS NOT NULL AND (m_del IS NULL OR m_row > m_del)
         """,
+        "event_validation_profile": """
+            WITH base AS (
+                SELECT user_id, event_id, ts, event_type,
+                       upper(substr(event_type, 1, 1))
+                         || substr(event_type, 2, 100)
+                         || '#' || CAST(event_id AS VARCHAR) AS pwd,
+                       CASE WHEN user_id % 3 = 0
+                            THEN '10.0.' || CAST(user_id % 256 AS VARCHAR)
+                                 || '.1, 192.168.0.9'
+                            WHEN user_id % 3 = 1 THEN ''
+                            ELSE NULL END AS fwd,
+                       CASE WHEN event_id % 2 = 0
+                            THEN '172.16.0.' || CAST(event_id % 300 AS VARCHAR)
+                            ELSE NULL END AS real_ip
+                FROM events
+            ),
+            ips AS (
+                SELECT *,
+                       CASE WHEN fwd IS NOT NULL AND length(trim(fwd)) > 0
+                            THEN trim(string_split(fwd, ',')[1])
+                            ELSE coalesce(real_ip, '203.0.113.7')
+                       END AS client_ip
+                FROM base
+            )
+            SELECT user_id, event_id,
+                   (length(pwd) >= 8
+                    AND regexp_matches(pwd, '[A-Z]')
+                    AND regexp_matches(pwd, '[a-z]')
+                    AND regexp_matches(pwd, '[0-9]')
+                    AND regexp_matches(pwd, '[^A-Za-z0-9]')) AS pwd_strong,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso_ts,
+                   client_ip,
+                   regexp_matches(client_ip,
+                     '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'
+                   ) AS ip_valid,
+                   CASE WHEN user_id % 5 = 0 THEN try_cast('x12' AS BIGINT)
+                        WHEN user_id % 5 = 1 THEN NULL
+                        WHEN event_id > 0 THEN event_id
+                        ELSE NULL END AS coerced_id
+            FROM ips
+        """,
+        "lake_truncate_state": """
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events WHERE ts IS NOT NULL AND event_type = 'click'
+            ) WHERE rn = 1
+        """,
+        "lake_rollback_state": """
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events WHERE ts IS NOT NULL AND event_id % 2 = 0
+            ) WHERE rn = 1
+        """,
+        "lake_cascade_delete_state": """
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE o.o_custkey % 10 = 0 AND c.c_mktsegment <> 'BUILDING'
+        """,
         "part_relevance_top20": """
             SELECT p_partkey, p_name, score FROM (
                 SELECT p_partkey, p_name,
@@ -1707,7 +1980,7 @@ def oracle_sql() -> dict[str, str]:
             craw AS (
                 SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                        round(value, 6) AS value
-                FROM events WHERE event_type = 'click'
+                FROM events WHERE ts IS NOT NULL AND event_type = 'click'
             ),
             c AS (
                 SELECT user_id, ts_us,
@@ -1727,7 +2000,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             c AS (
                 SELECT user_id, epoch_us(ts) AS cts
-                FROM events WHERE event_type = 'click'
+                FROM events WHERE ts IS NOT NULL AND event_type = 'click'
             )
             SELECT p.user_id, p.event_id, p.ts_us,
                    count(c.cts) AS n_clicks_30m

@@ -202,7 +202,11 @@ def test_vacuum_removes_only_old_orphans(spark, tmp_path):
         f.write(b"junk")
 
     out = t.vacuum(max_age_hours=1.0)
-    assert out == {"stage_dirs_removed": 1, "orphan_files_removed": 1}
+    assert out == {
+        "stage_dirs_removed": 1,
+        "orphan_files_removed": 1,
+        "orphan_segments_removed": 0,
+    }
     assert not _os.path.exists(orphan)
     assert _os.path.exists(fresh)
     assert _state(spark, t) == before  # committed data untouched

@@ -188,6 +188,8 @@ def test_scalar_functions(spark):
         scalar.extract_device_info(F.lit("Mozilla (Windows NT 10.0; Win64)")).alias("dev"),
         scalar.coerce_positive_long(F.lit("-3")).alias("neg"),
         scalar.coerce_positive_long(F.lit("42")).alias("pos"),
+        # malformed string must quarantine as NULL, not throw (ANSI mode)
+        scalar.coerce_positive_long(F.lit("x12")).alias("malformed"),
     ).collect()[0]
     import hashlib
 
@@ -199,6 +201,7 @@ def test_scalar_functions(spark):
     assert row["bad_ip"] is False and row["good_ip"] is True
     assert row["dev"] == "Windows 10"
     assert row["neg"] is None and row["pos"] == 42
+    assert row["malformed"] is None
 
 
 def test_multimodal_resize_plumbing(spark):

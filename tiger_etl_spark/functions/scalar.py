@@ -100,8 +100,11 @@ def valid_ipv4(col: Column) -> Column:
 def coerce_positive_long(col: Column) -> Column:
     """F13 — str→int coercion + positive check
     (user_group_management.py:151-178); invalid → NULL (router sends
-    NULLs to quarantine — Spark can't raise per-row)."""
-    c = col.cast("long")
+    NULLs to quarantine — Spark can't raise per-row). try_cast, not
+    cast: under ANSI mode (the Spark 4 default) a plain cast THROWS on
+    the first malformed string, killing the whole job instead of
+    quarantining the row."""
+    c = col.try_cast("long")
     return F.when(c > 0, c)
 
 

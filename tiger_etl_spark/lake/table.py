@@ -7,9 +7,16 @@ atomic pointer swap, hidden bucket partitioning, copy-on-write vs
 merge-on-read row-level operations, schema-id evolution) re-implemented
 minimally for a single-writer CDC sink:
 
-- ``meta/v{N}.json``  — manifest: schema registry, file list (with
-  per-file bucket / row-count / byte / min-max stats), snapshot lineage,
-  table properties (including applied-batch bookkeeping for exactly-once).
+- ``meta/v{N}.json``  — snapshot manifest: schema registry, snapshot
+  lineage, table properties (including applied-batch bookkeeping for
+  exactly-once), and a small ``manifest_list`` naming the segment files
+  that hold the file entries.
+- ``meta/seg-*.json`` — immutable manifest segments: slices of the file
+  list (per-file bucket / row-count / byte / min-max stats). A commit
+  rewrites only the segments its delta touches plus one new segment —
+  O(files touched), not O(all files) (the Iceberg manifest-list design;
+  format v2 tables with the inline list still load and are migrated on
+  their first commit).
 - ``meta/_current``   — pointer file, atomically replaced (os.replace) —
   readers always see a complete snapshot; on HDFS/S3 this maps to an
   atomic rename / a catalog CAS. Single-writer is assumed (the streaming
@@ -78,12 +85,31 @@ def _atomic_write(path: str, data: str) -> None:
     os.replace(tmp, path)
 
 
+# Manifest sharding (Iceberg manifest-list analog): the snapshot manifest
+# v{N}.json holds a small "manifest_list" of immutable segment files
+# (meta/seg-*.json), each carrying a slice of the file entries, instead of
+# the entire inline file list. A commit rewrites only the segments that
+# lost an entry plus one new segment for added entries — O(delta), not
+# O(all files); at 100 TB / ~400k files the old inline design re-serialized
+# ~100 MB of JSON on the driver per micro-batch commit (O(n²) over a
+# stream). When the list grows past _SEG_LIMIT the smallest segments are
+# merged down to _SEG_TARGET — LSM-style, so each entry is rewritten
+# O(log n) times over the table's lifetime.
+_SEG_LIMIT = 64
+_SEG_TARGET = 32
+
+
 class LakeTable:
     """A snapshot-versioned, bucket-partitioned upsert table."""
 
     def __init__(self, path: str, manifest: dict):
         self.path = path
         self.manifest = manifest
+        # segment cache: rel path -> entry list. Segments are immutable,
+        # so entries never invalidate; the cache is what lets _commit
+        # carry untouched segments by reference with zero re-reads.
+        self._seg_cache: dict[str, list[dict]] = {}
+        self._hydrate()
 
     # ------------------------------------------------------------- create
     @classmethod
@@ -110,7 +136,10 @@ class LakeTable:
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "meta"), exist_ok=True)
         manifest = {
-            "format_version": 2,
+            # v3 = sharded manifest (manifest_list of segment files);
+            # v2 tables (inline "files") load fine and are migrated to
+            # segments on their first commit.
+            "format_version": 3,
             "version": 0,
             "snapshot_id": 0,
             "parent_version": None,
@@ -128,6 +157,7 @@ class LakeTable:
             # rename map into the live schema (Iceberg field-id analog)
             "schemas": {"2": {"ddl": schema_ddl, "renames": {}}},
             "files": [],
+            "manifest_list": [],
             "props": dict(props or {}),
             "summary": {},
         }
@@ -158,9 +188,12 @@ class LakeTable:
     @staticmethod
     def _write_manifest(path: str, manifest: dict, flip_pointer: bool = True) -> None:
         mpath = os.path.join(path, "meta", f"v{manifest['version']}.json")
-        # compact JSON: the file list dominates manifest size, and the
-        # manifest is (de)serialized on every commit
-        _atomic_write(mpath, json.dumps(manifest, separators=(",", ":")))
+        # the file entries live in immutable segment files named by
+        # "manifest_list"; only the small list itself (plus schemas,
+        # props, summary) is serialized per commit. The hydrated
+        # in-memory "files" must never hit disk here.
+        slim = {k: v for k, v in manifest.items() if k != "files"}
+        _atomic_write(mpath, json.dumps(slim, separators=(",", ":")))
         if flip_pointer:
             LakeTable._write_pointer(path, manifest["version"])
 
@@ -222,6 +255,105 @@ class LakeTable:
 
     def _abs(self, rel: str) -> str:
         return os.path.join(self.path, rel)
+
+    # ------------------------------------------------- manifest segments
+    def _hydrate(self) -> None:
+        """Materialize the in-memory file list from manifest segments
+        (format v3). v2 manifests carry the list inline — nothing to do.
+        One O(n) read per table HANDLE (load/at_version), after which
+        every commit touches only its delta's segments."""
+        if "files" in self.manifest:
+            return
+        entries: list[dict] = []
+        for seg in self.manifest.get("manifest_list", []):
+            entries.extend(self._load_segment(seg["path"]))
+        self.manifest["files"] = entries
+
+    def _load_segment(self, rel: str) -> list[dict]:
+        cached = self._seg_cache.get(rel)
+        if cached is None:
+            with open(self._abs(rel)) as f:
+                cached = json.load(f)
+            self._seg_cache[rel] = cached
+        return cached
+
+    def _write_segment(self, entries: list[dict]) -> dict:
+        """Write one immutable manifest segment; returns its list entry
+        (path + aggregate stats + the bucket set, which lets a later
+        commit skip loading segments untouched by its delta)."""
+        rel = f"meta/seg-{uuid.uuid4().hex}.json"
+        _atomic_write(
+            self._abs(rel), json.dumps(entries, separators=(",", ":"))
+        )
+        self._seg_cache[rel] = entries
+        return {
+            "path": rel,
+            "n_files": len(entries),
+            "rows": sum(e.get("rows", 0) for e in entries),
+            "bytes": sum(e.get("bytes", 0) for e in entries),
+            "buckets": sorted({e.get("bucket", -1) for e in entries}),
+        }
+
+    def _update_segments(
+        self, new_files: list[dict], added: list[dict], drop: set[str]
+    ) -> list[dict]:
+        """Produce the new manifest_list for a commit whose file delta is
+        (`added` entries, `drop`ped paths): untouched segments are carried
+        by reference (segments are immutable), segments containing a
+        dropped path are rewritten without it, added entries become one
+        new segment. The per-segment bucket set skips even the membership
+        scan for segments whose buckets don't intersect the delta's."""
+        old_list = self.manifest.get("manifest_list")
+        out: list[dict] = []
+        if old_list is None:
+            # legacy v2 manifest (inline list): migrate — all surviving
+            # old entries become the first segment
+            survivors = [
+                f
+                for f in self.manifest.get("files", [])
+                if f["path"] not in drop
+            ]
+            if survivors:
+                out.append(self._write_segment(survivors))
+        else:
+            drop_buckets = (
+                {
+                    f.get("bucket", -1)
+                    for f in self.manifest.get("files", [])
+                    if f["path"] in drop
+                }
+                if drop
+                else set()
+            )
+            for seg in old_list:
+                seg_buckets = seg.get("buckets")
+                if not drop or (
+                    seg_buckets is not None
+                    and not drop_buckets.intersection(seg_buckets)
+                ):
+                    out.append(seg)
+                    continue
+                entries = self._load_segment(seg["path"])
+                if any(e["path"] in drop for e in entries):
+                    keep = [e for e in entries if e["path"] not in drop]
+                    if keep:
+                        out.append(self._write_segment(keep))
+                else:
+                    out.append(seg)
+        if added:
+            out.append(self._write_segment(added))
+        if len(out) > _SEG_LIMIT:
+            # LSM-style bound: merge the smallest segments down to
+            # _SEG_TARGET so the serialized manifest_list stays O(1)
+            out.sort(key=lambda s: s["n_files"])
+            n_merge = len(out) - _SEG_TARGET + 1
+            merged: list[dict] = []
+            for seg in out[:n_merge]:
+                merged.extend(self._load_segment(seg["path"]))
+            out = out[n_merge:]
+            if merged:
+                out.append(self._write_segment(merged))
+        return out
 
     def _read_files(self, spark: SparkSession, files: list[dict]) -> DataFrame:
         """Read data files, lifting every file to the LIVE schema (the
@@ -588,10 +720,15 @@ class LakeTable:
             kind="delta" if mode == "mor" else "base",
             skip_repartition=prepared and mode == "mor",
         )
+        removed_paths = {f["path"] for f in removed}
         kept = (
             self.manifest["files"]
             if mode == "mor"
-            else [f for f in self.manifest["files"] if f not in removed]
+            else [
+                f
+                for f in self.manifest["files"]
+                if f["path"] not in removed_paths
+            ]
         )
         summary = {
             "operation": f"merge-{mode}",
@@ -947,11 +1084,25 @@ class LakeTable:
                 f"concurrent commit: loaded v{self.manifest['version']} "
                 f"but table is at v{on_disk}"
             )
+        # file delta vs the current snapshot: added entries, dropped
+        # paths (removed or mutated — a mutated entry, e.g. a schema-id
+        # stamp, leaves its old segment and re-enters with the new value)
+        old_by_path = {f["path"]: f for f in self.manifest.get("files", [])}
+        new_by_path = {f["path"]: f for f in files}
+        changed = {
+            p
+            for p, f in new_by_path.items()
+            if p not in old_by_path or old_by_path[p] != f
+        }
+        drop = {p for p in old_by_path if p not in new_by_path} | changed
+        added = [f for f in files if f["path"] in changed]
         new = dict(self.manifest)
         new["parent_version"] = self.manifest["version"]
         new["version"] = self.manifest["version"] + 1
         new["snapshot_id"] = self.manifest["snapshot_id"] + 1
         new["files"] = files
+        new["manifest_list"] = self._update_segments(files, added, drop)
+        new["format_version"] = max(3, int(new.get("format_version", 3)))
         new["summary"] = {**summary, "committed_at": time.time()}
         self._write_manifest(self.path, new, flip_pointer=not deferred)
         self.manifest = new
@@ -1115,19 +1266,51 @@ class LakeTable:
                         "version": m["version"],
                         "snapshot_id": m["snapshot_id"],
                         "summary": m.get("summary", {}),
-                        "n_files": len(m["files"]),
+                        "n_files": (
+                            len(m["files"])
+                            if "files" in m
+                            else sum(
+                                s["n_files"]
+                                for s in m.get("manifest_list", [])
+                            )
+                        ),
                     }
                 )
         return metas
 
-    def _live_files(self, exclude_versions: set[int] | None = None) -> set[str]:
-        """Union of data paths referenced by every on-disk manifest
-        (minus `exclude_versions`) — the one definition of "live" that
-        vacuum() and expire_snapshots() must agree on. A manifest that
-        disappears mid-listing (concurrent expire) is skipped: its files
+    def _manifest_data_paths(self, m: dict) -> set[str]:
+        """Data paths a raw (unhydrated) manifest dict references —
+        inline for v2, via segments for v3. A segment that vanished
+        mid-listing (concurrent expire) contributes nothing; its files
         are either referenced by a survivor or already expired."""
+        if "files" in m:
+            return {x["path"] for x in m["files"]}
+        out: set[str] = set()
+        for seg in m.get("manifest_list", []):
+            try:
+                # uncached raw read: maintenance scans shouldn't pin
+                # every historical segment in the handle's cache
+                entries = self._seg_cache.get(seg["path"])
+                if entries is None:
+                    with open(self._abs(seg["path"])) as f:
+                        entries = json.load(f)
+                out.update(x["path"] for x in entries)
+            except FileNotFoundError:
+                continue
+        return out
+
+    def _live_refs(
+        self, exclude_versions: set[int] | None = None
+    ) -> tuple[set[str], set[str]]:
+        """(data paths, segment paths) referenced by every on-disk
+        manifest (minus `exclude_versions`) — the one definition of
+        "live" that vacuum() and expire_snapshots() must agree on. A
+        manifest that disappears mid-listing (concurrent expire) is
+        skipped: its files are either referenced by a survivor or
+        already expired."""
         meta_dir = os.path.join(self.path, "meta")
-        live: set[str] = set()
+        data: set[str] = set()
+        segs: set[str] = set()
         for fn in os.listdir(meta_dir):
             if not (fn.startswith("v") and fn.endswith(".json")):
                 continue
@@ -1135,10 +1318,15 @@ class LakeTable:
                 continue
             try:
                 with open(os.path.join(meta_dir, fn)) as f:
-                    live.update(x["path"] for x in json.load(f)["files"])
+                    m = json.load(f)
             except FileNotFoundError:
                 continue
-        return live
+            data.update(self._manifest_data_paths(m))
+            segs.update(s["path"] for s in m.get("manifest_list", []))
+        return data, segs
+
+    def _live_files(self, exclude_versions: set[int] | None = None) -> set[str]:
+        return self._live_refs(exclude_versions)[0]
 
     def vacuum(self, max_age_hours: float = 24.0) -> dict:
         """Remove crash debris (Iceberg remove_orphan_files analog):
@@ -1161,7 +1349,7 @@ class LakeTable:
             if old:
                 shutil.rmtree(stage, ignore_errors=True)
                 removed_stages += 1
-        live = self._live_files()
+        live, live_segs = self._live_refs()
         removed_files = 0
         data_dir = os.path.join(self.path, "data")
         for fn in os.listdir(data_dir):
@@ -1175,9 +1363,28 @@ class LakeTable:
                     removed_files += 1
             except FileNotFoundError:
                 continue
+        # orphan manifest segments: written by a commit that crashed (or
+        # lost its optimistic race) before its v{N}.json landed — no
+        # manifest references them; same age guard as data files
+        removed_segs = 0
+        meta_dir = os.path.join(self.path, "meta")
+        for fn in os.listdir(meta_dir):
+            if not (fn.startswith("seg-") and fn.endswith(".json")):
+                continue
+            rel = f"meta/{fn}"
+            if rel in live_segs:
+                continue
+            fp = os.path.join(meta_dir, fn)
+            try:
+                if os.path.getmtime(fp) < cutoff:
+                    os.remove(fp)
+                    removed_segs += 1
+            except FileNotFoundError:
+                continue
         return {
             "stage_dirs_removed": removed_stages,
             "orphan_files_removed": removed_files,
+            "orphan_segments_removed": removed_segs,
         }
 
     def expire_snapshots(self, keep_last: int = 5) -> int:
@@ -1191,19 +1398,28 @@ class LakeTable:
             if fn.startswith("v") and fn.endswith(".json")
         )
         expire = versions[:-keep_last] if len(versions) > keep_last else []
-        live_files = self._live_files(exclude_versions=set(expire))
+        live_files, live_segs = self._live_refs(exclude_versions=set(expire))
         removed = 0
         expired_refs: set[str] = set()
+        expired_segs: set[str] = set()
         for v in expire:
             p = os.path.join(meta_dir, f"v{v}.json")
             with open(p) as f:
-                expired_refs.update(x["path"] for x in json.load(f)["files"])
+                m = json.load(f)
+            expired_refs.update(self._manifest_data_paths(m))
+            expired_segs.update(s["path"] for s in m.get("manifest_list", []))
             os.remove(p)
         for rel in expired_refs - live_files:
             fp = self._abs(rel)
             if os.path.exists(fp):
                 os.remove(fp)
                 removed += 1
+        # segments referenced only by expired manifests go with them
+        for rel in expired_segs - live_segs:
+            fp = self._abs(rel)
+            if os.path.exists(fp):
+                os.remove(fp)
+            self._seg_cache.pop(rel, None)
         return removed
 
     def maintain(
