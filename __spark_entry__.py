@@ -1335,7 +1335,7 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2022 primitive,
     operators/dedup.py): maximal char spans whose 20-char windows all
     repeat somewhere in the corpus — the excise-boilerplate /
-    decontamination op. Rolling md5 windows (no Python), duplicated-hash
+    decontamination op. Rolling xxhash64 windows (no Python), duplicated-hash
     semi-join, per-doc gaps-and-islands merge; the only sort is the
     per-document window."""
     d = _t_wide(spark, sf_dir, "documents")
@@ -1396,6 +1396,33 @@ def embedding_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16,
         nprobe=4,
         cell_df=_ivf_cells(spark, sf_dir),
+    )
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def embedding_ivf_learned_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (learned quantizer — the ingest DEFAULT,
+    operators/clustering.py): fit spherical k-means (k=16, deterministic
+    init + tie-break, so the run is replayable) over the embeddings,
+    quantize, probe the 4 learned cells nearest the query, exact cosine
+    re-rank. Rows-only driver check: k-means is an iterative algorithm,
+    not SQL-expressible; its correctness is pinned by
+    tests/test_clustering.py (planted-cluster recovery, determinism
+    under repartition, recall >= the deterministic quantizer) and
+    tests/test_ann_lake.py (persisted-centroid ingest across merges)."""
+    from tiger_etl_spark.operators.clustering import kmeans_fit
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "embedding", k=16, dim=64, max_iter=4)
+    out = similarity.ivf_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _QUERY_VEC,
+        10,
+        n_cells=16,
+        nprobe=4,
+        centroids=cents,
     )
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
@@ -1676,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_top10": embedding_cosine_top10,
         "embedding_ann_top10": embedding_ann_top10,
         "embedding_ivf_top10": embedding_ivf_top10,
+        "embedding_ivf_learned_top10": embedding_ivf_learned_top10,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
         "doc_duplicate_clusters": doc_duplicate_clusters,

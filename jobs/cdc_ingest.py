@@ -112,7 +112,13 @@ def main() -> None:
     from tiger_etl_spark.lake import LakeTable
 
     enrichers = standard_enrichers() if args.enrich == "standard" else None
-    if args.enrich == "standard" and args.stats_cols is None:
+    # --enrich standard implies tracking the standard columns, but only
+    # as a DEFAULT: at creation it seeds stats_cols; on an existing
+    # table it must MERGE into (never replace) an operator-configured
+    # prop — replacing would silently drop per-file bounds tracking for
+    # the other columns on all future files
+    defaulted_stats = args.enrich == "standard" and args.stats_cols is None
+    if defaulted_stats:
         args.stats_cols = STANDARD_STATS_COLS
     # dim columns must exist in the table schema or every joined value
     # is projected away before the write — derive their DDL from the
@@ -164,19 +170,45 @@ def main() -> None:
         if dim_ddl:
             wanted_ddls.append(dim_ddl)
         for ddl in wanted_ddls:
-            have = {f.split()[0] for f in tbl.schema_ddl.split(", ")}
-            cols = {f.split()[0] for f in ddl.split(", ")}
-            missing = cols - have
+            # compare PARSED schemas, not string-split DDL: types that
+            # contain ', ' (decimal(10, 2), structs) would shred into
+            # garbage tokens and mis-detect missing columns
+            have = {
+                f.name
+                for f in spark.createDataFrame([], tbl.schema_ddl).schema.fields
+            }
+            missing = [
+                f
+                for f in spark.createDataFrame([], ddl).schema.fields
+                if f.name not in have
+            ]
             if missing:
                 add = ", ".join(
-                    f for f in ddl.split(", ") if f.split()[0] in missing
+                    f"{f.name} {f.dataType.simpleString()}" for f in missing
                 )
                 tbl.evolve_schema(f"{tbl.schema_ddl}, {add}")
-                print(json.dumps({"schema_evolved": sorted(missing)}))
+                print(
+                    json.dumps(
+                        {"schema_evolved": sorted(f.name for f in missing)}
+                    )
+                )
+        stats_val = args.stats_cols
+        if defaulted_stats and tbl.props.get("stats_cols"):
+            cur = [
+                c.strip()
+                for c in tbl.props["stats_cols"].split(",")
+                if c.strip()
+            ]
+            std = [
+                c.strip()
+                for c in STANDARD_STATS_COLS.split(",")
+                if c.strip()
+            ]
+            stats_val = ",".join(cur + [c for c in std if c not in cur])
         updates = {}
         for prop, val in (
             ("compact_cluster_ts", args.compact_cluster_ts),
-            ("stats_cols", args.stats_cols),
+            ("stats_cols", stats_val),
         ):
             if val is not None and tbl.props.get(prop) != val:
                 updates[prop] = val

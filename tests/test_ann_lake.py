@@ -125,3 +125,91 @@ def test_partial_probe_scans_fraction(spark, table):
     probe1 = similarity.ivf_probe_cells(QUERY, N_CELLS, 1)
     assert snap.where(F.col("cell").isin(probe1)).count() < total
     snap.unpersist()
+
+
+def test_learned_centroids_are_the_ingest_default(spark, table):
+    """clustering.ingest_ivf_cells: first batch fits + persists learned
+    centroids in table props; later batches (including a restart's fresh
+    handle) reuse the SAME matrix, so stored cells stay comparable and
+    the probe stays exact across CDC merges."""
+    import json
+
+    from tiger_etl_spark.lake import LakeTable
+    from tiger_etl_spark.operators.clustering import (
+        _CENTROID_PROP,
+        ingest_ivf_cells,
+    )
+
+    def raw_batch(rows):
+        return spark.createDataFrame(
+            [
+                (op, sq, v, ts(t), vec(sd) if sd is not None else None)
+                for op, sq, v, t, sd in rows
+            ],
+            "op string, op_seq long, vec_id long, ts timestamp, "
+            "embedding array<double>",
+        )
+
+    b1 = ingest_ivf_cells(
+        table, raw_batch([("I", i, i, i, i) for i in range(1, 31)]),
+        "embedding", N_CELLS, DIM,
+    )
+    table.merge(spark, b1)
+    cents = json.loads(table.props[_CENTROID_PROP])
+    assert len(cents) == N_CELLS and len(cents[0]) == DIM
+
+    # restart: a fresh handle must load, not re-fit (same matrix)
+    t2 = LakeTable.load(table.path)
+    b2 = ingest_ivf_cells(
+        t2,
+        raw_batch(
+            [("U", 100 + i, i, 100 + i, 1000 + i) for i in range(1, 6)]
+            + [("I", 200 + i, 30 + i, 200 + i, 2000 + i) for i in range(1, 6)]
+            + [("D", 300, 10, 300, None)]
+        ),
+        "embedding", N_CELLS, DIM,
+    )
+    t2.merge(spark, b2)
+    assert json.loads(t2.props[_CENTROID_PROP]) == cents
+
+    # every stored cell equals a fresh assignment under the PERSISTED
+    # learned centroids
+    snap = t2.scan(spark)
+    assert snap.count() == 34  # 30 + 5 - 1
+    mismatch = snap.where(
+        F.col("cell") != similarity.ivf_cell_col(F.col("embedding"), cents)
+    ).count()
+    assert mismatch == 0
+
+    # learned-cell probe (full) == brute force, and the learned
+    # quantizer's top-1-probe recall is >= the deterministic one's
+    k = 5
+    exact = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(snap, "vec_id", "embedding", QUERY, k).collect()
+    ]
+    probe_all = similarity.ivf_probe_cells(QUERY, N_CELLS, N_CELLS, centroids=cents)
+    got = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(
+            snap.where(F.col("cell").isin(probe_all)),
+            "vec_id", "embedding", QUERY, k,
+        ).collect()
+    ]
+    assert got == exact
+
+    def recall_1probe(centroids):
+        probe = similarity.ivf_probe_cells(QUERY, N_CELLS, 1, centroids=centroids)
+        cells_df = snap.withColumn(
+            "_c", similarity.ivf_cell_col(F.col("embedding"), centroids)
+        ).where(F.col("_c").isin(probe))
+        got1 = {
+            r["vec_id"]
+            for r in similarity.cosine_topk(
+                cells_df, "vec_id", "embedding", QUERY, k
+            ).collect()
+        }
+        return len(got1 & set(exact)) / k
+
+    det = similarity.ivf_centroids(N_CELLS, DIM)
+    assert recall_1probe(cents) >= recall_1probe(det)

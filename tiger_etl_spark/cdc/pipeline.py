@@ -586,6 +586,17 @@ def replay_quarantine(
         + [T.StructField("_invalid_reasons", T.StringType(), True)]
     )
     out = {"batches": 0, "rows_applied": 0, "rows_still_invalid": 0}
+    # crash recovery for the rewrite swap below: an aside dir whose
+    # batch dir is missing means we died between the two renames —
+    # restore it (the conservative superset; re-replaying it is
+    # idempotent). An aside WITH a live batch dir is post-swap debris.
+    for aside in glob.glob(os.path.join(qroot, ".replaced-batch_id=*")):
+        bname = os.path.basename(aside)[len(".replaced-"):].rsplit("-", 1)[0]
+        target = os.path.join(qroot, bname)
+        if os.path.exists(target):
+            shutil.rmtree(aside, ignore_errors=True)
+        else:
+            os.rename(aside, target)
     for qdir in sorted(glob.glob(os.path.join(qroot, "batch_id=*"))):
         df = spark.read.schema(read_schema).parquet(qdir).drop("_invalid_reasons")
         if fixer is not None:
@@ -644,8 +655,19 @@ def replay_quarantine(
 
             tmp = os.path.join(qroot, f".replay-tmp-{_uuid.uuid4().hex}")
             still.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(qdir, ignore_errors=True)
+            # swap via aside-rename, not rmtree-then-rename: a crash
+            # between an rmtree and the rename would leave the
+            # still-invalid rows only in the dot-hidden tmp dir, where
+            # read_quarantine and later replays never look — silent row
+            # loss. With the aside swap every crash point leaves the
+            # rows visible under either the old or the new dir.
+            aside = os.path.join(
+                qroot,
+                f".replaced-{os.path.basename(qdir)}-{_uuid.uuid4().hex}",
+            )
+            os.rename(qdir, aside)
             os.rename(tmp, qdir)
+            shutil.rmtree(aside, ignore_errors=True)
         else:
             shutil.rmtree(qdir, ignore_errors=True)
         out["batches"] += 1

@@ -813,7 +813,7 @@ class LakeTable:
         the z-order columns)."""
         cluster_ts = cluster_ts or self.manifest["props"].get("compact_cluster_ts")
         cluster_cols = cluster_cols or [
-            c
+            c.strip()
             for c in self.manifest["props"]
             .get("compact_cluster_cols", "")
             .split(",")
@@ -823,7 +823,7 @@ class LakeTable:
             mrpf = self.manifest["props"].get("compact_max_records_per_file")
             max_records_per_file = int(mrpf) if mrpf else None
         zorder_cols = zorder_cols or [
-            c
+            c.strip()
             for c in self.manifest["props"]
             .get("compact_zorder_cols", "")
             .split(",")

@@ -86,3 +86,56 @@ def assign_clusters(
     """Attach `_cell` (1-based nearest-centroid id by cosine) — the
     same assignment expression IVF probing prunes on."""
     return df.withColumn("_cell", ivf_cell_col(F.col(vec_col), centroids))
+
+
+_CENTROID_PROP = "ivf_centroids"
+
+
+def fit_or_load_centroids(
+    table,
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    dim: int,
+    max_iter: int = 8,
+) -> list[list[float]]:
+    """The LEARNED quantizer is the ingest default: on a table's first
+    embedding batch, fit spherical k-means on it and persist the k×dim
+    centroid matrix in the table's props (its own atomic commit);
+    every later batch loads the persisted matrix, so cell ids stay
+    comparable across the table's whole life — re-fitting per batch
+    would silently re-number cells and break the stored `_cell` column
+    the probes prune on. kmeans_fit falls back to the deterministic
+    md5-derived centroids as its initialization, so an empty/degenerate
+    first batch still yields a valid quantizer."""
+    import json as _json
+
+    raw = table.props.get(_CENTROID_PROP)
+    if raw:
+        return _json.loads(raw)
+    cents = kmeans_fit(df, vec_col, k, dim, max_iter=max_iter)
+    table.update_props({_CENTROID_PROP: _json.dumps(cents)})
+    return cents
+
+
+def ingest_ivf_cells(
+    table,
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    dim: int,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Canonical ANN ingest path: attach the stored IVF cell column to a
+    change batch using the table's persisted LEARNED centroids (fitted
+    from this batch if the table has none yet). NULL vectors (e.g. D
+    tombstone payloads) keep a NULL cell."""
+    cents = fit_or_load_centroids(
+        table, df.where(F.col(vec_col).isNotNull()), vec_col, k, dim
+    )
+    return df.withColumn(
+        cell_col,
+        F.when(
+            F.col(vec_col).isNotNull(), ivf_cell_col(F.col(vec_col), cents)
+        ),
+    )
