@@ -145,9 +145,95 @@ def test_multimodal_feature_plumbing(spark):
     assert got[4] == [0.0, 0.0, 0.0, 0.0]
 
 
-def test_real_decoder_is_stubbed():
+def test_real_decoder_is_stubbed_for_non_png():
     with pytest.raises(NotImplementedError):
-        multimodal.real_decoder_stub(b"\x89PNG")
+        multimodal.real_decoder_stub(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def _encode_png(pixels, channels: int, filters=None) -> bytes:
+    """Minimal PNG writer for the decoder test (independent of the
+    decoder: struct + zlib straight from the spec). pixels: list of
+    rows, each a flat list of channel bytes. `filters` selects the
+    per-scanline filter byte (default 0 = None)."""
+    import struct
+    import zlib
+
+    height = len(pixels)
+    width = len(pixels[0]) // channels
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    raw = bytearray()
+    prev = [0] * (width * channels)
+    for y, row in enumerate(pixels):
+        f = (filters or [0] * height)[y]
+        raw.append(f)
+        if f == 0:
+            raw.extend(row)
+        elif f == 2:  # Up
+            raw.extend((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        elif f == 1:  # Sub
+            raw.extend(
+                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        else:
+            raise ValueError("test encoder supports filters 0/1/2")
+        prev = row
+    return (
+        multimodal.PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_roundtrip_and_feature_parity(spark):
+    """Ask: retire the decoder stub with a REAL pure-stdlib decode.
+    Round-trips grayscale and RGB PNGs (filters 0/1/2) bit-exactly and
+    drives extract_media_features end-to-end through mapInPandas."""
+    import numpy as np
+
+    gray = [[(x * 7 + y * 13) % 256 for x in range(6)] for y in range(5)]
+    rgb_rows = [
+        [((x * 3 + c + y) * 11) % 256 for x in range(4) for c in range(3)]
+        for y in range(4)
+    ]
+    png_gray = _encode_png(gray, 1, filters=[0, 1, 2, 1, 0])
+    png_rgb = _encode_png(rgb_rows, 3, filters=[0, 2, 2, 1])
+
+    w, h, ch, px = multimodal.decode_png(png_gray)
+    assert (w, h, ch) == (6, 5, 1)
+    assert px.reshape(5, 6).tolist() == gray
+    w, h, ch, px = multimodal.decode_png(png_rgb)
+    assert (w, h, ch) == (4, 4, 3)
+    assert px.reshape(4, -1).tolist() == rgb_rows
+
+    # end-to-end through the Arrow mapInPandas plumbing with the REAL
+    # decoder injected (and via real_decoder_stub's PNG branch)
+    df = spark.createDataFrame(
+        [(1, png_gray), (2, png_rgb), (3, None)], "media_id long, blob binary"
+    )
+    out = multimodal.extract_media_features(
+        df, "media_id", "blob", n_features=4,
+        decoder=multimodal.make_png_decoder(4),
+    )
+    got = {r["media_id"]: r["features"] for r in out.collect()}
+    flat = np.array(gray, dtype=np.float64).ravel()
+    want = [float(c.mean()) for c in np.array_split(flat, 4)]
+    assert got[1] == pytest.approx(want)
+    assert got[3] is None
+    assert got[2] == pytest.approx(multimodal.make_png_decoder(4)(png_rgb))
+    # real_decoder_stub's PNG branch decodes for real (default width 8)
+    assert len(multimodal.real_decoder_stub(png_rgb)) == 8
 
 
 def test_detect_lang(spark):

@@ -323,3 +323,53 @@ def test_static_dim_replay_matches_live_ingest(spark, tmp_path, change_dir):
     assert res["rows_applied"] == 1
     got = table.scan(spark).where("url='http://q/1'").collect()[0]
     assert got["lang_family"] == "germanic"
+
+
+def test_arrow_large_binary_blobs_byte_parity(spark, tmp_path):
+    """SURVEY.md §7 risk: multi-MB html binaries through the fused
+    Arrow/pandas extract path. With arrow.maxRecordsPerBatch clamped to
+    4, a 24-row × ~3 MB batch streams as many small Arrow batches —
+    no IPC buffer blow-up — and both html and extracted text come back
+    BYTE-identical to the pure-Python oracle."""
+    import datetime as dt
+
+    from tiger_etl_spark.functions.text import extract_text_py
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        ts0 = dt.datetime(2026, 3, 1, tzinfo=dt.timezone.utc)
+        rows = []
+        for i in range(24):
+            # ~3 MB of structured html with a per-row marker, so a
+            # truncated/reordered byte is detectable
+            body = (
+                "<html><body>"
+                + f"<h1>doc {i}</h1>"
+                + ("<p>" + ("x%d " % i) * 60_000 + "</p>") * 4
+                + "</body></html>"
+            ).encode()
+            rows.append(
+                (
+                    "I", i + 1, f"http://big/{i}",
+                    ts0 + dt.timedelta(seconds=i), body, "en", len(body),
+                    2, "f0",
+                )
+            )
+        events = spark.createDataFrame(
+            rows,
+            "op string, op_seq long, url string, warc_ts timestamp, "
+            "html binary, lang string, content_len long, schema_id int, "
+            "batch_file string",
+        ).withColumn("body", F.lit(None).cast("binary"))
+        table = create_pages_table(str(tmp_path / "pages_big"), num_buckets=4)
+        apply_changes(spark, table, events, batch_id=0)
+
+        got = {r["url"]: r for r in table.scan(spark).collect()}
+        assert len(got) == 24
+        for op, seq, url, _, body, _, _, _, _ in rows:
+            r = got[url]
+            assert bytes(r["html"]) == body, f"html bytes differ for {url}"
+            assert r["text"] == extract_text_py(body), f"text differs for {url}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

@@ -144,10 +144,101 @@ def sample_frames(
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Real PNG decode from the stdlib alone (zlib inflate + per-scanline
+    de-filter, PNG spec §9 filters 0–4): returns (width, height,
+    n_channels, uint8 pixel array of shape [height, width, channels]).
+    Supports 8-bit grayscale (color type 0), RGB (2), grayscale+alpha
+    (4) and RGBA (6), non-interlaced — the shapes crawl pipelines
+    actually meet. No PIL/torchvision needed, so the decode path is a
+    working production decoder for PNG, not a stub."""
+    import struct
+    import zlib
+
+    if blob[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(blob):
+        (length,), ctype = struct.unpack(">I", blob[pos:pos + 4]), blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = line + prev
+        else:  # Sub / Average / Paeth need the in-progress row
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                if f == 1:
+                    cur[x] = (int(line[x]) + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (int(line[x]) + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+        prev = out[y]
+    return width, height, channels, out.reshape(height, width, channels)
+
+
+def make_png_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
+    """A real decode→featurize hook for `extract_media_features`:
+    PNG pixels (stdlib decode above) → n_features chunked means over the
+    de-filtered pixel stream. The same callable shape a PIL/torch-backed
+    embedder would have."""
+
+    def decode(blob: bytes) -> list[float]:
+        _, _, _, px = decode_png(blob)
+        flat = px.astype(np.float64).ravel()
+        chunks = np.array_split(flat, n_features)
+        return [float(c.mean()) if c.size else 0.0 for c in chunks]
+
+    return decode
+
+
 def real_decoder_stub(blob: bytes) -> list[float]:
-    """The production decode hook. Image/audio libs are not available in
-    this environment — wire PIL / torchvision / librosa here."""
+    """The production decode hook for non-PNG media. PNG decodes for
+    real via `make_png_decoder` (pure stdlib); other formats (JPEG,
+    audio, video) need libraries not present in this container — wire
+    PIL / torchvision / librosa here."""
+    if blob[:8] == PNG_MAGIC:
+        return make_png_decoder()(blob)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "container; pass decoder=... to extract_media_features"
+        "non-PNG media decoding requires image/audio libraries not present "
+        "in this container; pass decoder=... to extract_media_features"
     )
