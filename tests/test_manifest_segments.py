@@ -177,3 +177,33 @@ def test_time_travel_across_segment_rewrites(spark, tmp_path):
     assert _state(spark, t) == [("a", "v2")]
     old = t.at_version(v1)
     assert _state(spark, old) == [("a", "v1")]
+
+
+def test_evolve_schema_stamp_survives_reload(spark, tmp_path):
+    """Regression (round-3 review): evolve_schema stamps the implicit
+    schema_id onto legacy (unstamped) file entries; under the sharded
+    manifest the stamped entries must land in REWRITTEN segments —
+    pre-assigning them to self.manifest made the commit diff see 'no
+    change' and carry the old unstamped segments, so after a reload a
+    rename would silently null the column."""
+    t = LakeTable.create(str(tmp_path / "t"), DDL, key_col="url", num_buckets=2)
+    t.merge(spark, batch_df(spark, [("I", 1, "a", 1, "v1")]))
+    # simulate legacy entries: strip schema_id stamps in the stored
+    # segment (pre-per-file-id era) by rewriting manifest + segment
+    legacy_files = [
+        {k: v for k, v in f.items() if k != "schema_id"}
+        for f in t.manifest["files"]
+    ]
+    t._commit(legacy_files, {"operation": "strip-for-test"})
+    assert all("schema_id" not in f for f in LakeTable.load(t.path).manifest["files"])
+
+    t2 = LakeTable.load(t.path)
+    t2.evolve_schema(
+        "url string, warc_ts timestamp, body_text string",
+        renames={"text": "body_text"},
+    )
+    # the stamp must be ON DISK, not just in memory
+    t3 = LakeTable.load(t.path)
+    assert all("schema_id" in f for f in t3.manifest["files"])
+    rows = t3.scan(spark).collect()
+    assert [(r["url"], r["body_text"]) for r in rows] == [("a", "v1")]

@@ -295,7 +295,7 @@ class LakeTable:
         }
 
     def _update_segments(
-        self, new_files: list[dict], added: list[dict], drop: set[str]
+        self, added: list[dict], drop: set[str]
     ) -> list[dict]:
         """Produce the new manifest_list for a commit whose file delta is
         (`added` entries, `drop`ped paths): untouched segments are carried
@@ -1101,11 +1101,20 @@ class LakeTable:
         new["version"] = self.manifest["version"] + 1
         new["snapshot_id"] = self.manifest["snapshot_id"] + 1
         new["files"] = files
-        new["manifest_list"] = self._update_segments(files, added, drop)
+        new["manifest_list"] = self._update_segments(added, drop)
         new["format_version"] = max(3, int(new.get("format_version", 3)))
         new["summary"] = {**summary, "committed_at": time.time()}
         self._write_manifest(self.path, new, flip_pointer=not deferred)
         self.manifest = new
+        # evict superseded segments from the cache: a long-lived
+        # streaming writer commits thousands of micro-batches, and
+        # pinning every rewritten segment's entry list would rebuild the
+        # O(all files ever written) driver-memory footprint the sharding
+        # exists to avoid. Time-travel reads just re-read from disk.
+        live = {s["path"] for s in new["manifest_list"]}
+        self._seg_cache = {
+            k: v for k, v in self._seg_cache.items() if k in live
+        }
 
     def update_props(self, updates: dict) -> None:
         """Commit a props-only change (exactly-once batch bookkeeping)."""
@@ -1139,19 +1148,24 @@ class LakeTable:
         # stamp the implicit schema id onto any pre-upgrade file entry
         # (written before per-file ids existed): without this, a LATER
         # rename would read those files under the new schema and skip
-        # the rename lift, silently nulling the column
+        # the rename lift, silently nulling the column.
+        # The stamped list must NOT be written into self.manifest before
+        # the commit — _commit diffs the new list against
+        # self.manifest["files"] to decide which manifest segments to
+        # rewrite, so pre-assigning it would make the stamps "no change"
+        # and carry the old UNSTAMPED segments by reference (the stamp
+        # would then be lost on the next reload).
         files = [
             f if "schema_id" in f else dict(f, schema_id=cur)
             for f in self.manifest["files"]
         ]
-        self.manifest = dict(self.manifest, files=files)
         new_id = max(int(k) for k in self.manifest["schemas"]) + 1
         schemas = dict(self.manifest["schemas"])
         schemas[str(new_id)] = {"ddl": new_ddl, "renames": dict(renames or {})}
         self.manifest = dict(
             self.manifest, schemas=schemas, current_schema_id=new_id
         )
-        self._commit(self.manifest["files"], {"operation": "evolve-schema"})
+        self._commit(files, {"operation": "evolve-schema"})
         return new_id
 
     # ----------------------------------------------------------- rollback

@@ -112,7 +112,17 @@ def fit_or_load_centroids(
 
     raw = table.props.get(_CENTROID_PROP)
     if raw:
-        return _json.loads(raw)
+        cents = _json.loads(raw)
+        if len(cents) != k or (cents and len(cents[0]) != dim):
+            raise ValueError(
+                f"table {table.path} has a persisted IVF quantizer of "
+                f"shape {len(cents)}x{len(cents[0]) if cents else 0} but "
+                f"k={k}, dim={dim} was requested — silently reusing it "
+                "would mis-probe every query (or index past the vector). "
+                "Either request the stored shape or rebuild the index "
+                "(clear the prop and recompute the cell column)."
+            )
+        return cents
     cents = kmeans_fit(df, vec_col, k, dim, max_iter=max_iter)
     table.update_props({_CENTROID_PROP: _json.dumps(cents)})
     return cents

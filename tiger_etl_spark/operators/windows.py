@@ -55,7 +55,7 @@ def sessionize(
     # unix_timestamp() truncates to seconds, which can split sessions
     # differently from a fractional-epoch oracle for gaps within 1s of
     # the threshold. Integer-microsecond arithmetic is engine-exact.
-    gap_micros = int(gap_seconds) * 1_000_000
+    gap_micros = int(gap_seconds * 1_000_000)  # fractional gaps preserved
     is_new = (
         prev.isNull()
         | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_micros)
