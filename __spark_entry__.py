@@ -1256,6 +1256,34 @@ def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars", "rank")
 
 
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization (functions/scalar.py:116,
+    all JVM-side `parse_url` + array functions): messy per-doc URL
+    variants — mixed-case scheme/host, scheme-default port, tracking
+    params (utm_*/fbclid), unsorted surviving params, trailing slash,
+    fragment — are synthesized deterministically from `documents` and
+    collapse onto one canonical merge key per group. Output is the
+    dedup histogram a crawl scheduler keeps per canonical URL."""
+    d = _t_wide(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/Article/"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("/?utm_campaign=track&fbclid=abc&b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a="),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("#sec"),
+    )
+    return (
+        d.select(scalar.canonicalize_url(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("canon_url")
+    )
+
+
 def _tok_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE persisted (doc_id, token) stream feeding every token-level
     consumer (heavy hitters, TF-IDF, BM25, PMI unigrams) — the corpus
@@ -1690,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
         "doc_lang_sample": doc_lang_sample,
         "doc_source_quota": doc_source_quota,
+        "url_canonical_dedup": url_canonical_dedup,
         "doc_top_tokens": doc_top_tokens,
         "doc_top_bigrams": doc_top_bigrams,
         "doc_bigram_pmi_top20": doc_bigram_pmi_top20,
@@ -2170,6 +2199,17 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM documents
             ) WHERE rank <= 10
+        """,
+        "url_canonical_dedup": """
+            WITH c AS (
+                SELECT 'https://' || source || '.example.com/Article/'
+                       || (doc_id % 20)
+                       || '?a=' || (doc_id % 4)
+                       || '&b=' || (doc_id % 5) AS canon_url
+                FROM documents
+            )
+            SELECT canon_url, count(*) AS n_dups
+            FROM c GROUP BY canon_url ORDER BY canon_url
         """,
         "doc_top_tokens": _TOP_TOKENS_SQL,
         "orders_checksum": """
