@@ -253,8 +253,14 @@ def main() -> None:
     # round 2 (BENCH_r02 parsed:null). So: full detail goes to an earlier
     # line + a file; the VERY LAST line is a compact headline-only JSON
     # guaranteed to fit.
+    # Only a full default-mode run may overwrite the committed detail
+    # record — quick sanity runs (SPARK_GRAFT_BENCH_MODE=cdc/queries,
+    # event-count overrides) write a scratch file instead so they can't
+    # clobber the recorded headline.
+    full_run = mode == "all" and "SPARK_GRAFT_CDC_EVENTS" not in os.environ
+    detail_name = "last_run_detail.json" if full_run else "last_sanity_detail.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", detail_name
     )
     try:
         os.makedirs(os.path.dirname(detail_path), exist_ok=True)
