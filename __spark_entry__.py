@@ -669,6 +669,36 @@ def user_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_event_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history materialization (CDC-native): per-user version
+    intervals of the tracked ``event_type`` attribute — a new version
+    per null-safe change, with valid_from/valid_to/is_current. The
+    reference maintains this interval-with-current-flag shape row-wise
+    on user_sessions (system/system/models/sessions_management/
+    model.py:62-88); here it is derived set-wise in one keyed exchange
+    (operators/scd.py: scd2_history)."""
+    from tiger_etl_spark.operators.scd import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"),
+        "event_id", "event_type",
+    )
+    hist = scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    return hist.select(
+        "user_id",
+        "version_idx",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.coalesce(F.unix_micros("valid_to"), F.lit(-1).cast("long")).alias(
+            "valid_to_us"
+        ),
+        "is_current",
+        "n_rows",
+    )
+
+
 def user_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/A5 — per-user first/last event and duration seconds."""
     ev = _t(spark, sf_dir, "events")
@@ -1693,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_zset_top10": supplier_zset_top10,
         "user_value_zset_top10": user_value_zset_top10,
         "user_gap_sessions": user_gap_sessions,
+        "user_event_type_scd2": user_event_type_scd2,
         "user_rolling_value": user_rolling_value,
         "event_window_counts": event_window_counts,
         "purchase_asof_last_click": purchase_asof_last_click,
@@ -2089,6 +2120,40 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts)) AS end_us,
                    count(*) AS n_events
             FROM idx GROUP BY user_id, session_idx
+        """,
+        "user_event_type_scd2": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN row_number() OVER w = 1
+                              OR event_type IS DISTINCT FROM
+                                 lag(event_type) OVER w
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            idx AS (
+                SELECT user_id, ts, event_type,
+                       CAST(sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS BIGINT) AS version_idx
+                FROM marked
+            ),
+            versions AS (
+                SELECT user_id, version_idx,
+                       any_value(event_type) AS event_type,
+                       min(ts) AS valid_from,
+                       count(*) AS n_rows
+                FROM idx GROUP BY user_id, version_idx
+            )
+            SELECT user_id, version_idx, event_type,
+                   epoch_us(valid_from) AS valid_from_us,
+                   coalesce(epoch_us(lead(valid_from) OVER wv), -1)
+                       AS valid_to_us,
+                   lead(valid_from) OVER wv IS NULL AS is_current,
+                   n_rows
+            FROM versions
+            WINDOW wv AS (PARTITION BY user_id ORDER BY version_idx)
         """,
         "user_session_spans": """
             SELECT user_id,
