@@ -699,6 +699,59 @@ def user_event_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance through the CDC path (cdc/
+    history.py): the events log split into three time-ordered batches,
+    each folded to version FRAGMENTS and appended MOR-style (the
+    history table is never read at ingest), batch 1 replayed (ledger
+    no-op), then stitched at read. The oracle is the FULL-recompute
+    SQL — the driver row IS the incremental==batch equivalence proof
+    (property-tested across arbitrary splits in tests/test_history.py)."""
+    from tiger_etl_spark.cdc.history import (
+        apply_scd2_changes,
+        create_history_table,
+        read_history,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull()).select(
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").alias("warc_ts"),
+        F.col("event_id").alias("op_seq"),
+        "event_type",
+    )
+    ts_us = F.unix_micros("warc_ts")
+    cuts = ev.select(
+        F.percentile_approx(ts_us, [0.34, 0.67]).alias("c")
+    ).first()["c"]
+    hist = create_history_table(
+        os.path.join(_scratch_table("scd2"), "h"),
+        "user_id bigint",
+        "event_type string",
+        num_buckets=4,
+    )
+    preds = [
+        ts_us < cuts[0],
+        (ts_us >= cuts[0]) & (ts_us < cuts[1]),
+        ts_us >= cuts[1],
+    ]
+    for i, p in enumerate(preds):
+        apply_scd2_changes(spark, hist, ev.where(p), batch_id=i)
+    apply_scd2_changes(spark, hist, ev.where(preds[1]), batch_id=1)  # replay
+    out = read_history(spark, hist)
+    return out.select(
+        "user_id",
+        "version_idx",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.coalesce(F.unix_micros("valid_to"), F.lit(-1).cast("long")).alias(
+            "valid_to_us"
+        ),
+        "is_current",
+        "n_rows",
+        F.unix_micros("last_seen").alias("last_seen_us"),
+    )
+
+
 def user_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/A5 — per-user first/last event and duration seconds."""
     ev = _t(spark, sf_dir, "events")
@@ -1724,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_zset_top10": user_value_zset_top10,
         "user_gap_sessions": user_gap_sessions,
         "user_event_type_scd2": user_event_type_scd2,
+        "scd2_incremental_state": scd2_incremental_state,
         "user_rolling_value": user_rolling_value,
         "event_window_counts": event_window_counts,
         "purchase_asof_last_click": purchase_asof_last_click,
@@ -2152,6 +2206,42 @@ def oracle_sql() -> dict[str, str]:
                        AS valid_to_us,
                    lead(valid_from) OVER wv IS NULL AS is_current,
                    n_rows
+            FROM versions
+            WINDOW wv AS (PARTITION BY user_id ORDER BY version_idx)
+        """,
+        "scd2_incremental_state": """
+            WITH marked AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN row_number() OVER w = 1
+                              OR event_type IS DISTINCT FROM
+                                 lag(event_type) OVER w
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            idx AS (
+                SELECT user_id, ts, event_type,
+                       CAST(sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS BIGINT) AS version_idx
+                FROM marked
+            ),
+            versions AS (
+                SELECT user_id, version_idx,
+                       any_value(event_type) AS event_type,
+                       min(ts) AS valid_from,
+                       max(ts) AS last_seen,
+                       count(*) AS n_rows
+                FROM idx GROUP BY user_id, version_idx
+            )
+            SELECT user_id, version_idx, event_type,
+                   epoch_us(valid_from) AS valid_from_us,
+                   coalesce(epoch_us(lead(valid_from) OVER wv), -1)
+                       AS valid_to_us,
+                   lead(valid_from) OVER wv IS NULL AS is_current,
+                   n_rows,
+                   epoch_us(last_seen) AS last_seen_us
             FROM versions
             WINDOW wv AS (PARTITION BY user_id ORDER BY version_idx)
         """,

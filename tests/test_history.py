@@ -1,0 +1,182 @@
+"""Incremental SCD2 history maintenance (cdc/history.py): fragments
+appended per batch must stitch to EXACTLY the full-recompute history
+(operators/scd.py: scd2_history) for any in-order batch split."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.cdc.history import (
+    apply_scd2_changes,
+    audit_overlaps,
+    create_history_table,
+    read_history,
+)
+from tiger_etl_spark.operators.scd import scd2_history
+
+T0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+EVENT_COLS = ["url", "warc_ts", "op_seq", "lang"]
+
+
+def _gen_events(n_keys=12, n_events=240, seed=7):
+    """Deterministic change log: per-event (key, ts, seq, lang) with
+    runs of repeated attr values, some keys bursty, some sparse; equal
+    timestamps across keys; strictly increasing seq (binlog order)."""
+    rng = random.Random(seed)
+    rows = []
+    lang = {k: "en" for k in range(n_keys)}
+    for seq in range(n_events):
+        k = rng.choice(range(n_keys))
+        if rng.random() < 0.3:
+            lang[k] = rng.choice(["en", "de", "fr", None])
+        # coarse ts: plenty of equal timestamps, seq breaks ties
+        ts = T0 + dt.timedelta(minutes=seq // 3)
+        rows.append((f"u{k}", ts, seq, lang[k]))
+    return rows
+
+
+def _full(spark, rows):
+    df = spark.createDataFrame(rows, EVENT_COLS)
+    return scd2_history(
+        df,
+        ["url"],
+        ["lang"],
+        "warc_ts",
+        tiebreak_cols=["op_seq"],
+        extra_aggs={"last_seen": F.max("warc_ts")},
+    )
+
+
+def _key(r):
+    return (r.url, r.version_idx)
+
+
+def _canon(df):
+    return {
+        _key(r): (r.lang, r.valid_from, r.valid_to, r.is_current, r.n_rows,
+                  r.last_seen)
+        for r in df.collect()
+    }
+
+
+def _apply_split(spark, hist, rows, cuts):
+    """Apply `rows` (already seq-ordered) split at the given seq cuts."""
+    bounds = [0, *cuts, len(rows)]
+    for i in range(len(bounds) - 1):
+        batch = rows[bounds[i]:bounds[i + 1]]
+        if not batch:
+            continue
+        apply_scd2_changes(
+            spark,
+            hist,
+            spark.createDataFrame(batch, EVENT_COLS),
+            batch_id=i,
+        )
+
+
+@pytest.mark.parametrize(
+    "cuts",
+    [
+        [],              # one batch == full recompute trivially
+        [80, 160],       # even thirds
+        [1, 2, 3, 237],  # pathological: tiny batches, huge tail
+    ],
+)
+def test_incremental_matches_full_recompute(spark, tmp_path, cuts):
+    rows = _gen_events()
+    hist = create_history_table(
+        str(tmp_path / "h"), "url string", "lang string", num_buckets=4
+    )
+    _apply_split(spark, hist, rows, cuts)
+    assert _canon(read_history(spark, hist)) == _canon(_full(spark, rows))
+    assert audit_overlaps(spark, hist).count() == 0
+
+
+def test_equal_ts_batch_boundary(spark, tmp_path):
+    """A split INSIDE an equal-timestamp run: stitch order must fall
+    back to (stitch_seq, frag_idx), not timestamps alone."""
+    rows = [
+        ("u", T0, 0, "en"),
+        ("u", T0, 1, "de"),  # batch boundary here, same ts
+        ("u", T0, 2, "en"),
+        ("u", T0, 3, "en"),
+    ]
+    hist = create_history_table(
+        str(tmp_path / "h"), "url string", "lang string", num_buckets=2
+    )
+    _apply_split(spark, hist, rows, [2])
+    assert _canon(read_history(spark, hist)) == _canon(_full(spark, rows))
+
+
+def test_replay_is_noop_and_survives_reload(spark, tmp_path):
+    from tiger_etl_spark.lake import LakeTable
+
+    rows = _gen_events(n_keys=5, n_events=60)
+    hist = create_history_table(
+        str(tmp_path / "h"), "url string", "lang string", num_buckets=2
+    )
+    _apply_split(spark, hist, rows, [30])
+    before = _canon(read_history(spark, hist))
+    # replay both batches (restart-between-commits shape)
+    r0 = apply_scd2_changes(
+        spark, hist, spark.createDataFrame(rows[:30], EVENT_COLS), batch_id=0
+    )
+    r1 = apply_scd2_changes(
+        spark, hist, spark.createDataFrame(rows[30:], EVENT_COLS), batch_id=1
+    )
+    assert not r0["applied"] and not r1["applied"]
+    assert _canon(read_history(spark, hist)) == before
+    # a fresh handle sees the same committed history
+    fresh = LakeTable.load(str(tmp_path / "h"))
+    assert _canon(read_history(spark, fresh)) == before
+
+
+def test_no_change_batches_fold_to_one_version(spark, tmp_path):
+    """Bookkeeping-only fragments (attr never changes) stitch back to a
+    single current version with summed n_rows."""
+    rows = [("u", T0 + dt.timedelta(minutes=i), i, "en") for i in range(9)]
+    hist = create_history_table(
+        str(tmp_path / "h"), "url string", "lang string", num_buckets=2
+    )
+    _apply_split(spark, hist, rows, [3, 6])
+    out = read_history(spark, hist).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.version_idx, r.n_rows, r.is_current) == (0, 9, True)
+    assert r.valid_from == T0 and r.last_seen == T0 + dt.timedelta(minutes=8)
+    # storage really is 3 fragments (MOR: nothing read/rewritten at apply)
+    assert hist.scan(spark).count() == 3
+
+
+def test_out_of_order_batch_flagged_by_audit(spark, tmp_path):
+    hist = create_history_table(
+        str(tmp_path / "h"), "url string", "lang string", num_buckets=2
+    )
+    late = [("u", T0, 0, "en"), ("u", T0 + dt.timedelta(minutes=9), 1, "en")]
+    early = [("u", T0 + dt.timedelta(minutes=4), 2, "de")]  # predates last_seen
+    apply_scd2_changes(spark, hist, spark.createDataFrame(late, EVENT_COLS), 0)
+    apply_scd2_changes(spark, hist, spark.createDataFrame(early, EVENT_COLS), 1)
+    flagged = audit_overlaps(spark, hist).collect()
+    assert [(r.url, r.n_overlaps) for r in flagged] == [("u", 1)]
+
+
+def test_null_attr_and_null_key_handling(spark, tmp_path):
+    rows = [
+        (None, T0, 0, "en"),                          # null key dropped
+        ("u", T0, 1, None),                           # null attr is a value
+        ("u", T0 + dt.timedelta(minutes=1), 2, None),
+        ("u", T0 + dt.timedelta(minutes=2), 3, "en"),
+    ]
+    hist = create_history_table(
+        str(tmp_path / "h"), "url string", "lang string", num_buckets=2
+    )
+    _apply_split(spark, hist, rows, [2])
+    out = sorted(read_history(spark, hist).collect(),
+                 key=lambda r: r.version_idx)
+    assert [(r.url, r.version_idx, r.lang, r.n_rows) for r in out] == [
+        ("u", 0, None, 2), ("u", 1, "en", 1),
+    ]

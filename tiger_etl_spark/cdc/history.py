@@ -1,0 +1,220 @@
+"""Incremental SCD2 history maintenance over the CDC stream.
+
+Keeps a *history* LakeTable — every version interval of the tracked
+attributes per key, not just the latest row — maintained batch-by-batch
+from the same change stream the main pipeline tails. The reference
+maintains its one interval-per-row history (user_sessions
+login/logout/is_active, ``system/system/models/sessions_management/
+model.py:62-88``) imperatively on each request; here the full history
+is a table that any batch can extend.
+
+Design (merge-on-read, the 10^10-event shape):
+
+- **apply** = one keyed shuffle over the BATCH ONLY. The batch folds to
+  a per-key mini-history (``operators/scd.py: scd2_history``) whose
+  versions are appended as immutable *fragments* — the table is never
+  read at ingest, exactly like the main pipeline's MOR merge.
+- **read** = re-run the SAME fold over the fragments: a fragment stream
+  ordered by (valid_from, batch, idx) is itself a change log whose
+  "events" carry pre-aggregated n_rows/last_seen, so
+  ``scd2_history(fragments)`` stitches adjacent same-attr runs across
+  batch boundaries, re-indexes version_idx, and recomputes
+  valid_to/is_current. The fold is its own composition law: fold(batch
+  ⧺ batch) == fold(fold(batch) ⧺ fold(batch)) — pinned by the
+  incremental==full-recompute property tests (tests/test_history.py).
+- **exactly-once**: the applied-batch ledger rides the same atomic
+  commit as the fragment files (cdc/pipeline.py: batch_applied /
+  applied_batches_update); replaying any batch is a no-op.
+
+Ordering contract: per key, batches must arrive in (ts, seq) order —
+the binlog/WAL-tail guarantee the whole CDC tier assumes. Within a
+batch any order is fine (the mini-history fold sorts). Out-of-order
+*fragments* (a batch whose earliest event predates a key's stored
+last_seen) stitch by timestamp but cannot re-interleave events inside
+an already-written fragment; ``audit_overlaps`` counts such keys.
+
+Storage growth: a key touched by B batches stores ≥B fragments even
+when nothing changed (bookkeeping still advances); reads stitch them
+back to one row. LakeTable.compact() bounds the FILE count; fragment
+ROW folding is a planned rewrite (needs the truncate+merge pair inside
+one LakeTransaction) — documented, not yet wired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.cdc.pipeline import applied_batches_update, batch_applied
+from tiger_etl_spark.lake import LakeTable
+from tiger_etl_spark.operators.scd import scd2_history
+
+_KEY_PROP = "scd2_key"
+_ATTRS_PROP = "scd2_attrs"
+
+
+def create_history_table(
+    path: str,
+    key_ddl: str,
+    attr_ddl: str,
+    num_buckets: int = 16,
+    props: dict | None = None,
+) -> LakeTable:
+    """Create an SCD2 history table tracking the ``attr_ddl`` columns
+    per ``key_ddl`` key (both DDL strings, e.g. ``"url string"``,
+    ``"lang string, text_hash long"``). Rows are version *fragments*;
+    ``read_history`` stitches them into canonical SCD2 intervals."""
+    key_col = key_ddl.split()[0]
+    attr_cols = [
+        f.strip().split()[0] for f in attr_ddl.split(",") if f.strip()
+    ]
+    schema = (
+        f"_hist_key string, {key_ddl}, frag_idx long, {attr_ddl}, "
+        "frag_from timestamp, n_rows long, last_seen timestamp, "
+        "last_seen_seq long, stitch_seq long"
+    )
+    return LakeTable.create(
+        path,
+        schema,
+        key_col="_hist_key",
+        order_cols=("stitch_seq",),
+        num_buckets=num_buckets,
+        props={
+            **(props or {}),
+            _KEY_PROP: key_col,
+            _ATTRS_PROP: ",".join(attr_cols),
+        },
+    )
+
+
+def _tracked(hist: LakeTable) -> tuple[str, list[str]]:
+    key_col = hist.props.get(_KEY_PROP)
+    attrs = [c for c in hist.props.get(_ATTRS_PROP, "").split(",") if c]
+    if not key_col or not attrs:
+        raise ValueError(
+            f"{hist.path} is not an SCD2 history table (missing "
+            f"{_KEY_PROP}/{_ATTRS_PROP} props — create it via "
+            "create_history_table)"
+        )
+    return key_col, attrs
+
+
+def apply_scd2_changes(
+    spark: SparkSession,
+    hist: LakeTable,
+    events: DataFrame,
+    batch_id: int,
+    ts_col: str = "warc_ts",
+    seq_col: str = "op_seq",
+) -> dict:
+    """Fold one change batch into per-key version fragments and append
+    them. One keyed exchange over the batch; the history table itself
+    is never read. Idempotent per ``batch_id`` (ledger skip)."""
+    if batch_applied(hist.props, batch_id):
+        return {
+            "batch_id": batch_id,
+            "applied": False,
+            "snapshot_id": hist.manifest["snapshot_id"],
+        }
+    key_col, attr_cols = _tracked(hist)
+    mini = scd2_history(
+        events.where(F.col(key_col).isNotNull()),
+        [key_col],
+        attr_cols,
+        ts_col,
+        tiebreak_cols=[seq_col],
+        extra_aggs={
+            "last_seen": F.max(F.col(ts_col)),
+            "last_seen_seq": F.max_by(
+                F.col(seq_col).cast("long"),
+                F.struct(F.col(ts_col), F.col(seq_col)),
+            ),
+        },
+    )
+    frags = mini.select(
+        F.concat_ws(
+            "#",
+            F.col(key_col).cast("string"),
+            F.lit(int(batch_id)),
+            F.col("version_idx"),
+        ).alias("_hist_key"),
+        key_col,
+        F.col("version_idx").alias("frag_idx"),
+        *attr_cols,
+        F.col("valid_from").alias("frag_from"),
+        "n_rows",
+        "last_seen",
+        "last_seen_seq",
+        F.lit(int(batch_id)).cast("long").alias("stitch_seq"),
+        F.lit("I").alias("op"),
+        F.lit(int(batch_id)).cast("long").alias("op_seq"),
+    )
+    applied = hist.props.get("applied_batches", {})
+    stats = hist.merge(
+        spark,
+        frags,
+        mode="mor",
+        props_updates_fn=lambda: applied_batches_update(
+            hist.props, applied, batch_id, hist.manifest["snapshot_id"] + 1
+        ),
+    )
+    return {
+        "batch_id": batch_id,
+        "applied": True,
+        "rows_written": stats.rows_upserted,
+        "snapshot_id": hist.manifest["snapshot_id"],
+    }
+
+
+def read_history(spark: SparkSession, hist: LakeTable) -> DataFrame:
+    """The canonical SCD2 view: fragments stitched into one row per
+    version — adjacent same-attr fragments merged across batch
+    boundaries (n_rows summed, last_seen maxed), version_idx re-indexed
+     0-based per key, valid_to = next version's valid_from, is_current
+    on the open tail. One keyed exchange, same cost shape as the main
+    table's MOR resolve."""
+    key_col, attr_cols = _tracked(hist)
+    frags = hist.scan(spark)
+    stitched = scd2_history(
+        frags,
+        [key_col],
+        attr_cols,
+        "frag_from",
+        tiebreak_cols=["stitch_seq", "frag_idx"],
+        extra_aggs={
+            "n_events": F.sum("n_rows"),
+            "last_event": F.max("last_seen"),
+        },
+    )
+    return stitched.select(
+        key_col,
+        "version_idx",
+        *attr_cols,
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.col("n_events").alias("n_rows"),
+        F.col("last_event").alias("last_seen"),
+    )
+
+
+def audit_overlaps(spark: SparkSession, hist: LakeTable) -> DataFrame:
+    """Keys whose fragments arrived out of (ts, seq) order — a later
+    batch's fragment starting before an earlier batch's last_seen.
+    Such keys violated the binlog-order contract; their stitched
+    history is timestamp-ordered but may fold event runs differently
+    than a full recompute. Returns (key, n_overlaps)."""
+    from pyspark.sql import Window
+
+    key_col, _ = _tracked(hist)
+    w = Window.partitionBy(key_col).orderBy("stitch_seq", "frag_idx")
+    prev_seen = F.lag("last_seen").over(w)
+    return (
+        hist.scan(spark)
+        .withColumn(
+            "_overlap", prev_seen.isNotNull() & (F.col("frag_from") < prev_seen)
+        )
+        .groupBy(key_col)
+        .agg(F.sum(F.col("_overlap").cast("long")).alias("n_overlaps"))
+        .where(F.col("n_overlaps") > 0)
+    )

@@ -19,7 +19,7 @@ caller already manages (salting upstream if a key is pathological).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -29,6 +29,7 @@ def scd2_history(
     attr_cols: list[str],
     ts_col: str,
     tiebreak_cols: list[str] | None = None,
+    extra_aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Materialize SCD2 version intervals from a change-event log.
 
@@ -42,7 +43,10 @@ def scd2_history(
     - ``valid_from``    first ts of the run,
     - ``valid_to``      next version's valid_from, null for the last,
     - ``is_current``    valid_to is null,
-    - ``n_rows``        events folded into the version (long).
+    - ``n_rows``        events folded into the version (long),
+    - plus one column per ``extra_aggs`` entry (aggregate expressions
+      evaluated in the per-version fold — e.g. bookkeeping like
+      ``max(ts)`` for the incremental stitcher in cdc/history.py).
 
     Rows with a null ``ts_col`` are dropped (unorderable).
     """
@@ -72,6 +76,7 @@ def scd2_history(
         F.min(ts_col).alias("valid_from"),
         F.count("*").alias("n_rows"),
         *[F.first(c).alias(c) for c in attr_cols],
+        *[expr.alias(name) for name, expr in (extra_aggs or {}).items()],
     )
     wv = Window.partitionBy(*key_cols).orderBy("version_idx")
     return (
@@ -85,6 +90,7 @@ def scd2_history(
             "valid_to",
             "is_current",
             "n_rows",
+            *(extra_aggs or {}),
         )
     )
 
