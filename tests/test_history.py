@@ -15,6 +15,7 @@ from tiger_etl_spark.cdc.history import (
     audit_overlaps,
     create_history_table,
     read_history,
+    rewrite_history,
 )
 from tiger_etl_spark.operators.scd import scd2_history
 
@@ -150,6 +151,56 @@ def test_no_change_batches_fold_to_one_version(spark, tmp_path):
     assert r.valid_from == T0 and r.last_seen == T0 + dt.timedelta(minutes=8)
     # storage really is 3 fragments (MOR: nothing read/rewritten at apply)
     assert hist.scan(spark).count() == 3
+
+
+def test_rewrite_folds_fragments_and_preserves_history(spark, tmp_path):
+    """Row-level compaction: fragment count drops to version count,
+    read_history is bit-invariant, the ledger survives (old batches
+    stay no-ops), and NEW batches stitch correctly on top."""
+    rows = _gen_events(n_keys=8, n_events=180)
+    hist = create_history_table(
+        str(tmp_path / "h"), "url string", "lang string", num_buckets=4
+    )
+    _apply_split(spark, hist, rows[:150], [50, 100])
+    before = _canon(read_history(spark, hist))
+    n_frags = hist.scan(spark).count()
+    stats = rewrite_history(spark, hist, str(tmp_path / "txn"))
+    assert stats["versions"] == len(before) < n_frags
+    assert hist.scan(spark).count() == len(before)
+    assert _canon(read_history(spark, hist)) == before
+    # replayed old batch: still a ledger no-op after the rewrite
+    r = apply_scd2_changes(
+        spark, hist, spark.createDataFrame(rows[:50], EVENT_COLS), batch_id=0
+    )
+    assert not r["applied"]
+    assert _canon(read_history(spark, hist)) == before
+    # new tail batch on top of canonical fragments == full recompute
+    apply_scd2_changes(
+        spark, hist, spark.createDataFrame(rows[150:], EVENT_COLS), batch_id=3
+    )
+    assert _canon(read_history(spark, hist)) == _canon(_full(spark, rows))
+    assert audit_overlaps(spark, hist).count() == 0
+
+
+def test_rewrite_equal_ts_tail_boundary(spark, tmp_path):
+    """A post-rewrite batch starting at the canonical open fragment's
+    exact last_seen timestamp must stitch AFTER it (stitch_seq=hwm on
+    canonical rows keeps the tiebreak order)."""
+    rows = [
+        ("u", T0, 0, "en"),
+        ("u", T0, 1, "en"),
+        ("u", T0, 2, "de"),  # post-rewrite batch, same ts
+        ("u", T0, 3, "en"),
+    ]
+    hist = create_history_table(
+        str(tmp_path / "h"), "url string", "lang string", num_buckets=2
+    )
+    _apply_split(spark, hist, rows[:2], [])
+    rewrite_history(spark, hist, str(tmp_path / "txn"))
+    apply_scd2_changes(
+        spark, hist, spark.createDataFrame(rows[2:], EVENT_COLS), batch_id=1
+    )
+    assert _canon(read_history(spark, hist)) == _canon(_full(spark, rows))
 
 
 def test_out_of_order_batch_flagged_by_audit(spark, tmp_path):

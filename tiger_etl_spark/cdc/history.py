@@ -35,9 +35,10 @@ an already-written fragment; ``audit_overlaps`` counts such keys.
 
 Storage growth: a key touched by B batches stores ≥B fragments even
 when nothing changed (bookkeeping still advances); reads stitch them
-back to one row. LakeTable.compact() bounds the FILE count; fragment
-ROW folding is a planned rewrite (needs the truncate+merge pair inside
-one LakeTransaction) — documented, not yet wired.
+back to one row. LakeTable.compact() bounds the FILE count;
+``rewrite_history`` folds the fragment ROWS down to one canonical
+fragment per version (truncate + re-merge staged atomically inside one
+LakeTransaction — read_history is invariant across the rewrite).
 """
 
 from __future__ import annotations
@@ -166,16 +167,10 @@ def apply_scd2_changes(
     }
 
 
-def read_history(spark: SparkSession, hist: LakeTable) -> DataFrame:
-    """The canonical SCD2 view: fragments stitched into one row per
-    version — adjacent same-attr fragments merged across batch
-    boundaries (n_rows summed, last_seen maxed), version_idx re-indexed
-     0-based per key, valid_to = next version's valid_from, is_current
-    on the open tail. One keyed exchange, same cost shape as the main
-    table's MOR resolve."""
-    key_col, attr_cols = _tracked(hist)
-    frags = hist.scan(spark)
-    stitched = scd2_history(
+def _stitch(frags: DataFrame, key_col: str, attr_cols: list[str]) -> DataFrame:
+    """The fragment fold: scd2_history re-applied with fragment-level
+    bookkeeping aggregates (events summed, last_seen/seq carried)."""
+    return scd2_history(
         frags,
         [key_col],
         attr_cols,
@@ -184,8 +179,22 @@ def read_history(spark: SparkSession, hist: LakeTable) -> DataFrame:
         extra_aggs={
             "n_events": F.sum("n_rows"),
             "last_event": F.max("last_seen"),
+            "last_event_seq": F.max_by(
+                "last_seen_seq", F.struct("last_seen", "last_seen_seq")
+            ),
         },
     )
+
+
+def read_history(spark: SparkSession, hist: LakeTable) -> DataFrame:
+    """The canonical SCD2 view: fragments stitched into one row per
+    version — adjacent same-attr fragments merged across batch
+    boundaries (n_rows summed, last_seen maxed), version_idx re-indexed
+     0-based per key, valid_to = next version's valid_from, is_current
+    on the open tail. One keyed exchange, same cost shape as the main
+    table's MOR resolve."""
+    key_col, attr_cols = _tracked(hist)
+    stitched = _stitch(hist.scan(spark), key_col, attr_cols)
     return stitched.select(
         key_col,
         "version_idx",
@@ -196,6 +205,58 @@ def read_history(spark: SparkSession, hist: LakeTable) -> DataFrame:
         F.col("n_events").alias("n_rows"),
         F.col("last_event").alias("last_seen"),
     )
+
+
+def rewrite_history(
+    spark: SparkSession, hist: LakeTable, txn_dir: str
+) -> dict:
+    """Fold the fragment log down to ONE canonical fragment per stitched
+    version — the row-level compaction that bounds storage for keys
+    touched by many batches (each apply appends a fragment even when
+    nothing changed). Atomic via a LakeTransaction: truncate + re-merge
+    stage under one deferred pointer flip, so any crash leaves either
+    the old fragment log or the folded one, never an empty table. The
+    applied-batch ledger lives in props and survives, so replayed old
+    batches stay no-ops after the rewrite.
+
+    Canonical fragments keep stitch_seq = the applied high-water mark
+    (future batches order after them on equal timestamps) and use a
+    non-numeric '#rw#' key segment so they can never collide with a
+    real (batch, idx) fragment key. read_history is invariant across
+    the rewrite (pinned in tests/test_history.py)."""
+    from tiger_etl_spark.lake.txn import LakeTransaction
+
+    key_col, attr_cols = _tracked(hist)
+    hwm = int(hist.props.get("applied_batch_hwm", 0))
+    # bind the scan plan to the CURRENT snapshot's concrete files now —
+    # truncate only moves the manifest; the data files stay on disk
+    # until expire_snapshots, so the lazy read below stays valid.
+    stitched = _stitch(hist.scan(spark), key_col, attr_cols)
+    canonical = stitched.select(
+        F.concat_ws(
+            "#", F.col(key_col).cast("string"), F.lit("rw"),
+            F.col("version_idx"),
+        ).alias("_hist_key"),
+        key_col,
+        F.col("version_idx").alias("frag_idx"),
+        *attr_cols,
+        F.col("valid_from").alias("frag_from"),
+        F.col("n_events").alias("n_rows"),
+        F.col("last_event").alias("last_seen"),
+        F.col("last_event_seq").alias("last_seen_seq"),
+        F.lit(hwm).cast("long").alias("stitch_seq"),
+        F.lit("I").alias("op"),
+        F.lit(hwm).cast("long").alias("op_seq"),
+    )
+    before = hist.manifest["snapshot_id"]
+    with LakeTransaction(txn_dir) as txn:  # commits on clean exit
+        txn.truncate(hist)
+        stats = txn.merge(hist, spark, canonical, mode="mor")
+    return {
+        "versions": stats.rows_upserted,
+        "snapshot_before": before,
+        "snapshot_after": hist.manifest["snapshot_id"],
+    }
 
 
 def audit_overlaps(spark: SparkSession, hist: LakeTable) -> DataFrame:

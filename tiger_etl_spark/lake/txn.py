@@ -57,6 +57,10 @@ class LakeTransaction:
         self._track(table)
         return table.delete_where(*args, **kwargs)
 
+    def truncate(self, table: LakeTable) -> None:
+        self._track(table)
+        table.truncate()
+
     def update_props(self, table: LakeTable, updates: dict) -> None:
         self._track(table)
         table.update_props(updates)
