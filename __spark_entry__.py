@@ -702,11 +702,12 @@ def user_event_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 maintenance through the CDC path (cdc/
     history.py): the events log split into three time-ordered batches,
-    each folded to version FRAGMENTS and appended MOR-style (the
-    history table is never read at ingest), batch 1 replayed (ledger
-    no-op), then stitched at read. The oracle is the FULL-recompute
-    SQL — the driver row IS the incremental==batch equivalence proof
-    (property-tested across arbitrary splits in tests/test_history.py)."""
+    each appended as per-event version fragments MOR-style (the history
+    table is never read at ingest; duplicate re-delivery and late data
+    are exact by construction), batch 1 replayed (ledger no-op), then
+    stitched at read. The oracle is the FULL-recompute SQL — the driver
+    row IS the incremental==batch equivalence proof (property-tested
+    across splits/dups/late data in tests/test_history.py)."""
     from tiger_etl_spark.cdc.history import (
         apply_scd2_changes,
         create_history_table,

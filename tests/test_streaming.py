@@ -50,6 +50,50 @@ def test_stream_drain_and_parity(spark, tmp_path, change_dir):
     assert ldf.count() == res.batches_applied
 
 
+def test_stream_maintains_scd2_history(spark, tmp_path, change_dir):
+    """history_path: the SCD2 history table rides the same micro-batches
+    and must stitch to the full recompute over the whole change log —
+    including across a restart that re-delivers a batch (per-table
+    ledgers converge independently)."""
+    from tiger_etl_spark.cdc.history import create_history_table, read_history
+    from tiger_etl_spark.cdc.sources import read_change_batch
+    from tiger_etl_spark.operators.scd import scd2_history
+
+    tp, hp = str(tmp_path / "pages"), str(tmp_path / "hist")
+    create_pages_table(tp, num_buckets=8)
+    create_history_table(hp, "url string", "lang string", num_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    run_stream(
+        spark, change_dir, tp, ckpt, max_files_per_trigger=3, history_path=hp
+    )
+    # second drain on the same checkpoint: no new files, nothing re-applied
+    res2 = run_stream(
+        spark, change_dir, tp, ckpt, max_files_per_trigger=3, history_path=hp
+    )
+    assert res2.batches_applied == 0
+    assert_parity(spark, tp, change_dir)
+
+    # the generator re-delivers ~1% of events verbatim in the next file
+    # (idempotent-replay fixture); an event IS its op_seq, so the
+    # reference log dedupes by it — the history table does the same
+    # structurally (per-event fragment keys).
+    full_log = (
+        read_change_batch(spark, change_dir)
+        .where("warc_ts is not null")
+        .dropDuplicates(["op_seq"])
+    )
+    expected = scd2_history(
+        full_log, ["url"], ["lang"], "warc_ts", tiebreak_cols=["op_seq"]
+    )
+    canon = lambda df: {
+        (r.url, r.version_idx): (r.lang, r.valid_from, r.valid_to,
+                                 r.is_current, r.n_rows)
+        for r in df.collect()
+    }
+    got = read_history(spark, LakeTable.load(hp))
+    assert canon(got.select(expected.columns)) == canon(expected)
+
+
 def test_restart_from_checkpoint(spark, tmp_path, change_dir):
     """Process half the files, 'crash', add the rest, resume from the
     same checkpoint — final state must equal a clean full replay."""

@@ -10,35 +10,44 @@ is a table that any batch can extend.
 
 Design (merge-on-read, the 10^10-event shape):
 
-- **apply** = one keyed shuffle over the BATCH ONLY. The batch folds to
-  a per-key mini-history (``operators/scd.py: scd2_history``) whose
-  versions are appended as immutable *fragments* — the table is never
-  read at ingest, exactly like the main pipeline's MOR merge.
-- **read** = re-run the SAME fold over the fragments: a fragment stream
-  ordered by (valid_from, batch, idx) is itself a change log whose
+- **apply** appends immutable version *fragments* for the batch — the
+  history table is never read at ingest, exactly like the main
+  pipeline's MOR merge. Two modes:
+
+  - default (``fold=False``): one single-event fragment per change
+    event, keyed by the event's globally-unique sequence number. This
+    is duplicate-proof (a re-delivered event lands on the same key and
+    LWW-collapses) and order-proof (stitching re-sorts every event by
+    event time at read), so it matches the full recompute under the
+    stream's real failure modes — cross-file duplicate re-delivery and
+    late data (cdc/datagen.py injects both). No shuffle beyond the
+    merge's own bucket exchange.
+  - ``fold=True``: the batch first folds to a per-key mini-history
+    (``operators/scd.py: scd2_history``; one keyed exchange) and only
+    the folded version fragments are appended — fewer rows for streams
+    that genuinely satisfy strict binlog order with no cross-batch
+    duplicates. A late event can never re-interleave INTO an
+    already-folded span; ``audit_overlaps`` counts such violations.
+
+- **read** re-runs the SAME fold over the fragments: a fragment stream
+  ordered by (frag_from, first_seen_seq) is itself a change log whose
   "events" carry pre-aggregated n_rows/last_seen, so
   ``scd2_history(fragments)`` stitches adjacent same-attr runs across
   batch boundaries, re-indexes version_idx, and recomputes
-  valid_to/is_current. The fold is its own composition law: fold(batch
-  ⧺ batch) == fold(fold(batch) ⧺ fold(batch)) — pinned by the
-  incremental==full-recompute property tests (tests/test_history.py).
+  valid_to/is_current. The fold is its own composition law: fold(a ⧺ b)
+  == fold(fold(a) ⧺ fold(b)) for event-time-ordered inputs — pinned by
+  the incremental==full-recompute property tests (tests/test_history.py,
+  tests/test_streaming.py against the adversarial generator).
 - **exactly-once**: the applied-batch ledger rides the same atomic
   commit as the fragment files (cdc/pipeline.py: batch_applied /
   applied_batches_update); replaying any batch is a no-op.
 
-Ordering contract: per key, batches must arrive in (ts, seq) order —
-the binlog/WAL-tail guarantee the whole CDC tier assumes. Within a
-batch any order is fine (the mini-history fold sorts). Out-of-order
-*fragments* (a batch whose earliest event predates a key's stored
-last_seen) stitch by timestamp but cannot re-interleave events inside
-an already-written fragment; ``audit_overlaps`` counts such keys.
-
-Storage growth: a key touched by B batches stores ≥B fragments even
-when nothing changed (bookkeeping still advances); reads stitch them
-back to one row. LakeTable.compact() bounds the FILE count;
-``rewrite_history`` folds the fragment ROWS down to one canonical
-fragment per version (truncate + re-merge staged atomically inside one
-LakeTransaction — read_history is invariant across the rewrite).
+Storage: default mode stores one row per event — the same asymptotics
+as the main table's MOR delta log; ``rewrite_history`` folds fragment
+rows down to one per version (optionally only versions settled before
+a watermark, leaving the late-data window raw), atomically via a
+truncate+merge LakeTransaction. LakeTable.compact() bounds file counts
+independently.
 """
 
 from __future__ import annotations
@@ -72,7 +81,7 @@ def create_history_table(
     schema = (
         f"_hist_key string, {key_ddl}, frag_idx long, {attr_ddl}, "
         "frag_from timestamp, n_rows long, last_seen timestamp, "
-        "last_seen_seq long, stitch_seq long"
+        "last_seen_seq long, first_seen_seq long, stitch_seq long"
     )
     return LakeTable.create(
         path,
@@ -107,10 +116,16 @@ def apply_scd2_changes(
     batch_id: int,
     ts_col: str = "warc_ts",
     seq_col: str = "op_seq",
+    fold: bool = False,
 ) -> dict:
-    """Fold one change batch into per-key version fragments and append
-    them. One keyed exchange over the batch; the history table itself
-    is never read. Idempotent per ``batch_id`` (ledger skip)."""
+    """Append one change batch as version fragments. The history table
+    itself is never read. Idempotent per ``batch_id`` (ledger skip);
+    re-delivered EVENTS (same ``seq_col``) are also idempotent in the
+    default mode — they land on the same fragment key. Rows with a null
+    key, timestamp or sequence are dropped (unkeyable / unorderable).
+
+    ``fold=True`` pre-folds the batch to per-key version runs (see
+    module docstring for the strict-order contract it assumes)."""
     if batch_applied(hist.props, batch_id):
         return {
             "batch_id": batch_id,
@@ -118,37 +133,68 @@ def apply_scd2_changes(
             "snapshot_id": hist.manifest["snapshot_id"],
         }
     key_col, attr_cols = _tracked(hist)
-    mini = scd2_history(
-        events.where(F.col(key_col).isNotNull()),
-        [key_col],
-        attr_cols,
-        ts_col,
-        tiebreak_cols=[seq_col],
-        extra_aggs={
-            "last_seen": F.max(F.col(ts_col)),
-            "last_seen_seq": F.max_by(
-                F.col(seq_col).cast("long"),
-                F.struct(F.col(ts_col), F.col(seq_col)),
-            ),
-        },
+    clean = events.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(seq_col).isNotNull()
     )
-    frags = mini.select(
-        F.concat_ws(
-            "#",
-            F.col(key_col).cast("string"),
-            F.lit(int(batch_id)),
-            F.col("version_idx"),
-        ).alias("_hist_key"),
-        key_col,
-        F.col("version_idx").alias("frag_idx"),
-        *attr_cols,
-        F.col("valid_from").alias("frag_from"),
-        "n_rows",
-        "last_seen",
-        "last_seen_seq",
-        F.lit(int(batch_id)).cast("long").alias("stitch_seq"),
-        F.lit("I").alias("op"),
-        F.lit(int(batch_id)).cast("long").alias("op_seq"),
+    seq = F.col(seq_col).cast("long")
+    if fold:
+        mini = scd2_history(
+            clean,
+            [key_col],
+            attr_cols,
+            ts_col,
+            tiebreak_cols=[seq_col],
+            extra_aggs={
+                "last_seen": F.max(F.col(ts_col)),
+                "last_seen_seq": F.max_by(
+                    seq, F.struct(F.col(ts_col), F.col(seq_col))
+                ),
+                "first_seen_seq": F.min_by(
+                    seq, F.struct(F.col(ts_col), F.col(seq_col))
+                ),
+            },
+        )
+        frags = mini.select(
+            F.concat_ws(
+                "#",
+                F.col(key_col).cast("string"),
+                F.lit(int(batch_id)),
+                F.col("version_idx"),
+            ).alias("_hist_key"),
+            key_col,
+            F.col("version_idx").alias("frag_idx"),
+            *attr_cols,
+            F.col("valid_from").alias("frag_from"),
+            "n_rows",
+            "last_seen",
+            "last_seen_seq",
+            "first_seen_seq",
+        )
+    else:
+        # one fragment per EVENT, keyed by the event's own sequence
+        # number: duplicates across batches collapse in the merge, late
+        # events re-sort at stitch time — no apply-side window at all.
+        frags = clean.select(
+            F.concat_ws(
+                "#", F.col(key_col).cast("string"), F.lit("e"), seq
+            ).alias("_hist_key"),
+            key_col,
+            F.lit(0).cast("long").alias("frag_idx"),
+            *attr_cols,
+            F.col(ts_col).alias("frag_from"),
+            F.lit(1).cast("long").alias("n_rows"),
+            F.col(ts_col).alias("last_seen"),
+            seq.alias("last_seen_seq"),
+            seq.alias("first_seen_seq"),
+        )
+    frags = frags.withColumns(
+        {
+            "stitch_seq": F.lit(int(batch_id)).cast("long"),
+            "op": F.lit("I"),
+            "op_seq": F.lit(int(batch_id)).cast("long"),
+        }
     )
     applied = hist.props.get("applied_batches", {})
     stats = hist.merge(
@@ -169,18 +215,23 @@ def apply_scd2_changes(
 
 def _stitch(frags: DataFrame, key_col: str, attr_cols: list[str]) -> DataFrame:
     """The fragment fold: scd2_history re-applied with fragment-level
-    bookkeeping aggregates (events summed, last_seen/seq carried)."""
+    bookkeeping aggregates. Event-time order with the FIRST event's
+    sequence as tiebreak — sequence numbers are globally unique, so the
+    order is total and identical to the full recompute's (ts, seq)."""
     return scd2_history(
         frags,
         [key_col],
         attr_cols,
         "frag_from",
-        tiebreak_cols=["stitch_seq", "frag_idx"],
+        tiebreak_cols=["first_seen_seq"],
         extra_aggs={
             "n_events": F.sum("n_rows"),
             "last_event": F.max("last_seen"),
             "last_event_seq": F.max_by(
                 "last_seen_seq", F.struct("last_seen", "last_seen_seq")
+            ),
+            "first_event_seq": F.min_by(
+                "first_seen_seq", F.struct("frag_from", "first_seen_seq")
             ),
         },
     )
@@ -190,7 +241,7 @@ def read_history(spark: SparkSession, hist: LakeTable) -> DataFrame:
     """The canonical SCD2 view: fragments stitched into one row per
     version — adjacent same-attr fragments merged across batch
     boundaries (n_rows summed, last_seen maxed), version_idx re-indexed
-     0-based per key, valid_to = next version's valid_from, is_current
+    0-based per key, valid_to = next version's valid_from, is_current
     on the open tail. One keyed exchange, same cost shape as the main
     table's MOR resolve."""
     key_col, attr_cols = _tracked(hist)
@@ -208,21 +259,32 @@ def read_history(spark: SparkSession, hist: LakeTable) -> DataFrame:
 
 
 def rewrite_history(
-    spark: SparkSession, hist: LakeTable, txn_dir: str
+    spark: SparkSession,
+    hist: LakeTable,
+    txn_dir: str,
+    watermark=None,
 ) -> dict:
     """Fold the fragment log down to ONE canonical fragment per stitched
-    version — the row-level compaction that bounds storage for keys
-    touched by many batches (each apply appends a fragment even when
-    nothing changed). Atomic via a LakeTransaction: truncate + re-merge
-    stage under one deferred pointer flip, so any crash leaves either
-    the old fragment log or the folded one, never an empty table. The
-    applied-batch ledger lives in props and survives, so replayed old
-    batches stay no-ops after the rewrite.
+    version — the row-level compaction that bounds storage (the default
+    apply mode stores one fragment per event). Atomic via a
+    LakeTransaction: truncate + re-merge stage under one deferred
+    pointer flip, so any crash leaves either the old fragment log or
+    the folded one, never an empty table. The applied-batch ledger
+    lives in props and survives, so replayed old batches stay no-ops.
+
+    ``watermark`` (timestamp): only fragments whose last_seen is
+    strictly BEFORE it are folded; the rest are carried through raw, so
+    late events still inside the stream's lateness window can keep
+    interleaving event-by-event. Stitching re-merges adjacent runs at
+    read, so a version split across the watermark is harmless. A late
+    event older than the watermark that arrives AFTER the rewrite can
+    no longer re-interleave into a folded span — the same discard
+    horizon the pipeline's watermark already defines; audit_overlaps
+    flags any such key.
 
     Canonical fragments keep stitch_seq = the applied high-water mark
-    (future batches order after them on equal timestamps) and use a
-    non-numeric '#rw#' key segment so they can never collide with a
-    real (batch, idx) fragment key. read_history is invariant across
+    and a non-numeric '#rw#' key segment so they can never collide with
+    a live (batch, seq) fragment key. read_history is invariant across
     the rewrite (pinned in tests/test_history.py)."""
     from tiger_etl_spark.lake.txn import LakeTransaction
 
@@ -231,7 +293,17 @@ def rewrite_history(
     # bind the scan plan to the CURRENT snapshot's concrete files now —
     # truncate only moves the manifest; the data files stay on disk
     # until expire_snapshots, so the lazy read below stays valid.
-    stitched = _stitch(hist.scan(spark), key_col, attr_cols)
+    frags = hist.scan(spark)
+    if watermark is not None:
+        wm = F.lit(watermark).cast("timestamp")
+        carried = frags.where(F.col("last_seen") >= wm)
+        frags = frags.where(F.col("last_seen") < wm)
+    stitched = _stitch(frags, key_col, attr_cols)
+    phys = [
+        "_hist_key", key_col, "frag_idx", *attr_cols, "frag_from",
+        "n_rows", "last_seen", "last_seen_seq", "first_seen_seq",
+        "stitch_seq",
+    ]
     canonical = stitched.select(
         F.concat_ws(
             "#", F.col(key_col).cast("string"), F.lit("rw"),
@@ -244,31 +316,37 @@ def rewrite_history(
         F.col("n_events").alias("n_rows"),
         F.col("last_event").alias("last_seen"),
         F.col("last_event_seq").alias("last_seen_seq"),
+        F.col("first_event_seq").alias("first_seen_seq"),
         F.lit(hwm).cast("long").alias("stitch_seq"),
-        F.lit("I").alias("op"),
-        F.lit(hwm).cast("long").alias("op_seq"),
+    ).select(*phys)
+    if watermark is not None:
+        canonical = canonical.unionByName(carried.select(*phys))
+    batch = canonical.withColumns(
+        {"op": F.lit("I"), "op_seq": F.lit(hwm).cast("long")}
     )
     before = hist.manifest["snapshot_id"]
     with LakeTransaction(txn_dir) as txn:  # commits on clean exit
         txn.truncate(hist)
-        stats = txn.merge(hist, spark, canonical, mode="mor")
+        stats = txn.merge(hist, spark, batch, mode="mor")
     return {
-        "versions": stats.rows_upserted,
+        "fragments": stats.rows_upserted,
         "snapshot_before": before,
         "snapshot_after": hist.manifest["snapshot_id"],
     }
 
 
 def audit_overlaps(spark: SparkSession, hist: LakeTable) -> DataFrame:
-    """Keys whose fragments arrived out of (ts, seq) order — a later
-    batch's fragment starting before an earlier batch's last_seen.
-    Such keys violated the binlog-order contract; their stitched
-    history is timestamp-ordered but may fold event runs differently
-    than a full recompute. Returns (key, n_overlaps)."""
+    """Keys where an event interleaved INTO an already-folded span: in
+    event-time order, a fragment starting before the previous
+    fragment's last_seen. Single-event fragments can never trip this
+    (frag_from == last_seen, ties broken by unique seq); only a late
+    arrival landing inside a multi-event folded run — whose history may
+    then fold differently than a full recompute — is flagged.
+    Returns (key, n_overlaps)."""
     from pyspark.sql import Window
 
     key_col, _ = _tracked(hist)
-    w = Window.partitionBy(key_col).orderBy("stitch_seq", "frag_idx")
+    w = Window.partitionBy(key_col).orderBy("frag_from", "first_seen_seq")
     prev_seen = F.lag("last_seen").over(w)
     return (
         hist.scan(spark)

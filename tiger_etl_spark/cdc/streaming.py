@@ -49,6 +49,7 @@ def run_stream(
     views: list | None = None,
     enrichers: dict | None = None,
     static_dim=None,
+    history_path: str | None = None,
 ) -> StreamResult:
     """Process all currently-available change files (availableNow
     trigger: drains the backlog in bounded micro-batches, then stops —
@@ -60,7 +61,13 @@ def run_stream(
     commit (continuous materialized views on the ingest path — each
     refresh scans only the buckets the batch touched, via the manifest
     diff; a refresh crash never corrupts the table, the next one
-    catches up). `enrichers`: see `apply_changes`."""
+    catches up). `enrichers`: see `apply_changes`.
+
+    `history_path`: an SCD2 history table (cdc/history.py:
+    create_history_table) maintained from the SAME micro-batches — each
+    batch folds to version fragments under its own applied-batch
+    ledger, so a crash between the main merge and the history merge
+    replays into a per-table no-op/apply pair and both converge."""
     result = StreamResult()
 
     source = read_change_stream(
@@ -73,6 +80,18 @@ def run_stream(
     # Invalidated on failure — the retry reloads from disk.
     cache: dict[str, LakeTable] = {}
 
+    def maintain_history(batch_df, batch_id: int) -> None:
+        if history_path is None:
+            return
+        from tiger_etl_spark.cdc.history import apply_scd2_changes
+
+        hist = cache.pop("history", None) or LakeTable.load(history_path)
+        # idempotent under ITS OWN ledger — a replay that the main table
+        # skips may still need applying here (crash between the two
+        # merges), and vice versa
+        apply_scd2_changes(spark, hist, batch_df, batch_id)
+        cache["history"] = hist
+
     def handle(batch_df, batch_id: int):
         table = cache.pop("table", None) or LakeTable.load(table_path)
         if batch_applied(table.props, batch_id):
@@ -83,6 +102,7 @@ def run_stream(
             result.batches_skipped += 1
             for v in views or ():
                 v.refresh(spark, table)
+            maintain_history(batch_df, batch_id)
             cache["table"] = table
             return
         rec = apply_changes(
@@ -101,6 +121,7 @@ def run_stream(
             table.compact(spark)
         for v in views or ():
             v.refresh(spark, table)
+        maintain_history(batch_df, batch_id)
         cache["table"] = table
 
     writer = (
