@@ -91,6 +91,18 @@ def main() -> None:
         default="lang",
         help="join column for --dim-table",
     )
+    ap.add_argument(
+        "--history-path",
+        default=None,
+        help="also maintain an SCD2 history table (cdc/history.py) from "
+        "the same micro-batches; created on first run if missing",
+    )
+    ap.add_argument(
+        "--history-attrs",
+        default="lang",
+        help="comma-separated page columns whose version history the "
+        "--history-path table tracks (DDL derived from the pages schema)",
+    )
     ap.add_argument("--local-cores", type=int, default=0, help=">0: run local[N] (smoke)")
     args = ap.parse_args()
 
@@ -216,6 +228,28 @@ def main() -> None:
             tbl.update_props(updates)
             print(json.dumps({"props_updated": updates}))
 
+    if args.history_path and not LakeTable.exists(args.history_path):
+        from tiger_etl_spark.cdc.history import create_history_table
+
+        pages = LakeTable.load(args.table)
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in spark.createDataFrame([], pages.schema_ddl).schema.fields
+        }
+        attrs = [c.strip() for c in args.history_attrs.split(",") if c.strip()]
+        unknown = [c for c in attrs if c not in types]
+        if unknown:
+            raise SystemExit(
+                f"--history-attrs {unknown} not in the pages schema "
+                f"({sorted(types)})"
+            )
+        create_history_table(
+            args.history_path,
+            f"url {types['url']}",
+            ", ".join(f"{c} {types[c]}" for c in attrs),
+            num_buckets=args.buckets,
+        )
+
     result = run_stream(
         spark,
         args.changes,
@@ -228,6 +262,7 @@ def main() -> None:
         file_format=args.file_format,
         enrichers=enrichers,
         static_dim=static_dim,
+        history_path=args.history_path,
     )
     print(
         json.dumps(

@@ -56,6 +56,8 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--checkpoint", str(tmp_path / "ckpt"),
             "--buckets", "4",
             "--max-files-per-trigger", "1",
+            "--history-path", str(tmp_path / "hist"),
+            "--history-attrs", "lang",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -88,6 +90,28 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
         assert r["text"] == e["text"], url
         n_text += r["text"] is not None
     assert n_text > 0
+
+    # the --history-path SCD2 table must equal the full recompute over
+    # the deduped change log (an event IS its unique op_seq)
+    from tiger_etl_spark.cdc.history import read_history
+    from tiger_etl_spark.cdc.sources import read_change_batch
+    from tiger_etl_spark.operators.scd import scd2_history
+
+    full_log = (
+        read_change_batch(spark, changes)
+        .where("warc_ts is not null")
+        .dropDuplicates(["op_seq"])
+    )
+    exp_hist = scd2_history(
+        full_log, ["url"], ["lang"], "warc_ts", tiebreak_cols=["op_seq"]
+    )
+    canon = lambda df: {
+        (r.url, r.version_idx): (r.lang, r.valid_from, r.valid_to,
+                                 r.is_current, r.n_rows)
+        for r in df.collect()
+    }
+    got_hist = read_history(spark, LakeTable.load(str(tmp_path / "hist")))
+    assert canon(got_hist.select(exp_hist.columns)) == canon(exp_hist)
 
 
 def _get_session():
