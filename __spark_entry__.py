@@ -753,6 +753,44 @@ def scd2_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_snapshot_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read (operators/scd.py: scd2_snapshot_at):
+    the event_type version valid for each user exactly at the stream's
+    midpoint timestamp ((min+max)//2 integer micros — engine-exact on
+    both sides) — the [valid_from, valid_to) half-open interval
+    containing it, open current versions included. One filter over the
+    materialized history; no shuffle beyond the history build."""
+    from tiger_etl_spark.operators.scd import scd2_history, scd2_snapshot_at
+
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull()).select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts"),
+        "event_id", "event_type",
+    )
+    cut_us = ev.select(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            / F.lit(2)
+        ).cast("long").alias("c")
+    ).first()["c"]
+    hist = scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    snap = scd2_snapshot_at(
+        hist, epoch + _dt.timedelta(microseconds=int(cut_us))
+    )
+    return snap.select(
+        "user_id",
+        "version_idx",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.lit(int(cut_us)).alias("asof_us"),
+        "n_rows",
+    )
+
+
 def user_session_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F6/A5 — per-user first/last event and duration seconds."""
     ev = _t(spark, sf_dir, "events")
@@ -1779,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_gap_sessions": user_gap_sessions,
         "user_event_type_scd2": user_event_type_scd2,
         "scd2_incremental_state": scd2_incremental_state,
+        "scd2_snapshot_state": scd2_snapshot_state,
         "user_rolling_value": user_rolling_value,
         "event_window_counts": event_window_counts,
         "purchase_asof_last_click": purchase_asof_last_click,
@@ -2245,6 +2284,50 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(last_seen) AS last_seen_us
             FROM versions
             WINDOW wv AS (PARTITION BY user_id ORDER BY version_idx)
+        """,
+        "scd2_snapshot_state": """
+            WITH cut AS (
+                SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c
+                FROM events WHERE ts IS NOT NULL
+            ),
+            marked AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN row_number() OVER w = 1
+                              OR event_type IS DISTINCT FROM
+                                 lag(event_type) OVER w
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WHERE ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            idx AS (
+                SELECT user_id, ts, event_type,
+                       CAST(sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - 1 AS BIGINT) AS version_idx
+                FROM marked
+            ),
+            versions AS (
+                SELECT user_id, version_idx,
+                       any_value(event_type) AS event_type,
+                       min(ts) AS valid_from,
+                       count(*) AS n_rows
+                FROM idx GROUP BY user_id, version_idx
+            ),
+            intervals AS (
+                SELECT user_id, version_idx, event_type,
+                       epoch_us(valid_from) AS valid_from_us,
+                       epoch_us(lead(valid_from) OVER (
+                           PARTITION BY user_id ORDER BY version_idx
+                       )) AS valid_to_us,
+                       n_rows
+                FROM versions
+            )
+            SELECT i.user_id, i.version_idx, i.event_type,
+                   i.valid_from_us, cut.c AS asof_us, i.n_rows
+            FROM intervals i, cut
+            WHERE i.valid_from_us <= cut.c
+              AND (i.valid_to_us IS NULL OR i.valid_to_us > cut.c)
         """,
         "user_session_spans": """
             SELECT user_id,
