@@ -32,6 +32,7 @@ from tiger_etl_spark.operators import (  # noqa: E402
     search,
     similarity,
     stats,
+    weblinks,
     windows,
 )
 
@@ -1775,6 +1776,64 @@ def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style ``(url, html:binary)`` pages (BASELINE.json
+    input_hint shape) synthesized deterministically from `documents` —
+    the same integer arithmetic is mirrored verbatim in the DuckDB
+    oracle CTE so both engines build byte-identical pages. Each page
+    carries an absolute cross-host link (doubled for every third doc —
+    multiplicity), a root-relative + a relative link (resolve to the
+    page's own host → self-loops), a protocol-relative cross-host link,
+    and a mailto pseudo-link (dropped)."""
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://host"), (i % 40).cast("string"),
+        F.lit(".example.com/"), F.col("source"),
+        F.lit("/"), i.cast("string"), F.lit(".html"),
+    )
+    abs_link = F.concat(
+        F.lit('<a href="https://host'), ((i * 7 + 3) % 40).cast("string"),
+        F.lit('.example.com/p/'), (i % 97).cast("string"),
+        F.lit('.html">x</a>'),
+    )
+    html = F.concat(
+        abs_link,
+        F.lit('<a href="/section/'), (i % 13).cast("string"), F.lit('">s</a>'),
+        F.lit('<a href="notes/'), (i % 5).cast("string"), F.lit('.html">n</a>'),
+        F.lit('<a href="//host'), ((i * 11 + 5) % 40).cast("string"),
+        F.lit('.example.com/q">q</a>'),
+        F.lit('<a href="mailto:u@example.com">m</a>'),
+        F.when(i % 3 == 0, abs_link).otherwise(F.lit("")),
+    )
+    return d.select(url.alias("url"), html.cast("binary").alias("html"))
+
+
+def web_host_edges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level webgraph from raw html bytes (operators/weblinks.py —
+    the CC-webgraph pipeline stage): codegen `regexp_extract_all` href
+    extraction, RFC-3986-lite resolution, host reduction with one
+    map-side-combined shuffle; top-50 host edges by link weight. The
+    DuckDB oracle re-runs the SAME shared regex in RE2 over identically
+    synthesized pages — an independent check of the whole extraction
+    path, not just the aggregate."""
+    pages = _synth_pages(spark, sf_dir)
+    e = weblinks.host_edges(weblinks.extract_outlinks(pages))
+    return e.orderBy(F.col("n_links").desc(), "src_host", "dst_host").limit(50)
+
+
+def web_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-neighbor in/out-degrees of the host webgraph
+    (weblinks → operators/graph.py `degrees`): the first step of every
+    CC-webgraph release. Two map-side-combined counts + one keyed
+    full join over the already-tiny host-edge table."""
+    pages = _synth_pages(spark, sf_dir)
+    e = weblinks.host_edges(weblinks.extract_outlinks(pages))
+    return graph.degrees(e, src_col="src_host", dst_col="dst_host").orderBy(
+        "node_key"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1864,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep_list": doc_dedup_keep_list,
         "doc_segment_dedup": doc_segment_dedup,
         "doc_incremental_dedup": doc_incremental_dedup,
+        "web_host_edges_top": web_host_edges_top,
+        "web_host_degrees": web_host_degrees,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -1873,6 +1934,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_semantic_dedup": embedding_semantic_dedup,
         "media_feature_stats": media_feature_stats,
     }
+
+
+# Shared CTE chain for the web_* oracles: synthesize the SAME pages as
+# _synth_pages (identical integer arithmetic), then re-run the SAME href
+# regex (weblinks.HREF_PATTERN, RE2 side) + resolution rules in pure SQL.
+_WEB_HOST_EDGES_CTE = rf"""
+    pages AS (
+        SELECT 'https://host' || (doc_id % 40) || '.example.com/'
+               || source || '/' || doc_id || '.html' AS url,
+               '<a href="https://host' || ((doc_id * 7 + 3) % 40)
+               || '.example.com/p/' || (doc_id % 97) || '.html">x</a>'
+               || '<a href="/section/' || (doc_id % 13) || '">s</a>'
+               || '<a href="notes/' || (doc_id % 5) || '.html">n</a>'
+               || '<a href="//host' || ((doc_id * 11 + 5) % 40)
+               || '.example.com/q">q</a>'
+               || '<a href="mailto:u@example.com">m</a>'
+               || CASE WHEN doc_id % 3 = 0 THEN
+                      '<a href="https://host' || ((doc_id * 7 + 3) % 40)
+                      || '.example.com/p/' || (doc_id % 97) || '.html">x</a>'
+                  ELSE '' END AS html
+        FROM documents
+    ),
+    raw_links AS (
+        SELECT url,
+               unnest(regexp_extract_all(html,
+                   '{weblinks.HREF_PATTERN.replace(chr(39), chr(39) * 2)}',
+                   1)) AS raw
+        FROM pages
+    ),
+    resolved AS (
+        SELECT url,
+               CASE
+                 WHEN regexp_matches(raw,
+                      '^(javascript:|mailto:|tel:|data:|#)') THEN NULL
+                 WHEN regexp_matches(raw, '^https?://') THEN raw
+                 WHEN raw LIKE '//%' THEN
+                      regexp_extract(url, '^(https?):', 1) || ':' || raw
+                 WHEN raw LIKE '/%' THEN
+                      regexp_extract(url, '^(https?://[^/?#]+)', 1) || raw
+                 ELSE regexp_replace(url, '[^/]*$', '') || raw
+               END AS link
+        FROM raw_links
+    ),
+    host_edges AS (
+        SELECT lower(regexp_extract(url, '^https?://([^/:?#]+)', 1))
+                   AS src_host,
+               lower(regexp_extract(link, '^https?://([^/:?#]+)', 1))
+                   AS dst_host,
+               count(*) AS n_links
+        FROM resolved
+        WHERE link IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    web_edges AS (
+        SELECT src_host, dst_host, n_links
+        FROM host_edges
+        WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2449,6 +2569,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT canon_url, count(*) AS n_dups
             FROM c GROUP BY canon_url ORDER BY canon_url
+        """,
+        "web_host_edges_top": f"""
+            WITH {_WEB_HOST_EDGES_CTE}
+            SELECT src_host, dst_host, n_links
+            FROM web_edges
+            ORDER BY n_links DESC, src_host, dst_host
+            LIMIT 50
+        """,
+        "web_host_degrees": f"""
+            WITH {_WEB_HOST_EDGES_CTE},
+            o AS (SELECT src_host AS node_key, count(*) AS out_degree
+                  FROM web_edges GROUP BY 1),
+            i AS (SELECT dst_host AS node_key, count(*) AS in_degree
+                  FROM web_edges GROUP BY 1)
+            SELECT coalesce(o.node_key, i.node_key) AS node_key,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree
+            FROM o FULL JOIN i ON o.node_key = i.node_key
+            ORDER BY node_key
         """,
         "doc_top_tokens": _TOP_TOKENS_SQL,
         "orders_checksum": """

@@ -1,0 +1,107 @@
+"""Outlink extraction + host webgraph (operators/weblinks.py).
+
+The href regex is shared verbatim between the Spark plan (Java regex),
+the DuckDB oracle (RE2) and the pure-Python reference below (CPython
+`re`); the first test pins that three-way parity on adversarial html.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tiger_etl_spark.operators import graph, weblinks
+
+
+def _py_hrefs(html: str) -> list[str]:
+    """Pure-Python reference extractor (same pattern source of truth)."""
+    return re.findall(weblinks.HREF_PATTERN, html)
+
+
+TRICKY_PAGES = [
+    # attribute order, extra attrs, whitespace around '='
+    ('https://a.example.com/x/page.html',
+     b'<a class="nav" href = "https://b.example.com/top">t</a>'
+     b"<a href='/rooted'>r</a>"
+     b'<A HREF="ignored-uppercase">u</A>'  # regex is case-sensitive: dropped
+     b'<link rel="stylesheet" href="style.css">'
+     b'<a href="//c.example.com:8080/pp">proto-rel</a>'
+     b'<a href="#frag">f</a><a href="mailto:x@y.z">m</a>'
+     b'<a href="javascript:void(0)">j</a>'),
+    # multiline tag, duplicate link (multiplicity kept), query string
+    ('http://b.example.com/dir/sub/',
+     b'<a\n  href="../up.html">u</a>\n'
+     b'<a href="https://a.example.com/q?k=v&x=1#h">q</a>\n'
+     b'<a href="https://a.example.com/q?k=v&x=1#h">q-dup</a>'),
+    # no links at all / empty body
+    ('https://empty.example.com/', b'<html><body>nothing here</body></html>'),
+]
+
+
+def test_raw_hrefs_matches_python_reference(spark):
+    df = spark.createDataFrame(TRICKY_PAGES, "url string, html binary")
+    got = {
+        r["url"]: r["hrefs"]
+        for r in df.select(
+            "url", weblinks.raw_hrefs(F.col("html")).alias("hrefs")
+        ).collect()
+    }
+    for url, html in TRICKY_PAGES:
+        assert got[url] == _py_hrefs(html.decode()), url
+
+
+def test_resolution_rules(spark):
+    df = spark.createDataFrame(TRICKY_PAGES[:1], "url string, html binary")
+    links = sorted(
+        r["link"]
+        for r in weblinks.extract_outlinks(df).collect()
+    )
+    assert links == sorted([
+        "https://b.example.com/top",          # absolute kept
+        "https://a.example.com/rooted",       # root-relative -> origin
+        "https://a.example.com/x/style.css",  # relative -> base dir
+        "https://c.example.com:8080/pp",      # protocol-relative -> scheme
+        # uppercase HREF, mailto, javascript, #frag all dropped
+    ])
+
+
+def test_relative_walk_and_multiplicity(spark):
+    df = spark.createDataFrame(TRICKY_PAGES[1:2], "url string, html binary")
+    links = [r["link"] for r in weblinks.extract_outlinks(df).collect()]
+    # '../up.html' resolves against the base DIRECTORY (kept verbatim —
+    # dot-segment normalization is out of scope and deterministic)
+    assert "http://b.example.com/dir/sub/../up.html" in links
+    # duplicate hrefs kept (weighted edges downstream)
+    assert links.count("https://a.example.com/q?k=v&x=1#h") == 2
+
+
+def test_host_edges_aggregation_and_self_loops(spark):
+    df = spark.createDataFrame(TRICKY_PAGES, "url string, html binary")
+    out = weblinks.extract_outlinks(df)
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in weblinks.host_edges(out).collect()
+    }
+    # self-loops (a->a from the relative links) are dropped by default
+    assert all(s != d for s, d in edges)
+    # duplicate q-link from page 2 counted with multiplicity
+    assert edges[("b.example.com", "a.example.com")] == 2
+    # port is NOT part of the host
+    assert ("a.example.com", "c.example.com") in edges
+    with_loops = weblinks.host_edges(out, drop_self_loops=False)
+    loops = with_loops.where(F.col("src_host") == F.col("dst_host"))
+    # a->a (page-1 relative links collapse) and b->b (../up.html)
+    assert loops.count() == 2
+
+
+def test_feeds_graph_operators(spark):
+    df = spark.createDataFrame(TRICKY_PAGES, "url string, html binary")
+    e = weblinks.host_edges(weblinks.extract_outlinks(df))
+    ranks = graph.pagerank(e, iterations=2, src_col="src_host", dst_col="dst_host")
+    rows = {r["node_key"]: r["rank"] for r in ranks.collect()}
+    # a.example.com receives links from b -> highest rank
+    assert max(rows, key=rows.get) == "a.example.com"
+    deg = graph.degrees(e, src_col="src_host", dst_col="dst_host")
+    d = {r["node_key"]: (r["out_degree"], r["in_degree"]) for r in deg.collect()}
+    assert d["a.example.com"][0] >= 1 and d["a.example.com"][1] >= 1

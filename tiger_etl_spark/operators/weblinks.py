@@ -1,0 +1,136 @@
+"""Outlink extraction and host-level web-graph construction over
+Common-Crawl-style pages ``(url, html)``.
+
+This is the standard CC-webgraph pipeline stage: pull ``href`` targets
+out of raw html, resolve them against the page url, reduce page→page
+links to a ``(src_host, dst_host, n_links)`` host graph, then feed the
+existing graph operators (``operators/graph.py`` degrees / PageRank /
+k-hop) — the same composition Common Crawl publishes as its host-level
+webgraph release.
+
+Everything here is a JVM-side column expression (``regexp_extract_all``
+/ ``regexp_replace`` inside whole-stage codegen): no Python — not even a
+pandas UDF — touches the hot path, so the per-page cost is one regex
+scan over the html bytes and the only shuffle in the whole pipeline is
+the final (src_host, dst_host) aggregation, which is map-side combined.
+At 10^10 pages the extraction is embarrassingly parallel over the scan
+tasks and the host-graph agg shuffles only the already-tiny
+(host, host) pairs.
+
+The reference (a FastAPI/SQLAlchemy CRUD app) has no web-graph surface;
+this extends the engine's webtext tier (BASELINE.json input_hint
+``html:binary``) in the style of its ``_extract_device_info`` substring
+classifier (modules/authentication_management/session_manager.py:208-247)
+— deterministic, dependency-free parsing, lifted to columnar form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# One regex source of truth, shared with the DuckDB oracles (RE2) and
+# the pure-Python reference extractor in tests (CPython `re`): the
+# subset used (character classes, \s, capture group, non-greedy-free)
+# has identical semantics in all three engines.
+HREF_PATTERN = r"""href\s*=\s*["']([^"']+)["']"""
+
+# Schemes / pseudo-links that never produce a fetchable http target.
+_NON_HTTP_RE = r"^(javascript:|mailto:|tel:|data:|#)"
+
+# Host part of an absolute http(s) url: no slash, port, query, fragment.
+_HOST_RE = r"^https?://([^/:?#]+)"
+# Origin (scheme + host[:port]) of an absolute http(s) url.
+_ORIGIN_RE = r"^(https?://[^/?#]+)"
+
+
+def raw_hrefs(html: Column) -> Column:
+    """array<string> of raw ``href`` attribute values in document order.
+
+    ``html`` may be BINARY (cast decodes UTF-8) or STRING. Pure codegen:
+    one `regexp_extract_all` over the page bytes.
+    """
+    return F.regexp_extract_all(
+        html.cast("string"), F.lit(HREF_PATTERN), F.lit(1)
+    )
+
+
+def resolve_link(base_url: Column, link: Column) -> Column:
+    """Resolve one extracted href against its page url; NULL for
+    non-http pseudo-links (javascript:, mailto:, fragments, …).
+
+    Deterministic resolution rules (the RFC 3986 cases that matter for
+    a host graph; query/fragment normalization is intentionally out of
+    scope):
+
+    - absolute ``http(s)://…``      → kept as-is
+    - protocol-relative ``//h/p``   → base scheme + ``:`` + link
+    - root-relative ``/p``          → base origin + link
+    - anything else (relative path) → base directory + link
+    """
+    scheme = F.regexp_extract(base_url, r"^(https?):", 1)
+    origin = F.regexp_extract(base_url, _ORIGIN_RE, 1)
+    base_dir = F.regexp_replace(base_url, r"[^/]*$", "")
+    return (
+        F.when(link.rlike(_NON_HTTP_RE), F.lit(None).cast("string"))
+        .when(link.rlike(r"^https?://"), link)
+        .when(link.startswith("//"), F.concat(scheme, F.lit(":"), link))
+        .when(link.startswith("/"), F.concat(origin, link))
+        .otherwise(F.concat(base_dir, link))
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host of an absolute http(s) url; NULL otherwise."""
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def extract_outlinks(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    out_col: str = "link",
+) -> DataFrame:
+    """One row per (page, resolved outlink).
+
+    Non-http pseudo-links are dropped; duplicates within a page are
+    KEPT (multiplicity is meaningful for link-weight graphs — the
+    host-edge agg counts them). All input columns except ``html_col``
+    pass through (ids, timestamps, …), plus ``out_col``.
+    """
+    keep = [c for c in df.columns if c != html_col]
+    exploded = df.select(
+        *keep,
+        F.explode(raw_hrefs(F.col(html_col))).alias("_raw_href"),
+    )
+    resolved = exploded.select(
+        *keep,
+        resolve_link(F.col(url_col), F.col("_raw_href")).alias(out_col),
+    )
+    return resolved.where(F.col(out_col).isNotNull())
+
+
+def host_edges(
+    outlinks: DataFrame,
+    url_col: str = "url",
+    link_col: str = "link",
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Aggregate page→page outlinks into the host-level webgraph:
+    ``(src_host, dst_host, n_links)``.
+
+    One map-side-combined shuffle on (src_host, dst_host); rows whose
+    either host fails to parse are dropped. ``drop_self_loops`` removes
+    intra-host edges (the CC host-graph convention) — keep them for
+    degree-style analyses by passing False.
+    """
+    e = outlinks.select(
+        host_of(F.col(url_col)).alias("src_host"),
+        host_of(F.col(link_col)).alias("dst_host"),
+    ).where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if drop_self_loops:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
