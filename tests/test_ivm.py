@@ -245,6 +245,111 @@ def test_agg_view_sum_min_max(spark, tmp_path):
     assert stats["n_dirty_buckets"] <= table.num_buckets
 
 
+def test_incremental_webgraph_tracks_cdc(spark, tmp_path):
+    """host_edges_view (multi-key group + flat-map transform) equals a
+    full host_edges recompute across insert / link-rewrite update /
+    delete batches — and the post-insert refreshes are bucket-scoped."""
+    import datetime as dt
+
+    from tiger_etl_spark.lake import LakeTable
+    from tiger_etl_spark.operators import weblinks
+
+    UTC = dt.timezone.utc
+
+    def ts(i):
+        return dt.datetime(2025, 7, 1, tzinfo=UTC) + dt.timedelta(seconds=i)
+
+    def page(i, gen):
+        url = f"https://host{i % 7}.example.com/p/{i}.html"
+        html = (
+            f'<a href="https://host{(i * 3 + gen) % 7}.example.com/x">a</a>'
+            f'<a href="/local/{i}">l</a>'
+            f'<a href="//host{(i + gen) % 7}.example.com/q">q</a>'
+            '<a href="mailto:u@example.com">m</a>'
+        ).encode()
+        return url, html
+
+    def b(rows):
+        return spark.createDataFrame(
+            rows,
+            "op string, op_seq long, url string, warc_ts timestamp, html binary",
+        )
+
+    t = LakeTable.create(
+        str(tmp_path / "pages"),
+        "url string, warc_ts timestamp, html binary",
+        key_col="url",
+        num_buckets=8,
+    )
+    view = weblinks.host_edges_view(str(tmp_path / "view"))
+
+    def check():
+        got = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in view.read(spark).collect()
+        }
+        want = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in weblinks.host_edges(
+                weblinks.extract_outlinks(t.scan(spark).select("url", "html"))
+            ).collect()
+        }
+        assert got == want and got  # non-trivial graph
+
+    # inserts → full first refresh
+    ins = []
+    for i in range(60):
+        url, html = page(i, 0)
+        ins.append(("I", i + 1, url, ts(i), html))
+    t.merge(spark, b(ins))
+    view.refresh(spark, t)
+    check()
+
+    # link-rewrite updates on a few pages → dirty-bucket refresh
+    upd = [("U", 1000 + i, page(i, 1)[0], ts(100 + i), page(i, 1)[1]) for i in range(0, 60, 9)]
+    t.merge(spark, b(upd))
+    stats = view.refresh(spark, t)
+    assert stats["refreshed"] and stats["n_dirty_buckets"] < t.num_buckets
+    check()
+
+    # deletes remove all their pages' edges
+    dels = [("D", 2000 + i, page(i, 0)[0], ts(200 + i), None) for i in range(0, 60, 5)]
+    t.merge(spark, b(dels))
+    stats = view.refresh(spark, t)
+    assert stats["refreshed"]
+    check()
+
+
+def test_transform_must_keep_bucket_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from tiger_etl_spark.cdc.ivm import IncrementalAggView
+    from tiger_etl_spark.lake import LakeTable
+
+    t = LakeTable.create(
+        str(tmp_path / "t"),
+        "url string, warc_ts timestamp, lang string",
+        key_col="url",
+        num_buckets=2,
+    )
+    import datetime as dt
+
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            [("I", 1, "u", dt.datetime(2025, 7, 1, tzinfo=dt.timezone.utc), "en")],
+            "op string, op_seq long, url string, warc_ts timestamp, lang string",
+        ),
+    )
+    view = IncrementalAggView(
+        str(tmp_path / "v"),
+        "lang",
+        transform=lambda df: df.select("lang"),  # drops _vb
+    )
+    with _pytest.raises(ValueError, match="bucket column"):
+        view.refresh(spark, t)
+
+
 def test_agg_view_rejects_nonfoldable(spark, tmp_path):
     from tiger_etl_spark.cdc.ivm import IncrementalAggView
 

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,16 +66,37 @@ class IncrementalAggView:
     fn) with fn ∈ {count, sum, min, max} — the associative aggregates
     whose per-bucket partials fold exactly (avg = a sum view + a count
     view folded at read time). Layout: ``<path>/v{N}.parquet`` +
-    ``<path>/_meta`` (JSON: current view version + base table version)."""
+    ``<path>/_meta`` (JSON: current view version + base table version).
+
+    ``group_col`` may be a single column name or a sequence of names
+    (multi-key views, e.g. a (src_host, dst_host) webgraph).
+
+    ``transform`` (optional) maps the scanned base rows to the rows
+    actually aggregated — a *per-row derivation*: each output row must
+    derive from exactly ONE input row (select / filter / flat-map such
+    as an href explode are all fine; joins and window functions across
+    rows are NOT). Under that contract bucket attribution is exact —
+    every derived row inherits its source row's bucket, so recomputing
+    the dirty buckets and carrying the clean buckets' partials covers
+    precisely the rows whose derivation could have changed. The
+    transform must pass the bucket column (every column it does not
+    project away rides along; see operators/weblinks.py host_pairs for
+    the composition this enables).
+    """
 
     def __init__(
         self,
         path: str,
-        group_col: str,
+        group_col: str | Sequence[str],
         aggs: dict[str, tuple[str | None, str]] | None = None,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
     ):
         self.path = path
-        self.group_col = group_col
+        self.group_cols = (
+            [group_col] if isinstance(group_col, str) else list(group_col)
+        )
+        self.group_col = self.group_cols[0]
+        self.transform = transform
         self.aggs = aggs or {"n_rows": (None, "count")}
         for name, (_col, fn) in self.aggs.items():
             if fn not in _FOLD:
@@ -147,7 +169,15 @@ class IncrementalAggView:
         )
         if dirty is not None:
             snap = snap.where(F.col(_BUCKET).isin(*dirty) if dirty else F.lit(False))
-        fresh = snap.groupBy(_BUCKET, self.group_col).agg(*self._fresh_aggs())
+        if self.transform is not None:
+            snap = self.transform(snap)
+            if _BUCKET not in snap.columns:
+                raise ValueError(
+                    "transform dropped the bucket column — it must pass "
+                    f"'{_BUCKET}' through so derived rows stay attributed "
+                    "to their source bucket"
+                )
+        fresh = snap.groupBy(_BUCKET, *self.group_cols).agg(*self._fresh_aggs())
         if dirty is None:
             out = fresh  # full recompute: first refresh OR expired base
         elif dirty:
@@ -205,7 +235,7 @@ class IncrementalAggView:
             raise FileNotFoundError(f"view at {self.path} never refreshed")
         return (
             self._partials(spark, meta)
-            .groupBy(self.group_col)
+            .groupBy(*self.group_cols)
             .agg(*self._fold_aggs())
         )
 

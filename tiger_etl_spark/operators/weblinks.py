@@ -111,6 +111,30 @@ def extract_outlinks(
     return resolved.where(F.col(out_col).isNotNull())
 
 
+def host_pairs(
+    outlinks: DataFrame,
+    url_col: str = "url",
+    link_col: str = "link",
+    drop_self_loops: bool = True,
+) -> DataFrame:
+    """Per-link ``(…, src_host, dst_host)`` rows — the pre-aggregation
+    form of :func:`host_edges`. Rows whose either host fails to parse
+    are dropped; ``drop_self_loops`` removes intra-host links (the CC
+    host-graph convention). All columns other than ``url_col`` /
+    ``link_col`` pass through — each output row derives from exactly
+    ONE input row, so the stream composes with per-row machinery like
+    dirty-bucket incremental views (cdc/ivm.py)."""
+    keep = [c for c in outlinks.columns if c not in (url_col, link_col)]
+    e = outlinks.select(
+        *keep,
+        host_of(F.col(url_col)).alias("src_host"),
+        host_of(F.col(link_col)).alias("dst_host"),
+    ).where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if drop_self_loops:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    return e
+
+
 def host_edges(
     outlinks: DataFrame,
     url_col: str = "url",
@@ -120,17 +144,49 @@ def host_edges(
     """Aggregate page→page outlinks into the host-level webgraph:
     ``(src_host, dst_host, n_links)``.
 
-    One map-side-combined shuffle on (src_host, dst_host); rows whose
-    either host fails to parse are dropped. ``drop_self_loops`` removes
-    intra-host edges (the CC host-graph convention) — keep them for
-    degree-style analyses by passing False.
+    One map-side-combined shuffle on (src_host, dst_host) over the
+    :func:`host_pairs` stream.
     """
-    e = outlinks.select(
-        host_of(F.col(url_col)).alias("src_host"),
-        host_of(F.col(link_col)).alias("dst_host"),
-    ).where(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
-    if drop_self_loops:
-        e = e.where(F.col("src_host") != F.col("dst_host"))
-    return e.groupBy("src_host", "dst_host").agg(
-        F.count(F.lit(1)).alias("n_links")
+    return (
+        host_pairs(outlinks, url_col, link_col, drop_self_loops)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def host_edges_view(
+    path: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_self_loops: bool = True,
+):
+    """Incrementally-maintained host webgraph over a CDC-merged pages
+    LakeTable: an ``IncrementalAggView`` (cdc/ivm.py) whose per-bucket
+    refresh re-extracts outlinks ONLY from the pages in buckets the last
+    commits touched and whose ``read()`` returns
+    ``(src_host, dst_host, n_links)`` — identical to running
+    :func:`host_edges` over a full rescan, at per-micro-batch cost
+    proportional to the batch, not the table.
+
+    Correctness rides on the IVM flat-map contract: every
+    (src_host, dst_host) pair derives from exactly one page row, so a
+    page's insert/update/delete can only change pairs attributed to its
+    own bucket. At 10^10 pages a full re-extraction per batch is the
+    difference between rescanning ~100 TB of html and re-scanning a few
+    hundred MB of touched buckets.
+    """
+    from tiger_etl_spark.cdc.ivm import IncrementalAggView
+
+    def _links(pages: DataFrame) -> DataFrame:
+        return host_pairs(
+            extract_outlinks(pages, url_col=url_col, html_col=html_col),
+            url_col=url_col,
+            drop_self_loops=drop_self_loops,
+        )
+
+    return IncrementalAggView(
+        path,
+        ["src_host", "dst_host"],
+        {"n_links": (None, "count")},
+        transform=_links,
     )
