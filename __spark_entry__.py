@@ -1776,7 +1776,16 @@ def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+# (multiplier, offset) of the absolute / protocol-relative link-target
+# hosts per html generation — gen 1 is the "site relaunch" rewrite the
+# incremental-webgraph query applies as CDC updates. Mirrored verbatim
+# in the SQL builder below so both engines build byte-identical pages.
+_WEB_GEN_PARAMS = {0: ((7, 3), (11, 5)), 1: ((5, 11), (13, 2))}
+
+
+def _synth_pages(
+    spark: SparkSession, sf_dir: str, gen: int = 0, with_id: bool = False
+) -> DataFrame:
     """Common-Crawl-style ``(url, html:binary)`` pages (BASELINE.json
     input_hint shape) synthesized deterministically from `documents` —
     the same integer arithmetic is mirrored verbatim in the DuckDB
@@ -1785,6 +1794,7 @@ def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplicity), a root-relative + a relative link (resolve to the
     page's own host → self-loops), a protocol-relative cross-host link,
     and a mailto pseudo-link (dropped)."""
+    (am, ac), (pm, pc) = _WEB_GEN_PARAMS[gen]
     d = _t_wide(spark, sf_dir, "documents")
     i = F.col("doc_id")
     url = F.concat(
@@ -1793,7 +1803,7 @@ def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("/"), i.cast("string"), F.lit(".html"),
     )
     abs_link = F.concat(
-        F.lit('<a href="https://host'), ((i * 7 + 3) % 40).cast("string"),
+        F.lit('<a href="https://host'), ((i * am + ac) % 40).cast("string"),
         F.lit('.example.com/p/'), (i % 97).cast("string"),
         F.lit('.html">x</a>'),
     )
@@ -1801,12 +1811,15 @@ def _synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         abs_link,
         F.lit('<a href="/section/'), (i % 13).cast("string"), F.lit('">s</a>'),
         F.lit('<a href="notes/'), (i % 5).cast("string"), F.lit('.html">n</a>'),
-        F.lit('<a href="//host'), ((i * 11 + 5) % 40).cast("string"),
+        F.lit('<a href="//host'), ((i * pm + pc) % 40).cast("string"),
         F.lit('.example.com/q">q</a>'),
         F.lit('<a href="mailto:u@example.com">m</a>'),
         F.when(i % 3 == 0, abs_link).otherwise(F.lit("")),
     )
-    return d.select(url.alias("url"), html.cast("binary").alias("html"))
+    cols = [url.alias("url"), html.cast("binary").alias("html")]
+    if with_id:
+        cols.insert(0, i.alias("doc_id"))
+    return d.select(*cols)
 
 
 def web_host_edges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1832,6 +1845,56 @@ def web_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degrees(e, src_col="src_host", dst_col="dst_host").orderBy(
         "node_key"
     )
+
+
+def web_incremental_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained host webgraph
+    (weblinks.host_edges_view over cdc/ivm.py dirty-bucket refresh):
+    insert every page into a real LakeTable, link-rewrite every third
+    page (CDC update), delete every seventh (CDC tombstone) — refreshing
+    the materialized view after each merge, so only touched buckets'
+    html is ever re-extracted. The returned edges come from the VIEW's
+    partials; the oracle recomputes the graph from the final page set
+    from scratch — equality proves the incremental maintenance exact
+    under updates and deletes, not just appends. At 10^10 pages this is
+    the difference between re-scanning ~100 TB of html per micro-batch
+    and re-scanning only the batch's buckets."""
+    from tiger_etl_spark.lake import LakeTable
+    from tiger_etl_spark.operators import weblinks as wl
+
+    base = _scratch_table("webivm")
+    t = LakeTable.create(
+        os.path.join(base, "pages"),
+        "url string, warc_ts timestamp, html binary",
+        key_col="url",
+        num_buckets=8,
+    )
+    view = wl.host_edges_view(os.path.join(base, "view"))
+
+    def batch(df: DataFrame, op: str, seq: int, day: int) -> DataFrame:
+        ts = F.lit(f"2025-01-0{day} 00:00:00").cast("timestamp_ltz")
+        html = (
+            F.col("html") if op != "D" else F.lit(None).cast("binary")
+        ).alias("html")
+        return df.select(
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("op_seq"),
+            "url",
+            ts.alias("warc_ts"),
+            html,
+        )
+
+    p0 = _synth_pages(spark, sf_dir, gen=0, with_id=True)
+    t.merge(spark, batch(p0, "I", 1, 1))
+    view.refresh(spark, t)
+    p1 = _synth_pages(spark, sf_dir, gen=1, with_id=True).where(
+        F.col("doc_id") % 3 == 0
+    )
+    t.merge(spark, batch(p1, "U", 2, 2))
+    view.refresh(spark, t)
+    t.merge(spark, batch(p0.where(F.col("doc_id") % 7 == 0), "D", 3, 3))
+    view.refresh(spark, t)
+    return view.read(spark).orderBy("src_host", "dst_host")
 
 
 # --------------------------------------------------------------------------
@@ -1925,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": doc_incremental_dedup,
         "web_host_edges_top": web_host_edges_top,
         "web_host_degrees": web_host_degrees,
+        "web_incremental_host_edges": web_incremental_host_edges,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -1939,23 +2003,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Shared CTE chain for the web_* oracles: synthesize the SAME pages as
 # _synth_pages (identical integer arithmetic), then re-run the SAME href
 # regex (weblinks.HREF_PATTERN, RE2 side) + resolution rules in pure SQL.
-_WEB_HOST_EDGES_CTE = rf"""
-    pages AS (
-        SELECT 'https://host' || (doc_id % 40) || '.example.com/'
-               || source || '/' || doc_id || '.html' AS url,
-               '<a href="https://host' || ((doc_id * 7 + 3) % 40)
-               || '.example.com/p/' || (doc_id % 97) || '.html">x</a>'
-               || '<a href="/section/' || (doc_id % 13) || '">s</a>'
-               || '<a href="notes/' || (doc_id % 5) || '.html">n</a>'
-               || '<a href="//host' || ((doc_id * 11 + 5) % 40)
-               || '.example.com/q">q</a>'
-               || '<a href="mailto:u@example.com">m</a>'
-               || CASE WHEN doc_id % 3 = 0 THEN
-                      '<a href="https://host' || ((doc_id * 7 + 3) % 40)
-                      || '.example.com/p/' || (doc_id % 97) || '.html">x</a>'
-                  ELSE '' END AS html
-        FROM documents
-    ),
+
+
+def _web_html_sql(gen: int) -> str:
+    """SQL expression building a page's html for one generation —
+    term-for-term the _synth_pages concat, same _WEB_GEN_PARAMS."""
+    (am, ac), (pm, pc) = _WEB_GEN_PARAMS[gen]
+    abs_link = (
+        f"'<a href=\"https://host' || ((doc_id * {am} + {ac}) % 40)"
+        " || '.example.com/p/' || (doc_id % 97) || '.html\">x</a>'"
+    )
+    return (
+        f"{abs_link}"
+        " || '<a href=\"/section/' || (doc_id % 13) || '\">s</a>'"
+        " || '<a href=\"notes/' || (doc_id % 5) || '.html\">n</a>'"
+        f" || '<a href=\"//host' || ((doc_id * {pm} + {pc}) % 40)"
+        " || '.example.com/q\">q</a>'"
+        " || '<a href=\"mailto:u@example.com\">m</a>'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN {abs_link} ELSE '' END"
+    )
+
+
+_WEB_URL_SQL = (
+    "'https://host' || (doc_id % 40) || '.example.com/'"
+    " || source || '/' || doc_id || '.html'"
+)
+
+# href extraction + resolution + host reduction over a `pages(url, html)`
+# CTE supplied by the caller.
+_WEB_LINKS_TAIL_CTE = rf"""
     raw_links AS (
         SELECT url,
                unnest(regexp_extract_all(html,
@@ -1992,6 +2068,27 @@ _WEB_HOST_EDGES_CTE = rf"""
         FROM host_edges
         WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
     )
+"""
+
+_WEB_HOST_EDGES_CTE = f"""
+    pages AS (
+        SELECT {_WEB_URL_SQL} AS url, {_web_html_sql(0)} AS html
+        FROM documents
+    ),
+    {_WEB_LINKS_TAIL_CTE}
+"""
+
+# Final page state after the incremental-webgraph query's CDC script:
+# every third page link-rewritten to gen 1, every seventh page deleted.
+_WEB_INCREMENTAL_CTE = f"""
+    pages AS (
+        SELECT {_WEB_URL_SQL} AS url,
+               CASE WHEN doc_id % 3 = 0 THEN {_web_html_sql(1)}
+                    ELSE {_web_html_sql(0)} END AS html
+        FROM documents
+        WHERE doc_id % 7 <> 0
+    ),
+    {_WEB_LINKS_TAIL_CTE}
 """
 
 
@@ -2576,6 +2673,12 @@ def oracle_sql() -> dict[str, str]:
             FROM web_edges
             ORDER BY n_links DESC, src_host, dst_host
             LIMIT 50
+        """,
+        "web_incremental_host_edges": f"""
+            WITH {_WEB_INCREMENTAL_CTE}
+            SELECT src_host, dst_host, n_links
+            FROM web_edges
+            ORDER BY src_host, dst_host
         """,
         "web_host_degrees": f"""
             WITH {_WEB_HOST_EDGES_CTE},
