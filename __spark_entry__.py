@@ -1897,6 +1897,27 @@ def web_incremental_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read(spark).orderBy("src_host", "dst_host")
 
 
+def web_anchor_text_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text harvest (weblinks.extract_anchors): mentions per
+    (target host, anchor text) — the MassiveWeb-style signal where the
+    anchor text describes the TARGET page. One codegen regex scan per
+    page pulls whole <a> elements, then a map-side-combined count over
+    the tiny (host, text) pairs; total order on (n, host, text) makes
+    the top-100 engine-independent."""
+    pages = _synth_pages(spark, sf_dir)
+    a = weblinks.extract_anchors(pages)
+    return (
+        a.select(
+            weblinks.host_of(F.col("link")).alias("dst_host"), "anchor_text"
+        )
+        .where(F.col("dst_host").isNotNull())
+        .groupBy("dst_host", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .orderBy(F.col("n_mentions").desc(), "dst_host", "anchor_text")
+        .limit(100)
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1989,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_edges_top": web_host_edges_top,
         "web_host_degrees": web_host_degrees,
         "web_incremental_host_edges": web_incremental_host_edges,
+        "web_anchor_text_top": web_anchor_text_top,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -2679,6 +2701,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links
             FROM web_edges
             ORDER BY src_host, dst_host
+        """,
+        "web_anchor_text_top": f"""
+            WITH pages AS (
+                SELECT {_WEB_URL_SQL} AS url, {_web_html_sql(0)} AS html
+                FROM documents
+            ),
+            raw_anchors AS (
+                SELECT url,
+                       unnest(regexp_extract_all(html,
+                           '{weblinks.ANCHOR_PATTERN.replace(chr(39), chr(39) * 2)}',
+                           0)) AS m
+                FROM pages
+            ),
+            anchors AS (
+                SELECT url,
+                       CASE
+                         WHEN regexp_matches(raw,
+                              '^(javascript:|mailto:|tel:|data:|#)') THEN NULL
+                         WHEN regexp_matches(raw, '^https?://') THEN raw
+                         WHEN raw LIKE '//%' THEN
+                              regexp_extract(url, '^(https?):', 1) || ':' || raw
+                         WHEN raw LIKE '/%' THEN
+                              regexp_extract(url, '^(https?://[^/?#]+)', 1) || raw
+                         ELSE regexp_replace(url, '[^/]*$', '') || raw
+                       END AS link,
+                       trim(regexp_extract(m,
+                           '{weblinks.ANCHOR_PATTERN.replace(chr(39), chr(39) * 2)}',
+                           2)) AS anchor_text
+                FROM (
+                    SELECT url, m,
+                           regexp_extract(m,
+                               '{weblinks.ANCHOR_PATTERN.replace(chr(39), chr(39) * 2)}',
+                               1) AS raw
+                    FROM raw_anchors
+                )
+            )
+            SELECT lower(regexp_extract(link, '^https?://([^/:?#]+)', 1))
+                       AS dst_host,
+                   anchor_text,
+                   count(*) AS n_mentions
+            FROM anchors
+            WHERE link IS NOT NULL
+              AND lower(regexp_extract(link, '^https?://([^/:?#]+)', 1)) <> ''
+            GROUP BY 1, 2
+            ORDER BY n_mentions DESC, dst_host, anchor_text
+            LIMIT 100
         """,
         "web_host_degrees": f"""
             WITH {_WEB_HOST_EDGES_CTE},

@@ -320,6 +320,49 @@ def test_incremental_webgraph_tracks_cdc(spark, tmp_path):
     check()
 
 
+def test_webgraph_view_refreshes_in_run_stream(spark, tmp_path):
+    """host_edges_view registered on the CDC stream stays current per
+    micro-batch, against link-bearing html riding the normal change-file
+    format (hrefs injected into the datagen payloads)."""
+    import numpy as np
+
+    from tiger_etl_spark.cdc.streaming import run_stream
+    from tiger_etl_spark.lake import LakeTable
+    from tiger_etl_spark.operators import weblinks
+
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=29, n=900, n_hosts=20)
+    for i, h in enumerate(ev["html"]):
+        if h is not None:
+            ev["html"][i] = (
+                h + f'<a href="https://peer{i % 9}.example.com/x">p</a>'.encode()
+            )
+    ev["content_len"] = np.array(
+        [len(h) if h is not None else -1 for h in ev["html"]], dtype=np.int64
+    )
+    write_change_files(ev, cdir, n_files=3)
+    tp = str(tmp_path / "pages")
+    create_pages_table(tp, num_buckets=4)
+    view = weblinks.host_edges_view(str(tmp_path / "wg"))
+    res = run_stream(
+        spark, cdir, tp, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, views=[view],
+    )
+    assert res.batches_applied == 3
+    table = LakeTable.load(tp)
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in view.read(spark).collect()
+    }
+    want = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in weblinks.host_edges(
+            weblinks.extract_outlinks(table.scan(spark).select("url", "html"))
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_transform_must_keep_bucket_column(spark, tmp_path):
     import pytest as _pytest
 

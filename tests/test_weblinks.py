@@ -95,6 +95,34 @@ def test_host_edges_aggregation_and_self_loops(spark):
     assert loops.count() == 2
 
 
+def test_extract_anchors_matches_python_reference(spark):
+    """Anchor regex parity (Java vs CPython) + resolution + trimming."""
+    df = spark.createDataFrame(TRICKY_PAGES, "url string, html binary")
+    got = sorted(
+        (r["url"], r["link"], r["anchor_text"])
+        for r in weblinks.extract_anchors(df).collect()
+    )
+    want = []
+    for url, html in TRICKY_PAGES:
+        for m in re.finditer(weblinks.ANCHOR_PATTERN, html.decode()):
+            raw, txt = m.group(1), m.group(2).strip()
+            if re.match(r"^(javascript:|mailto:|tel:|data:|#)", raw):
+                continue
+            if re.match(r"^https?://", raw):
+                link = raw
+            elif raw.startswith("//"):
+                link = re.match(r"^(https?):", url).group(1) + ":" + raw
+            elif raw.startswith("/"):
+                link = re.match(r"^(https?://[^/?#]+)", url).group(1) + raw
+            else:
+                link = re.sub(r"[^/]*$", "", url) + raw
+            want.append((url, link, txt))
+    assert got == sorted(want) and got
+    # the multiline-tag anchor made it through with its text
+    assert ("http://b.example.com/dir/sub/",
+            "http://b.example.com/dir/sub/../up.html", "u") in got
+
+
 def test_feeds_graph_operators(spark):
     df = spark.createDataFrame(TRICKY_PAGES, "url string, html binary")
     e = weblinks.host_edges(weblinks.extract_outlinks(df))

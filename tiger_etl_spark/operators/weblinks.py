@@ -35,6 +35,13 @@ from pyspark.sql import functions as F
 # has identical semantics in all three engines.
 HREF_PATTERN = r"""href\s*=\s*["']([^"']+)["']"""
 
+# Full <a …>text</a> element: capture 1 = href value, capture 2 = the
+# (tag-free) anchor text. Same cross-engine-safe regex subset as
+# HREF_PATTERN; anchors whose text contains nested tags are skipped by
+# design ([^<]*) — malformed/nested markup is noise for anchor-text
+# harvesting.
+ANCHOR_PATTERN = r"""<a\s[^>]*href\s*=\s*["']([^"']+)["'][^>]*>([^<]*)</a>"""
+
 # Schemes / pseudo-links that never produce a fetchable http target.
 _NON_HTTP_RE = r"^(javascript:|mailto:|tel:|data:|#)"
 
@@ -109,6 +116,43 @@ def extract_outlinks(
         resolve_link(F.col(url_col), F.col("_raw_href")).alias(out_col),
     )
     return resolved.where(F.col(out_col).isNotNull())
+
+
+def extract_anchors(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    link_col: str = "link",
+    text_col: str = "anchor_text",
+) -> DataFrame:
+    """One row per (page, resolved outlink, anchor text) — the
+    anchor-text harvest used by webtext training pipelines (anchor text
+    is a natural-language description of the TARGET page, e.g.
+    MassiveWeb-style anchor conditioning).
+
+    Same codegen-only shape as :func:`extract_outlinks`: one
+    `regexp_extract_all` scan pulls whole ``<a …>text</a>`` elements,
+    then two tiny per-match group extracts — no second pass over the
+    html bytes, no Python. Anchors with non-http targets are dropped;
+    anchor text is whitespace-trimmed, may be empty.
+    """
+    keep = [c for c in df.columns if c != html_col]
+    matches = df.select(
+        *keep,
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(ANCHOR_PATTERN), F.lit(0)
+            )
+        ).alias("_a"),
+    )
+    out = matches.select(
+        *keep,
+        resolve_link(
+            F.col(url_col), F.regexp_extract("_a", ANCHOR_PATTERN, 1)
+        ).alias(link_col),
+        F.trim(F.regexp_extract("_a", ANCHOR_PATTERN, 2)).alias(text_col),
+    )
+    return out.where(F.col(link_col).isNotNull())
 
 
 def host_pairs(
