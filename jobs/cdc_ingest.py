@@ -98,6 +98,14 @@ def main() -> None:
         "the same micro-batches; created on first run if missing",
     )
     ap.add_argument(
+        "--webgraph-path",
+        default=None,
+        help="also maintain an incrementally-refreshed host webgraph "
+        "(operators/weblinks.py host_edges_view) from the same "
+        "micro-batches — each refresh re-extracts outlinks only from "
+        "the buckets the batch touched",
+    )
+    ap.add_argument(
         "--history-attrs",
         default="lang",
         help="comma-separated page columns whose version history the "
@@ -250,6 +258,12 @@ def main() -> None:
             num_buckets=args.buckets,
         )
 
+    views = None
+    if args.webgraph_path:
+        from tiger_etl_spark.operators.weblinks import host_edges_view
+
+        views = [host_edges_view(args.webgraph_path)]
+
     result = run_stream(
         spark,
         args.changes,
@@ -263,6 +277,7 @@ def main() -> None:
         enrichers=enrichers,
         static_dim=static_dim,
         history_path=args.history_path,
+        views=views,
     )
     print(
         json.dumps(

@@ -363,6 +363,53 @@ def test_webgraph_view_refreshes_in_run_stream(spark, tmp_path):
     assert got == want and got
 
 
+def test_ingest_cli_webgraph_path(spark, tmp_path):
+    """jobs/cdc_ingest.py --webgraph-path maintains the host webgraph
+    view through the job surface; the view equals a full recompute."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from tiger_etl_spark.lake import LakeTable
+    from tiger_etl_spark.operators import weblinks
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cdir = str(tmp_path / "changes")
+    ev = gen_change_events(seed=37, n=300, n_hosts=10)
+    for i, h in enumerate(ev["html"]):
+        if h is not None:
+            ev["html"][i] = (
+                h + f'<a href="https://peer{i % 5}.example.com/x">p</a>'.encode()
+            )
+    ev["content_len"] = np.array(
+        [len(h) if h is not None else -1 for h in ev["html"]], dtype=np.int64
+    )
+    write_change_files(ev, cdir, n_files=2)
+    wg = str(tmp_path / "webgraph")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "jobs", "cdc_ingest.py"),
+         "--changes", cdir, "--table", str(tmp_path / "pages"),
+         "--checkpoint", str(tmp_path / "ck"),
+         "--buckets", "4", "--local-cores", "2", "--webgraph-path", wg],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    table = LakeTable.load(str(tmp_path / "pages"))
+    view = weblinks.host_edges_view(wg)
+    got = {
+        (r2["src_host"], r2["dst_host"]): r2["n_links"]
+        for r2 in view.read(spark).collect()
+    }
+    want = {
+        (r2["src_host"], r2["dst_host"]): r2["n_links"]
+        for r2 in weblinks.host_edges(
+            weblinks.extract_outlinks(table.scan(spark).select("url", "html"))
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_transform_must_keep_bucket_column(spark, tmp_path):
     import pytest as _pytest
 
