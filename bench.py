@@ -149,17 +149,28 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def host_memcpy_mb_s(n_mb: int = 200) -> float:
+def host_memcpy_mb_s(n_mb: int = 200, warm: bool = False) -> float:
     """Quick host-health probe: large-block memory write bandwidth.
     This sandbox VM exhibits multi-minute hypervisor interference
     episodes where memory/tmpfs writes degrade 20-100× (measured
     2026-08-17: a 100 MB tmpfs write took 62 s mid-episode vs ~0.1 s
     clean); the CDC hot path is memory-bandwidth-bound, so recording
     the probe beside each result lets a reader separate engine
-    regressions from host episodes."""
+    regressions from host episodes.
+
+    ``warm=False`` (historical semantics) measures the FIRST write into
+    a fresh allocation — page-fault servicing included. ``warm=True``
+    faults the pages in first and measures the second write — pure
+    bandwidth. Measured 2026-08-19: the two can diverge 15× (cold 230
+    MB/s vs warm 3 GB/s) when only fault servicing is degraded; a
+    long-lived JVM reusing its heap tracks the WARM rate, so record
+    both."""
     buf = bytearray(n_mb * 1_000_000)
+    pattern = b"\1" * len(buf)
+    if warm:
+        buf[:] = pattern
     t0 = time.time()
-    buf[:] = b"\1" * len(buf)
+    buf[:] = pattern
     dt = time.time() - t0
     return round(n_mb / dt, 1)
 
@@ -191,6 +202,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "host_memcpy_mb_s_pre": host_memcpy_mb_s(),
+        "host_memcpy_warm_mb_s_pre": host_memcpy_mb_s(warm=True),
     }
     if mode in ("cdc", "all"):
         # several independent stream-apply attempts over ONE pre-generated
@@ -230,7 +242,10 @@ def main() -> None:
                         break
                     if time.time() - bench_t0 > extend_budget_s:
                         break
-                    if host_memcpy_mb_s(50) > 1500:
+                    # warm probe: a JVM reusing its heap sees steady-state
+                    # bandwidth, so only a degraded WARM rate justifies
+                    # blaming the host for a slow attempt
+                    if host_memcpy_mb_s(50, warm=True) > 1500:
                         break
                 runs.append(bench_cdc(spark, sf, cpus))
         finally:
@@ -246,6 +261,7 @@ def main() -> None:
         result["queries"] = bench_queries(spark, sf_dir)
         result.setdefault("value", round(sum(result["queries"].values()), 3))
     result["host_memcpy_mb_s_post"] = host_memcpy_mb_s()
+    result["host_memcpy_warm_mb_s_post"] = host_memcpy_mb_s(warm=True)
 
     # Output contract: the driver captures only the LAST 2000 chars of
     # stdout and parses the final line as JSON. The full result (77-query
@@ -278,6 +294,7 @@ def main() -> None:
             "best_batch_events_per_sec", "median_batch_events_per_sec",
             "final_rows",
             "host_memcpy_mb_s_pre", "host_memcpy_mb_s_post",
+            "host_memcpy_warm_mb_s_pre", "host_memcpy_warm_mb_s_post",
         )
         if k in result
     }
