@@ -1918,6 +1918,130 @@ def web_anchor_text_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NFC test suffixes — decomposed (combining marks), composed, decomposed
+# — shared verbatim with the DuckDB oracle so both engines append
+# byte-identical sequences before normalizing.
+_NFC_SUFFIXES = (
+    " Cafe" + chr(0x0301),
+    " caf" + chr(0x00E9),
+    " A" + chr(0x030A) + "ngstro" + chr(0x0308) + "m",
+)
+
+
+# Deterministic head-metadata markup per doc (mirrored term-for-term in
+# the SQL builder _web_meta_html_sql): title absent every 11th doc,
+# robots directives cycle through 4 states, canonical on even docs.
+def _synth_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose <head> carries title / meta description / robots /
+    canonical markup, synthesized deterministically from `documents`
+    (BASELINE.json input_hint shape ``(url, html:binary)``)."""
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    title = F.concat(
+        F.lit("<title>Doc "), i.cast("string"),
+        F.lit(" of "), F.col("source"), F.lit("</title>"),
+    )
+    desc = F.concat(
+        F.lit('<meta name="description" content="Sample '),
+        F.col("source"), F.lit(" page "), (i % 7).cast("string"),
+        F.lit('">'),
+    )
+    robots = (
+        F.when(i % 4 == 0, F.lit('<meta name="robots" content="noindex,follow">'))
+        .when(i % 4 == 1, F.lit('<meta name="robots" content="index,nofollow">'))
+        .when(i % 4 == 2, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .otherwise(F.lit(""))
+    )
+    canonical = F.when(
+        i % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="/canon/'),
+            (i % 50).cast("string"), F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.when(i % 11 == 0, F.lit("")).otherwise(title),
+        desc,
+        robots,
+        canonical,
+        F.lit('<a href="/x">y</a>'),
+    )
+    url = F.concat(
+        F.lit("https://host"), (i % 40).cast("string"),
+        F.lit(".example.com/"), F.col("source"),
+        F.lit("/"), i.cast("string"), F.lit(".html"),
+    )
+    return d.select(url.alias("url"), html.cast("binary").alias("html"))
+
+
+def web_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page head-metadata extraction
+    (weblinks.extract_page_meta — the crawl-indexing stage Common Crawl
+    publishes as its columnar index): title, meta description, resolved
+    rel=canonical target, robots directives and the noindex/nofollow
+    gates. One codegen'd regex pass per field over the html bytes, zero
+    shuffles before the output sort; the DuckDB oracle re-runs the SAME
+    shared patterns in RE2 over identically synthesized pages."""
+    pages = _synth_meta_pages(spark, sf_dir)
+    return weblinks.extract_page_meta(pages).orderBy("url")
+
+
+def cdc_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binlog/WAL continuity audit (operators/audit.py sequence_gaps):
+    a 16-partition change stream with per-partition dense sequences is
+    synthesized deterministically from `documents`, then holes are
+    planted (every 97th event lost + a contiguous lost segment) and
+    every 50th event re-delivered (duplicates must NOT report as gaps).
+    The operator reports every missing [gap_start, gap_end] range per
+    partition in ONE keyed exchange — the integrity check a CDC tail
+    runs before trusting a replica. Oracle: the same gaps-and-islands
+    in plain SQL."""
+    from tiger_etl_spark.operators import audit
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    delivered = d.where(
+        ~((F.col("doc_id") % 97 == 5)
+          | ((F.col("doc_id") >= 120) & (F.col("doc_id") < 200)))
+    )
+    redelivered = delivered.where(F.col("doc_id") % 50 == 3)
+    wal = delivered.unionByName(redelivered).select(
+        (F.col("doc_id") % 16).alias("pkey"),
+        F.floor(F.col("doc_id") / 16).cast("long").alias("op_seq"),
+    )
+    return audit.sequence_gaps(
+        wal, "pkey", "op_seq", expected_start=0
+    ).orderBy("pkey", "gap_start")
+
+
+def doc_nfc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization before fingerprinting
+    (functions/text.py nfc_normalize_udf — vectorized pandas
+    str.normalize over Arrow batches; Spark has no NFC built-in):
+    composed/decomposed suffixes are appended deterministically so the
+    corpus genuinely mixes forms, then each doc emits md5(NFC(text))
+    and whether normalization changed the bytes. The oracle computes
+    the SAME md5 via DuckDB's utf8proc-backed nfc_normalize — a
+    cross-engine parity check of the whole normalize→hash path (two
+    independent NFC implementations must agree byte-for-byte)."""
+    from tiger_etl_spark.functions.text import nfc_normalize_udf
+
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    suffix = (
+        F.when(i % 4 == 0, F.lit(_NFC_SUFFIXES[0]))  # decomposed e + U+0301
+        .when(i % 4 == 1, F.lit(_NFC_SUFFIXES[1]))   # composed e-acute
+        .when(i % 4 == 2, F.lit(_NFC_SUFFIXES[2]))   # decomposed ring/diaeresis
+        .otherwise(F.lit(""))
+    )
+    aug = F.concat(F.col("text"), suffix)
+    nfc = nfc_normalize_udf(aug)
+    return d.select(
+        "doc_id",
+        F.md5(nfc.cast("binary")).alias("nfc_md5"),
+        (nfc != aug).alias("changed"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2011,6 +2135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_host_degrees": web_host_degrees,
         "web_incremental_host_edges": web_incremental_host_edges,
         "web_anchor_text_top": web_anchor_text_top,
+        "web_page_meta": web_page_meta,
+        "cdc_sequence_gaps": cdc_sequence_gaps,
+        "doc_nfc_fingerprint": doc_nfc_fingerprint,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -2747,6 +2874,117 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY n_mentions DESC, dst_host, anchor_text
             LIMIT 100
+        """,
+        "web_page_meta": f"""
+            WITH pages AS (
+                SELECT {_WEB_URL_SQL} AS url,
+                       CASE WHEN doc_id % 11 = 0 THEN ''
+                            ELSE '<title>Doc ' || doc_id || ' of ' || source
+                                 || '</title>' END
+                       || '<meta name="description" content="Sample '
+                          || source || ' page ' || (doc_id % 7) || '">'
+                       || CASE
+                            WHEN doc_id % 4 = 0 THEN
+                              '<meta name="robots" content="noindex,follow">'
+                            WHEN doc_id % 4 = 1 THEN
+                              '<meta name="robots" content="index,nofollow">'
+                            WHEN doc_id % 4 = 2 THEN
+                              '<meta name="robots" content="noindex, nofollow">'
+                            ELSE '' END
+                       || CASE WHEN doc_id % 2 = 0 THEN
+                              '<link rel="canonical" href="/canon/'
+                              || (doc_id % 50) || '">'
+                            ELSE '' END
+                       || '<a href="/x">y</a>' AS html
+                FROM documents
+            ),
+            meta AS (
+                SELECT url,
+                    nullif(regexp_extract(html,
+                        '{weblinks.TITLE_PATTERN.replace(chr(39), chr(39) * 2)}',
+                        1), '') AS title,
+                    nullif(regexp_extract(html,
+                        '{weblinks.META_DESCRIPTION_PATTERN.replace(chr(39), chr(39) * 2)}',
+                        1), '') AS meta_description,
+                    nullif(regexp_extract(html,
+                        '{weblinks.CANONICAL_PATTERN.replace(chr(39), chr(39) * 2)}',
+                        1), '') AS canon_raw,
+                    lower(coalesce(nullif(regexp_extract(html,
+                        '{weblinks.META_ROBOTS_PATTERN.replace(chr(39), chr(39) * 2)}',
+                        1), ''), '')) AS robots_l
+                FROM pages
+            )
+            SELECT url, title, meta_description,
+                CASE
+                  WHEN canon_raw IS NULL THEN NULL
+                  WHEN regexp_matches(canon_raw,
+                       '^(javascript:|mailto:|tel:|data:|#)') THEN NULL
+                  WHEN regexp_matches(canon_raw, '^https?://') THEN canon_raw
+                  WHEN canon_raw LIKE '//%' THEN
+                       regexp_extract(url, '^(https?):', 1) || ':' || canon_raw
+                  WHEN canon_raw LIKE '/%' THEN
+                       regexp_extract(url, '^(https?://[^/?#]+)', 1) || canon_raw
+                  ELSE regexp_replace(url, '[^/]*$', '') || canon_raw
+                END AS canonical_url,
+                nullif(robots_l, '') AS robots,
+                contains(robots_l, 'noindex') AS noindex,
+                contains(robots_l, 'nofollow') AS nofollow
+            FROM meta
+            ORDER BY url
+        """,
+        "cdc_sequence_gaps": """
+            WITH delivered AS (
+                SELECT doc_id FROM documents
+                WHERE NOT (doc_id % 97 = 5
+                           OR (doc_id >= 120 AND doc_id < 200))
+            ),
+            wal AS (
+                SELECT CAST(doc_id % 16 AS BIGINT) AS pkey,
+                       CAST(doc_id // 16 AS BIGINT) AS op_seq
+                FROM delivered
+                UNION ALL
+                SELECT CAST(doc_id % 16 AS BIGINT),
+                       CAST(doc_id // 16 AS BIGINT)
+                FROM delivered WHERE doc_id % 50 = 3
+            ),
+            lagged AS (
+                SELECT pkey, op_seq,
+                       lag(op_seq) OVER (PARTITION BY pkey ORDER BY op_seq)
+                           AS prev
+                FROM wal
+            ),
+            mid AS (
+                SELECT pkey, prev + 1 AS gap_start, op_seq - 1 AS gap_end,
+                       op_seq - prev - 1 AS n_missing
+                FROM lagged WHERE op_seq - prev > 1
+            ),
+            lead_gap AS (
+                SELECT pkey, CAST(0 AS BIGINT) AS gap_start,
+                       min(op_seq) - 1 AS gap_end,
+                       min(op_seq) AS n_missing
+                FROM wal GROUP BY pkey HAVING min(op_seq) > 0
+            )
+            SELECT pkey,
+                   CAST(gap_start AS BIGINT) AS gap_start,
+                   CAST(gap_end AS BIGINT) AS gap_end,
+                   CAST(n_missing AS BIGINT) AS n_missing
+            FROM (SELECT * FROM mid UNION ALL SELECT * FROM lead_gap)
+            ORDER BY pkey, gap_start
+        """,
+        "doc_nfc_fingerprint": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 4 = 0 THEN '{_NFC_SUFFIXES[0]}'
+                                    WHEN doc_id % 4 = 1 THEN '{_NFC_SUFFIXES[1]}'
+                                    WHEN doc_id % 4 = 2 THEN '{_NFC_SUFFIXES[2]}'
+                                    ELSE '' END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   md5(nfc_normalize(t)) AS nfc_md5,
+                   nfc_normalize(t) <> t AS changed
+            FROM aug
+            ORDER BY doc_id
         """,
         "web_host_degrees": f"""
             WITH {_WEB_HOST_EDGES_CTE},

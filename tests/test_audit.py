@@ -85,3 +85,49 @@ def test_checksum_matches_between_source_and_merged_lake(spark, tmp_path):
         _rows(audit.table_checksum(ref, cols))[0]
         == _rows(audit.table_checksum(got, cols))[0]
     )
+
+
+def test_sequence_gaps_reports_holes_per_partition(spark):
+    from tiger_etl_spark.operators.audit import sequence_gaps
+
+    rows = (
+        # partition a: 0,1,2, 5,6, 9  -> gaps [3,4] and [7,8]
+        [("a", s) for s in (0, 1, 2, 5, 6, 9)]
+        # partition b: dense 0..4 -> no gaps
+        + [("b", s) for s in range(5)]
+        # partition c: duplicates must NOT be gaps; 0,0,1,3 -> gap [2,2]
+        + [("c", s) for s in (0, 0, 1, 3)]
+    )
+    df = spark.createDataFrame(rows, "pkey string, seq long")
+    got = sorted(
+        (r["pkey"], r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in sequence_gaps(df, "pkey", "seq").collect()
+    )
+    assert got == [("a", 3, 4, 2), ("a", 7, 8, 2), ("c", 2, 2, 1)]
+
+
+def test_sequence_gaps_expected_start_leading_hole(spark):
+    from tiger_etl_spark.operators.audit import sequence_gaps
+
+    df = spark.createDataFrame(
+        [("a", 4), ("a", 5), ("b", 0), ("b", 1)], "pkey string, seq long"
+    )
+    got = sorted(
+        (r["pkey"], r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in sequence_gaps(df, "pkey", "seq", expected_start=0).collect()
+    )
+    # a starts at 4 -> leading hole [0,3]; b starts at 0 -> nothing
+    assert got == [("a", 0, 3, 4)]
+
+
+def test_sequence_gaps_single_keyed_exchange(spark):
+    """Scale guard: the audit is one keyed window — no global sort, no
+    extra exchange beyond the partition-key shuffle."""
+    from tiger_etl_spark.operators.audit import sequence_gaps
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 2)], "pkey string, seq long"
+    )
+    plan = sequence_gaps(df, "pkey", "seq")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan

@@ -646,3 +646,41 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
         duplicate_clusters(
             chain, max_iter=2, small_graph_threshold=0
         )
+
+
+def test_nfc_normalize_three_way_parity(spark):
+    """functions/text.py nfc_normalize_udf: the vectorized pandas kernel,
+    the CPython unicodedata oracle and DuckDB's utf8proc nfc_normalize
+    must agree byte-for-byte — three independent NFC implementations."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from tiger_etl_spark.functions.text import (
+        nfc_normalize_py,
+        nfc_normalize_udf,
+    )
+
+    cases = [
+        "Cafe" + chr(0x0301),                    # decomposed acute
+        "caf" + chr(0x00E9),                     # already composed
+        "A" + chr(0x030A) + "ngstro" + chr(0x0308) + "m",
+        "Hangul: " + chr(0x1100) + chr(0x1161),  # jamo -> syllable
+        chr(0x212B),                             # ANGSTROM SIGN (NFC keeps it)
+        "plain ascii",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = [
+        r["n"]
+        for r in df.select(nfc_normalize_udf(F.col("t")).alias("n"))
+        .collect()
+    ]
+    want = [nfc_normalize_py(c) for c in cases]
+    assert got == want
+    con = duckdb.connect()
+    for c, w in zip(cases, want):
+        if c is None:
+            continue
+        d = con.execute("select nfc_normalize(?)", [c]).fetchone()[0]
+        assert d == w, (c.encode(), d.encode(), w.encode())

@@ -133,3 +133,75 @@ def test_feeds_graph_operators(spark):
     deg = graph.degrees(e, src_col="src_host", dst_col="dst_host")
     d = {r["node_key"]: (r["out_degree"], r["in_degree"]) for r in deg.collect()}
     assert d["a.example.com"][0] >= 1 and d["a.example.com"][1] >= 1
+
+
+META_PAGES = [
+    # all fields present, mixed case tags, attr whitespace
+    ('https://a.example.com/x/page.html',
+     b'<TITLE>Hello World</TITLE>'
+     b'<meta name = "description" content = "a page about things">'
+     b"<meta name='robots' content='NOINDEX, nofollow'>"
+     b'<link rel="canonical" href="https://canon.example.com/x">'),
+    # no head metadata at all
+    ('https://b.example.com/bare', b'<html><body>text</body></html>'),
+    # root-relative canonical, empty title (-> NULL), robots index-only
+    ('https://c.example.com/dir/page',
+     b'<title></title>'
+     b'<meta name="robots" content="index,follow">'
+     b'<link rel="canonical" href="/canonical/path">'),
+    # relative canonical resolves against the page directory;
+    # single-quoted description
+    ('https://d.example.com/dir/sub/page.html',
+     b"<meta name='description' content='single quoted'>"
+     b'<link rel="canonical" href="other.html">'),
+    # pseudo-link canonical -> NULL
+    ('https://e.example.com/p',
+     b'<link rel="canonical" href="javascript:void(0)">'),
+]
+
+
+def test_extract_page_meta_fields(spark):
+    df = spark.createDataFrame(META_PAGES, "url string, html binary")
+    rows = {
+        r["url"]: r
+        for r in weblinks.extract_page_meta(df).collect()
+    }
+    a = rows["https://a.example.com/x/page.html"]
+    assert a["title"] == "Hello World"
+    assert a["meta_description"] == "a page about things"
+    assert a["canonical_url"] == "https://canon.example.com/x"
+    assert a["robots"] == "noindex, nofollow"  # lower-cased
+    assert a["noindex"] and a["nofollow"]
+
+    b = rows["https://b.example.com/bare"]
+    assert b["title"] is None
+    assert b["meta_description"] is None
+    assert b["canonical_url"] is None
+    assert b["robots"] is None
+    assert not b["noindex"] and not b["nofollow"]
+
+    c = rows["https://c.example.com/dir/page"]
+    assert c["title"] is None  # empty metadata is no metadata
+    assert c["canonical_url"] == "https://c.example.com/canonical/path"
+    assert c["robots"] == "index,follow"
+    assert not c["noindex"] and not c["nofollow"]
+
+    d = rows["https://d.example.com/dir/sub/page.html"]
+    assert d["meta_description"] == "single quoted"
+    assert d["canonical_url"] == "https://d.example.com/dir/sub/other.html"
+
+    e = rows["https://e.example.com/p"]
+    assert e["canonical_url"] is None
+
+
+def test_extract_page_meta_passthrough_and_shape(spark):
+    df = spark.createDataFrame(
+        [(7, "https://a.example.com/", b"<title>t</title>")],
+        "doc_id long, url string, html binary",
+    )
+    out = weblinks.extract_page_meta(df)
+    assert out.columns == [
+        "doc_id", "url", "title", "meta_description",
+        "canonical_url", "robots", "noindex", "nofollow",
+    ]
+    assert out.collect()[0]["doc_id"] == 7

@@ -55,6 +55,33 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return extract_text_pandas(html)
 
 
+def nfc_normalize_py(text: str | None) -> str | None:
+    """Single-threaded oracle for NFC normalization (CPython
+    `unicodedata`, the same table pandas' str.normalize uses)."""
+    if text is None:
+        return None
+    import unicodedata
+
+    return unicodedata.normalize("NFC", text)
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC normalization as a vectorized pandas kernel
+    (`Series.str.normalize`, Arrow-batched — the sanctioned UDF
+    surface; Spark SQL has no NFC built-in).
+
+    Why it's a first-class web-corpus stage: crawled pages mix
+    composed and decomposed codepoint sequences for the same visible
+    text ('é' vs 'e'+U+0301), so exact dedup, shingle hashing and token
+    counting all silently fracture without a canonical form — NFC
+    before fingerprinting is the C4/CCNet/Dolma convention. Stays NULL
+    on NULL. Cross-engine parity is oracled against DuckDB's
+    utf8proc-backed `nfc_normalize` (driver query
+    doc_nfc_fingerprint)."""
+    return text.str.normalize("NFC")
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline text analysis (JVM-side column expressions — these
 # stay inside whole-stage codegen; no Python at all).
