@@ -273,7 +273,12 @@ def main() -> None:
     # record — quick sanity runs (SPARK_GRAFT_BENCH_MODE=cdc/queries,
     # event-count overrides) write a scratch file instead so they can't
     # clobber the recorded headline.
-    full_run = mode == "all" and "SPARK_GRAFT_CDC_EVENTS" not in os.environ
+    full_run = (
+        mode == "all"
+        and "SPARK_GRAFT_CDC_EVENTS" not in os.environ
+        and result.get("sf") == 0.1  # headline SF only — an sf0.01 smoke
+        # at default mode must not clobber the recorded sf0.1 detail
+    )
     detail_name = "last_run_detail.json" if full_run else "last_sanity_detail.json"
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", detail_name
