@@ -73,12 +73,14 @@ def main() -> None:
     )
     ap.add_argument(
         "--enrich",
-        choices=["standard"],
         default=None,
-        help="materialize the standard derived columns at ingest "
-        "(n_chars, n_tokens, stopword_ratio, detected_lang, content_fp; "
-        "adds them to the table DDL at creation and tracks n_tokens "
-        "in per-file stats for export pruning)",
+        help="materialize derived columns at ingest: a '+'-composed "
+        "preset spec — 'standard' (n_chars, n_tokens, stopword_ratio, "
+        "detected_lang, content_fp; tracks n_tokens in per-file stats "
+        "for export pruning), 'meta' (title, meta_description, "
+        "canonical_url, robots, noindex, nofollow from the html head), "
+        "or 'standard+meta'; adds the columns to the table DDL at "
+        "creation (or evolves an existing table)",
     )
     ap.add_argument(
         "--dim-table",
@@ -123,21 +125,21 @@ def main() -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     from tiger_etl_spark.cdc.pipeline import (
-        STANDARD_ENRICH_DDL,
         STANDARD_STATS_COLS,
         create_pages_table,
-        standard_enrichers,
+        resolve_enrich_spec,
     )
     from tiger_etl_spark.cdc.streaming import run_stream
     from tiger_etl_spark.lake import LakeTable
 
-    enrichers = standard_enrichers() if args.enrich == "standard" else None
+    enrichers, enrich_ddl = resolve_enrich_spec(args.enrich)
+    has_standard = bool(args.enrich) and "standard" in args.enrich.split("+")
     # --enrich standard implies tracking the standard columns, but only
     # as a DEFAULT: at creation it seeds stats_cols; on an existing
     # table it must MERGE into (never replace) an operator-configured
     # prop — replacing would silently drop per-file bounds tracking for
     # the other columns on all future files
-    defaulted_stats = args.enrich == "standard" and args.stats_cols is None
+    defaulted_stats = has_standard and args.stats_cols is None
     if defaulted_stats:
         args.stats_cols = STANDARD_STATS_COLS
     # dim columns must exist in the table schema or every joined value
@@ -155,14 +157,7 @@ def main() -> None:
             if f.name != args.dim_on
         )
     if not LakeTable.exists(args.table):
-        extra_ddl = ", ".join(
-            d
-            for d in (
-                STANDARD_ENRICH_DDL if args.enrich == "standard" else None,
-                dim_ddl,
-            )
-            if d
-        )
+        extra_ddl = ", ".join(d for d in (enrich_ddl, dim_ddl) if d)
         create_pages_table(
             args.table,
             num_buckets=args.buckets,
@@ -185,8 +180,8 @@ def main() -> None:
         # projects to the live schema). Pre-existing rows read the new
         # columns as NULL until rewritten.
         wanted_ddls = []
-        if args.enrich == "standard":
-            wanted_ddls.append(STANDARD_ENRICH_DDL)
+        if enrich_ddl:
+            wanted_ddls.append(enrich_ddl)
         if dim_ddl:
             wanted_ddls.append(dim_ddl)
         for ddl in wanted_ddls:

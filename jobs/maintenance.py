@@ -95,11 +95,11 @@ def main() -> None:
     )
     ap.add_argument(
         "--enrich",
-        choices=["standard"],
         default=None,
-        help="apply the standard enricher preset during --replay-"
-        "quarantine (MUST match what ingest used, or repaired rows "
-        "land with NULL derived columns)",
+        help="enricher preset spec ('standard', 'meta', or "
+        "'standard+meta') to apply during --replay-quarantine "
+        "(MUST match what ingest used, or repaired rows land with "
+        "NULL derived columns)",
     )
     ap.add_argument(
         "--dim-table",
@@ -141,15 +141,13 @@ def main() -> None:
     if args.replay_quarantine:
         from tiger_etl_spark.cdc.pipeline import (
             replay_quarantine,
-            standard_enrichers,
+            resolve_enrich_spec,
         )
 
         out["quarantine_replay"] = replay_quarantine(
             spark,
             table,
-            enrichers=(
-                standard_enrichers() if args.enrich == "standard" else None
-            ),
+            enrichers=resolve_enrich_spec(args.enrich)[0],
             static_dim=(
                 (spark.read.parquet(args.dim_table), args.dim_on)
                 if args.dim_table

@@ -373,3 +373,93 @@ def test_arrow_large_binary_blobs_byte_parity(spark, tmp_path):
             assert r["text"] == extract_text_py(body), f"text differs for {url}"
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_ingest_page_meta_enrichment(spark, tmp_path, change_dir):
+    """The 'meta' enricher preset (pipeline.page_meta_enrichers over
+    weblinks.page_meta_cols) materializes head-metadata columns at
+    ingest on the fused winners-only path; values match the batch
+    operator run over the final html, and a noindex export filter works
+    on stored columns without touching html."""
+    import re
+
+    from tiger_etl_spark.cdc.pipeline import (
+        PAGE_META_ENRICH_DDL,
+        page_meta_enrichers,
+        resolve_enrich_spec,
+    )
+    from tiger_etl_spark.operators import weblinks
+
+    # spec composition: unknown name raises; composed spec merges
+    with pytest.raises(ValueError):
+        resolve_enrich_spec("standrad")
+    both, ddl = resolve_enrich_spec("standard+meta")
+    assert "n_tokens" in both and "noindex" in both
+    assert "n_tokens long" in ddl and "noindex boolean" in ddl
+
+    table = create_pages_table(
+        str(tmp_path / "pages_meta"),
+        num_buckets=4,
+        enrich_ddl=PAGE_META_ENRICH_DDL,
+    )
+    for i, path in enumerate(
+        sorted(glob.glob(os.path.join(change_dir, "*.parquet")))
+    ):
+        events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
+        apply_changes(
+            spark, table, events, batch_id=i, enrichers=page_meta_enrichers()
+        )
+    assert_final_state_matches_oracle(spark, table, change_dir)
+
+    final = table.scan(spark)
+    # stored columns equal the batch operator over the final state
+    recomputed = weblinks.extract_page_meta(
+        final.select("url", "html")
+    ).collect()
+    stored = {
+        r["url"]: r
+        for r in final.select(
+            "url", "title", "meta_description", "canonical_url",
+            "robots", "noindex", "nofollow",
+        ).collect()
+    }
+    for r in recomputed:
+        s = stored[r["url"]]
+        for c in ("title", "meta_description", "canonical_url", "robots",
+                  "noindex", "nofollow"):
+            assert s[c] == r[c], (r["url"], c, s[c], r[c])
+
+    # the generator's html carries no head markup, so plant a batch
+    # that does — the preset must materialize real values, not NULLs
+    import datetime
+
+    ts = datetime.datetime(2025, 3, 1, 0, 0, 0)
+    planted = spark.createDataFrame(
+        [
+            ("I", 10_000_001, "https://meta.example.com/a", ts, None,
+             b'<title>A page</title>'
+             b'<meta name="robots" content="NOINDEX,nofollow">'
+             b'<link rel="canonical" href="/canon/a">',
+             "en", 10, 2, "planted"),
+            ("I", 10_000_002, "https://meta.example.com/b", ts, None,
+             b"<html><body>no head</body></html>", "en", 10, 2, "planted"),
+        ],
+        EVENTS_READ_SCHEMA,
+    )
+    apply_changes(
+        spark, table, planted, batch_id=99, enrichers=page_meta_enrichers()
+    )
+    got = {
+        r["url"]: r
+        for r in table.scan(spark)
+        .where(F.col("url").startswith("https://meta.example.com/"))
+        .collect()
+    }
+    a = got["https://meta.example.com/a"]
+    assert a["title"] == "A page"
+    assert a["robots"] == "noindex,nofollow"
+    assert a["noindex"] and a["nofollow"]
+    assert a["canonical_url"] == "https://meta.example.com/canon/a"
+    b = got["https://meta.example.com/b"]
+    assert b["title"] is None and b["robots"] is None
+    assert b["noindex"] is False and b["nofollow"] is False

@@ -121,6 +121,53 @@ def standard_enrichers() -> dict:
     }
 
 
+# Head-metadata enricher preset (`--enrich meta`, composable with
+# `standard` as `standard+meta`): the crawl-index fields every corpus
+# export filters on (noindex pages are excluded from training sets; the
+# canonical url feeds url-level dedup). Computing them ON THE WINNERS
+# inside the fused merge stage means a later export never has to
+# re-scan 100 TB of html for a boolean gate.
+PAGE_META_ENRICH_DDL = (
+    "title string, meta_description string, canonical_url string, "
+    "robots string, noindex boolean, nofollow boolean"
+)
+
+
+def page_meta_enrichers() -> dict:
+    from tiger_etl_spark.operators.weblinks import page_meta_cols
+
+    return page_meta_cols(F.col("url"), F.col("html"))
+
+
+# name → (enricher factory, DDL) for every named preset the jobs accept;
+# '+'-composed specs (e.g. 'standard+meta') merge dicts/DDLs in order.
+ENRICH_PRESETS: dict = {
+    "standard": (standard_enrichers, STANDARD_ENRICH_DDL),
+    "meta": (page_meta_enrichers, PAGE_META_ENRICH_DDL),
+}
+
+
+def resolve_enrich_spec(spec: str | None) -> tuple[dict | None, str | None]:
+    """'standard+meta' → (merged enrichers dict, merged DDL); None → (None,
+    None). Unknown names raise — a typo must not silently ingest without
+    the columns the operator asked for."""
+    if not spec:
+        return None, None
+    enrichers: dict = {}
+    ddls: list[str] = []
+    for name in spec.split("+"):
+        name = name.strip()
+        if name not in ENRICH_PRESETS:
+            raise ValueError(
+                f"unknown enrich preset {name!r}; known: "
+                f"{sorted(ENRICH_PRESETS)}"
+            )
+        factory, ddl = ENRICH_PRESETS[name]
+        enrichers.update(factory())
+        ddls.append(ddl)
+    return enrichers, ", ".join(ddls)
+
+
 def _checked_dim(static_dim: tuple, stream_cols: list[str]) -> DataFrame:
     """Validate + sanitize the static dimension once per handle:
     `on` must be a column NAME (a Column-expression join would keep two

@@ -183,6 +183,30 @@ def _first_match_or_null(html: Column, pattern: str) -> Column:
     return F.when(m == "", F.lit(None).cast("string")).otherwise(m)
 
 
+def page_meta_cols(url: Column, html: Column) -> dict[str, Column]:
+    """The head-metadata fields as name → Column expressions (the
+    shared kernel of :func:`extract_page_meta` and the ingest-time
+    enricher preset `cdc.pipeline.page_meta_enrichers`): one codegen'd
+    regex pass per field, suitable for computing on LWW winners inside
+    the fused merge stage with no extra shuffle."""
+    robots = F.lower(
+        F.coalesce(_first_match_or_null(html, META_ROBOTS_PATTERN), F.lit(""))
+    )
+    canonical_raw = _first_match_or_null(html, CANONICAL_PATTERN)
+    return {
+        "title": _first_match_or_null(html, TITLE_PATTERN),
+        "meta_description": _first_match_or_null(
+            html, META_DESCRIPTION_PATTERN
+        ),
+        "canonical_url": resolve_link(url, canonical_raw),
+        "robots": F.when(robots == "", F.lit(None).cast("string")).otherwise(
+            robots
+        ),
+        "noindex": robots.contains("noindex"),
+        "nofollow": robots.contains("nofollow"),
+    }
+
+
 def extract_page_meta(
     df: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
@@ -207,24 +231,8 @@ def extract_page_meta(
     the webtext tier's ``html:binary`` input (BASELINE.json input_hint).
     """
     keep = [c for c in df.columns if c != html_col]
-    html = F.col(html_col)
-    robots = F.lower(
-        F.coalesce(_first_match_or_null(html, META_ROBOTS_PATTERN), F.lit(""))
-    )
-    canonical_raw = _first_match_or_null(html, CANONICAL_PATTERN)
-    return df.select(
-        *keep,
-        _first_match_or_null(html, TITLE_PATTERN).alias("title"),
-        _first_match_or_null(html, META_DESCRIPTION_PATTERN).alias(
-            "meta_description"
-        ),
-        resolve_link(F.col(url_col), canonical_raw).alias("canonical_url"),
-        F.when(robots == "", F.lit(None).cast("string"))
-        .otherwise(robots)
-        .alias("robots"),
-        robots.contains("noindex").alias("noindex"),
-        robots.contains("nofollow").alias("nofollow"),
-    )
+    cols = page_meta_cols(F.col(url_col), F.col(html_col))
+    return df.select(*keep, *[c.alias(n) for n, c in cols.items()])
 
 
 def host_pairs(
