@@ -96,3 +96,30 @@ def test_learned_ivf_beats_random_quantizer(planted):
     scanned = cells.where(F.col("_cell").isin(probe)).count()
     assert scanned <= 2 * N_PER
     cells.unpersist()
+
+
+def test_kmeans_sampled_recovers_planted_clusters(planted):
+    """Bounded-sample training (FAISS regime): with the sample covering
+    the corpus, quality matches full training; under repartitioning the
+    hash-ordered sample — hence the centroids — is identical."""
+    _, df = planted
+    cents = kmeans_fit(
+        df, "embedding", k=3, dim=DIM, max_iter=10, sample_per_centroid=30
+    )
+    for c in cents:
+        assert abs(math.sqrt(sum(x * x for x in c)) - 1.0) < 1e-9
+    got = assign_clusters(df, "embedding", cents).select(
+        "true_cluster", "_cell"
+    ).collect()
+    mapping = {}
+    for r in got:
+        mapping.setdefault(r["true_cluster"], set()).add(r["_cell"])
+    assert all(len(cells) == 1 for cells in mapping.values())
+    assert len({next(iter(c)) for c in mapping.values()}) == 3
+
+    b = kmeans_fit(
+        df.repartition(7), "embedding", k=3, dim=DIM,
+        max_iter=10, sample_per_centroid=30,
+    )
+    flat = lambda cs: [x for c in cs for x in c]  # noqa: E731
+    assert max(abs(x - y) for x, y in zip(flat(cents), flat(b))) < 1e-12

@@ -39,6 +39,7 @@ def kmeans_fit(
     dim: int,
     max_iter: int = 8,
     tol: float = 1e-4,
+    sample_per_centroid: int | None = None,
 ) -> list[list[float]]:
     """Fit k unit-norm centroids by spherical k-means (cosine
     assignment, mean update, renormalize). Deterministic: initialized
@@ -47,10 +48,53 @@ def kmeans_fit(
     centroids. Returns the centroid list (k×dim, driver-sized by
     design — it feeds the next iteration's column expressions).
 
+    `sample_per_centroid` switches to bounded-sample training — the
+    standard quantizer-training regime (FAISS trains its coarse
+    quantizer on ~256 vectors per centroid, never the corpus): ONE
+    Spark job takes the k×sample_per_centroid vectors with the smallest
+    xxhash64 (a deterministic, partitioning-invariant sample;
+    TakeOrdered, no global sort materialization), then Lloyd iterations
+    run in numpy on the driver. At 10^10 vectors this is the only sane
+    shape — iterating Spark jobs over the full corpus to move 16
+    centroids is pure waste — and the bounded driver footprint is
+    k·s·dim floats (MBs), same class as the centroid matrix itself.
+    The distributed path (default) remains for full-corpus training.
+
     Empty clusters keep their previous centroid (standard Lloyd's
     fallback; with hash-random init and web-scale corpora this is the
     rare path)."""
     cents = ivf_centroids(k, dim)
+    if sample_per_centroid:
+        import numpy as np
+
+        cap = k * int(sample_per_centroid)
+        samp = (
+            df.select(F.col(vec_col).alias("_v"))
+            .orderBy(F.xxhash64("_v"))
+            .limit(cap)
+            .collect()
+        )
+        x = np.asarray([r["_v"] for r in samp], dtype=np.float64)
+        c = np.asarray(cents, dtype=np.float64)
+        for _ in range(max_iter):
+            # argmax returns the FIRST max — same tie-break as
+            # ivf_cell_col's array_position
+            cell = np.argmax(x @ c.T, axis=1)
+            new = c.copy()
+            shift = 0.0
+            for ci in range(k):
+                pts = x[cell == ci]
+                if len(pts) == 0:
+                    continue  # empty cluster keeps its centroid
+                m = pts.mean(axis=0)
+                nrm = float(np.linalg.norm(m))
+                u = m / nrm if nrm > 0 else m
+                shift = max(shift, float(np.max(np.abs(u - c[ci]))))
+                new[ci] = u
+            c = new
+            if shift < tol:
+                break
+        return [[float(v) for v in row] for row in c]
     src = df.select(F.col(vec_col)).persist()
     try:
         for _ in range(max_iter):
@@ -98,6 +142,7 @@ def fit_or_load_centroids(
     k: int,
     dim: int,
     max_iter: int = 8,
+    sample_per_centroid: int | None = 256,
 ) -> list[list[float]]:
     """The LEARNED quantizer is the ingest default: on a table's first
     embedding batch, fit spherical k-means on it and persist the k×dim
@@ -123,7 +168,10 @@ def fit_or_load_centroids(
                 "(clear the prop and recompute the cell column)."
             )
         return cents
-    cents = kmeans_fit(df, vec_col, k, dim, max_iter=max_iter)
+    cents = kmeans_fit(
+        df, vec_col, k, dim, max_iter=max_iter,
+        sample_per_centroid=sample_per_centroid,
+    )
     table.update_props({_CENTROID_PROP: _json.dumps(cents)})
     return cents
 
