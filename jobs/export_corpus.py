@@ -79,6 +79,13 @@ def main() -> None:
         help="drop exact-duplicate text (keep the min-key row per "
         "identical text fingerprint) before export",
     )
+    ap.add_argument(
+        "--exclude-noindex",
+        action="store_true",
+        help="drop pages whose stored `noindex` boolean is true (the "
+        "robots gate materialized by `--enrich meta` at ingest); rows "
+        "with NULL noindex are kept",
+    )
     ap.add_argument("--local-cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -95,6 +102,18 @@ def main() -> None:
         spark = SparkSession.builder.appName("corpus-export").getOrCreate()
 
     table = LakeTable.load(args.table)
+    row_filter = None
+    if args.exclude_noindex:
+        have = {
+            f.name
+            for f in spark.createDataFrame([], table.schema_ddl).schema.fields
+        }
+        if "noindex" not in have:
+            raise SystemExit(
+                "--exclude-noindex needs a stored `noindex` column — "
+                "ingest with `--enrich meta` (or standard+meta) first"
+            )
+        row_filter = ~F.coalesce(F.col("noindex"), F.lit(False))
     col_ranges = None
     if args.min_quality is not None or args.max_quality is not None:
         col_ranges = {args.quality_col: (args.min_quality, args.max_quality)}
@@ -135,6 +154,7 @@ def main() -> None:
         num_shards=args.shards,
         fmt=args.format,
         columns=args.columns.split(",") if args.columns else None,
+        row_filter=row_filter,
     )
     print(json.dumps(manifest))
 

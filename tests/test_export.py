@@ -214,3 +214,44 @@ def test_export_stable_across_parallelism(spark, tmp_path):
         assert frames[0].equals(frames[1])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_export_row_filter_excludes_noindex(spark, tmp_path):
+    """row_filter gates the export on stored columns that are not even
+    exported (the --exclude-noindex path over the `meta` ingest
+    preset): noindex=true rows vanish, NULLs are kept, and the manifest
+    records the gate."""
+    t = LakeTable.create(
+        str(tmp_path / "t_ni"),
+        "url string, warc_ts timestamp, text string, noindex boolean",
+        "url",
+        num_buckets=4,
+    )
+    rows = [
+        ("I", i + 1, f"http://h/p{i}", ts(i), f"body {i}",
+         True if i % 3 == 0 else (None if i % 3 == 1 else False))
+        for i in range(30)
+    ]
+    t.merge(
+        spark,
+        spark.createDataFrame(
+            rows,
+            "op string, op_seq long, url string, warc_ts timestamp, "
+            "text string, noindex boolean",
+        ),
+    )
+    out = str(tmp_path / "out_ni")
+    man = export_training_shards(
+        spark,
+        t,
+        out,
+        num_shards=2,
+        columns=["url", "text"],  # noindex NOT exported
+        row_filter=~F.coalesce(F.col("noindex"), F.lit(False)),
+    )
+    got = spark.read.parquet(out)
+    urls = {r["url"] for r in got.select("url").collect()}
+    assert urls == {f"http://h/p{i}" for i in range(30) if i % 3 != 0}
+    assert man["rows"] == 20
+    assert "noindex" in man["row_filter"]
+    assert "noindex" not in got.columns

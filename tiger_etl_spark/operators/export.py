@@ -32,7 +32,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from tiger_etl_spark.lake import LakeTable
@@ -55,6 +55,7 @@ def export_training_shards(
     num_shards: int = 8,
     fmt: str = "parquet",
     columns: list[str] | None = None,
+    row_filter: Column | None = None,
 ) -> dict:
     """Export the table's current state as a sharded training dataset.
 
@@ -86,6 +87,11 @@ def export_training_shards(
         raise ValueError(f"unknown format {fmt!r}")
     key = table.key_col
     df = table.scan(spark, col_ranges=col_ranges)
+    if row_filter is not None:
+        # applied BEFORE the projection so the gate may reference stored
+        # columns that are not exported (e.g. an ingest-enriched
+        # `noindex` boolean) — a pure scan-stage filter, no extra pass
+        df = df.where(row_filter)
     if columns:
         missing = set([key]) - set(columns)
         df = df.select(*sorted(set(columns) | missing))
@@ -170,6 +176,11 @@ def export_training_shards(
         "col_ranges": {
             c: [lo, hi] for c, (lo, hi) in (col_ranges or {}).items()
         },
+        **(
+            {"row_filter": str(row_filter._jc)}
+            if row_filter is not None
+            else {}
+        ),
         "split_weights": weights,
         "pack_budget": pack_budget,
         "size_col": size_col,
