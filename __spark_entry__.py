@@ -2053,6 +2053,34 @@ def doc_nfc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (functions/text.py
+    gopher_quality_cols — Rae et al. 2021 §A1.1): word/line statistics
+    and pass flags, all JVM-side expressions with integer-ppm ratios
+    (comparator-exact by construction). Bullet/ellipsis/multi-line
+    structure is planted deterministically (documents' text is
+    single-line) so every rule path is exercised; the DuckDB oracle
+    mirrors the augmentation and the whole rule arithmetic."""
+    from tiger_etl_spark.functions.text import gopher_quality_cols
+
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(i % 3 == 0, F.lit("\n- bullet one\n- bullet two")).otherwise(
+            F.lit("")
+        ),
+        F.when(i % 4 == 0, F.lit("\nto be continued...")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("\n" + chr(0x2022) + " third" + chr(0x2026))
+               ).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" 123 ## 456")).otherwise(F.lit("")),
+    )
+    cols = gopher_quality_cols(aug)
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2149,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_page_meta": web_page_meta,
         "cdc_sequence_gaps": cdc_sequence_gaps,
         "doc_nfc_fingerprint": doc_nfc_fingerprint,
+        "doc_gopher_flags": doc_gopher_flags,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -2995,6 +3024,79 @@ def oracle_sql() -> dict[str, str]:
                    md5(nfc_normalize(t)) AS nfc_md5,
                    nfc_normalize(t) <> t AS changed
             FROM aug
+            ORDER BY doc_id
+        """,
+        "doc_gopher_flags": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                            chr(10) || '- bullet one' || chr(10)
+                            || '- bullet two' ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0 THEN
+                            chr(10) || 'to be continued...' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN
+                            chr(10) || '{chr(0x2022)} third{chr(0x2026)}'
+                            ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0 THEN ' 123 ## 456'
+                            ELSE '' END AS t
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(t) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(t), '\\s+')
+                       END AS words,
+                       CAST(length(regexp_replace(trim(t), '\\s+', '', 'g'))
+                            AS BIGINT) AS word_chars,
+                       string_split(t, chr(10)) AS lines
+                FROM aug
+            ),
+            counts AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       word_chars,
+                       CAST(len(list_filter(words,
+                            w -> regexp_matches(w, '[A-Za-z]')))
+                            AS BIGINT) AS alpha_words,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '^\\s*(-\\s|\\*\\s|{chr(0x2022)})')))
+                            AS BIGINT) AS bullet_lines,
+                       CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '(\\.\\.\\.|{chr(0x2026)})\\s*$')))
+                            AS BIGINT) AS ellipsis_lines
+                FROM toks
+            ),
+            ratios AS (
+                SELECT doc_id, n_words, n_lines,
+                       CASE WHEN n_words > 0 THEN
+                            CAST(floor(word_chars * 1000000 / n_words) AS BIGINT)
+                       END AS mean_word_len_ppm,
+                       CASE WHEN n_words > 0 THEN
+                            CAST(floor(alpha_words * 1000000 / n_words) AS BIGINT)
+                       END AS alpha_word_ppm,
+                       CASE WHEN n_lines > 0 THEN
+                            CAST(floor(bullet_lines * 1000000 / n_lines) AS BIGINT)
+                       END AS bullet_line_ppm,
+                       CASE WHEN n_lines > 0 THEN
+                            CAST(floor(ellipsis_lines * 1000000 / n_lines) AS BIGINT)
+                       END AS ellipsis_line_ppm
+                FROM counts
+            )
+            SELECT doc_id, n_words, n_lines, mean_word_len_ppm,
+                   alpha_word_ppm, bullet_line_ppm, ellipsis_line_ppm,
+                   (n_words >= 50 AND n_words <= 100000) AS flag_word_count,
+                   coalesce(mean_word_len_ppm >= 3000000
+                            AND mean_word_len_ppm <= 10000000,
+                            false) AS flag_mean_word_len,
+                   coalesce(alpha_word_ppm >= 800000, false)
+                       AS flag_alpha_words,
+                   coalesce(bullet_line_ppm < 900000, false)
+                       AS flag_bullet_lines,
+                   coalesce(ellipsis_line_ppm < 300000, false)
+                       AS flag_ellipsis_lines
+            FROM ratios
             ORDER BY doc_id
         """,
         "web_host_degrees": f"""

