@@ -2081,6 +2081,24 @@ def doc_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (functions/text.py
+    compression_ratio_ppm_udf — Dolma's repetitiveness proxy): ratio
+    ppm per doc plus a boilerplate flag at the 35% threshold.
+    Rows-only driver check (zlib is not SQL-expressible); the signal's
+    behavior — repetitive text scoring far below prose, NULL/empty
+    handling, determinism — is pinned in tests/test_operators.py."""
+    from tiger_etl_spark.functions.text import compression_ratio_ppm_udf
+
+    d = _t_wide(spark, sf_dir, "documents")
+    ratio = compression_ratio_ppm_udf(F.col("text"))
+    return d.select(
+        "doc_id",
+        ratio.alias("zlib_ratio_ppm"),
+        F.coalesce(ratio < 350_000, F.lit(False)).alias("flag_boilerplate"),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2178,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sequence_gaps": cdc_sequence_gaps,
         "doc_nfc_fingerprint": doc_nfc_fingerprint,
         "doc_gopher_flags": doc_gopher_flags,
+        "doc_compression_ratio": doc_compression_ratio,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,

@@ -741,3 +741,33 @@ def test_gopher_quality_rules(spark):
     assert na["flag_word_count"]  # 80 words is in range
     s = got[6]
     assert s["n_words"] == 2 and not s["flag_word_count"]
+
+
+def test_compression_ratio_signal(spark):
+    """compression_ratio_ppm_udf: repetitive text compresses far below
+    natural-looking diverse text; NULL/empty yield NULL; deterministic
+    across calls (fixed zlib level)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tiger_etl_spark.functions.text import compression_ratio_ppm_udf
+
+    rng = random.Random(7)
+    diverse = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(300)
+    )
+    repetitive = "click here to subscribe " * 300
+    cases = [(1, diverse), (2, repetitive), (3, None), (4, "")]
+    df = spark.createDataFrame(cases, "id long, t string")
+    sel = df.select(
+        "id", compression_ratio_ppm_udf(F.col("t")).alias("r")
+    )
+    got = {r["id"]: r["r"] for r in sel.collect()}
+    assert got[3] is None and got[4] is None
+    assert got[2] < 100_000          # boilerplate: compresses >10x
+    assert got[1] > 400_000          # random-ish text barely compresses
+    assert got[2] < got[1] / 4
+    again = {r["id"]: r["r"] for r in sel.collect()}
+    assert again == got

@@ -377,3 +377,29 @@ def gopher_quality_cols(text: Column) -> dict[str, Column]:
             ellipsis_line_ppm < 300_000, F.lit(False)
         ),
     }
+
+
+@F.pandas_udf(T.LongType())
+def compression_ratio_ppm_udf(text: pd.Series) -> pd.Series:
+    """zlib-deflate compression ratio in integer parts-per-million
+    (compressed_bytes * 1e6 / raw_utf8_bytes) — the classic
+    repetitiveness proxy (Dolma's "zlib entropy", related Gopher/C4
+    boilerplate screens): template/boilerplate pages compress far
+    below natural prose, so a low ratio is a strong removal signal.
+
+    Arrow-batched pandas UDF (the sanctioned surface — zlib is C code,
+    the per-row Python overhead is one call into it); not
+    SQL-expressible, so the driver query is rows-only and correctness
+    is pinned by unit tests (planted repetitive vs diverse text, NULL
+    and empty handling, fixed level=6 determinism)."""
+    import zlib
+
+    def ratio(s):
+        if s is None:
+            return None
+        raw = s.encode("utf-8")
+        if not raw:
+            return None
+        return len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+
+    return text.map(ratio)
