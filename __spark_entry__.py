@@ -2099,6 +2099,46 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def web_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl gate (weblinks.parse_robots + robots_allowed,
+    REP / RFC 9309 semantics): per-host robots bodies are synthesized
+    deterministically — wildcard groups, an agent-specific group that
+    must SHADOW the wildcard one, a block-all host, hosts with no
+    robots at all, and an empty Disallow to exercise the grammar —
+    then every synthesized page is gated for agent 'tigerbot'.
+    Longest-prefix wins, allow beats disallow on ties, missing robots
+    allow. Plan: rules collapse to one array row per host and
+    broadcast; the page corpus never shuffles. The oracle re-parses
+    the SAME bodies with the SAME shared regexes in SQL and replays
+    the match with max(struct) ordering."""
+    h = F.col("h")
+    body = F.concat(
+        F.lit("# synth robots\nUser-agent: *\nDisallow: /src0\nAllow: /src"),
+        (h % 3).cast("string"),
+        F.when(h % 5 == 0, F.lit("\nDisallow: /")).otherwise(F.lit("")),
+        F.when(
+            h % 4 == 0, F.lit("\nUser-agent: tigerbot\nDisallow: /src1")
+        ).otherwise(F.lit("")),
+        F.lit("\nDisallow:"),
+    )
+    robots = (
+        spark.range(40)
+        .select(F.col("id").alias("h"))
+        .where(h % 7 != 3)
+        .select(
+            F.concat(
+                F.lit("host"), h.cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            body.alias("robots_txt"),
+        )
+    )
+    rules = weblinks.parse_robots(robots)
+    pages = _synth_pages(spark, sf_dir).select("url")
+    return weblinks.robots_allowed(pages, rules, agent="tigerbot").orderBy(
+        "url"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2197,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nfc_fingerprint": doc_nfc_fingerprint,
         "doc_gopher_flags": doc_gopher_flags,
         "doc_compression_ratio": doc_compression_ratio,
+        "web_robots_allowed": web_robots_allowed,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -3117,6 +3158,106 @@ def oracle_sql() -> dict[str, str]:
                        AS flag_ellipsis_lines
             FROM ratios
             ORDER BY doc_id
+        """,
+        "web_robots_allowed": f"""
+            WITH bodies AS (
+                SELECT 'host' || h || '.example.com' AS host,
+                       '# synth robots' || chr(10)
+                       || 'User-agent: *' || chr(10)
+                       || 'Disallow: /src0' || chr(10)
+                       || 'Allow: /src' || (h % 3)
+                       || CASE WHEN h % 5 = 0
+                            THEN chr(10) || 'Disallow: /' ELSE '' END
+                       || CASE WHEN h % 4 = 0
+                            THEN chr(10) || 'User-agent: tigerbot'
+                                 || chr(10) || 'Disallow: /src1'
+                            ELSE '' END
+                       || chr(10) || 'Disallow:' AS body
+                FROM range(0, 40) t(h)
+                WHERE h % 7 <> 3
+            ),
+            rlines AS (
+                SELECT host,
+                       unnest(list_transform(
+                           string_split(body, chr(10)),
+                           (x, i) -> struct_pack(line := x, ln := i)
+                       )) AS r
+                FROM bodies
+            ),
+            parsed AS (
+                SELECT host, r.ln AS ln,
+                       CASE WHEN regexp_extract(r.line,
+                                '{weblinks.ROBOTS_AGENT_RE.replace(chr(39), chr(39) * 2)}',
+                                1) <> ''
+                            THEN lower(regexp_extract(r.line,
+                                '{weblinks.ROBOTS_AGENT_RE.replace(chr(39), chr(39) * 2)}',
+                                1))
+                       END AS agent_hdr,
+                       lower(regexp_extract(r.line,
+                           '{weblinks.ROBOTS_RULE_RE.replace(chr(39), chr(39) * 2)}',
+                           1)) AS rule,
+                       regexp_extract(r.line,
+                           '{weblinks.ROBOTS_RULE_RE.replace(chr(39), chr(39) * 2)}',
+                           2) AS path_prefix
+                FROM rlines
+            ),
+            grouped AS (
+                SELECT *,
+                       last_value(agent_hdr IGNORE NULLS) OVER (
+                           PARTITION BY host ORDER BY ln
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS agent
+                FROM parsed
+            ),
+            rules AS (
+                SELECT host, agent, rule, path_prefix
+                FROM grouped
+                WHERE rule <> '' AND path_prefix <> '' AND agent IS NOT NULL
+            ),
+            ranked AS (
+                SELECT *, CASE WHEN agent = 'tigerbot' THEN 2 ELSE 1 END
+                       AS spec
+                FROM rules WHERE agent IN ('tigerbot', '*')
+            ),
+            group_rules AS (
+                SELECT host, rule, path_prefix
+                FROM ranked r
+                WHERE spec = (SELECT max(spec) FROM ranked r2
+                              WHERE r2.host = r.host)
+            ),
+            pages AS (
+                SELECT {_WEB_URL_SQL} AS url FROM documents
+            ),
+            keyed AS (
+                SELECT url,
+                       lower(regexp_extract(url,
+                           '^https?://([^/:?#]+)', 1)) AS phost,
+                       CASE WHEN regexp_replace(url,
+                                '^https?://[^/]+', '') = '' THEN '/'
+                            ELSE regexp_replace(url,
+                                '^https?://[^/]+', '')
+                       END AS ppath
+                FROM pages
+            ),
+            winners AS (
+                SELECT k.url,
+                       max(struct_pack(
+                           l := len(g.path_prefix)::INT,
+                           a := (g.rule = 'allow')::INT,
+                           r := g.rule,
+                           p := g.path_prefix
+                       )) AS w
+                FROM keyed k
+                LEFT JOIN group_rules g
+                  ON k.phost = g.host
+                 AND starts_with(k.ppath, g.path_prefix)
+                GROUP BY k.url
+            )
+            SELECT url,
+                   coalesce(w.r = 'allow', true) AS allowed,
+                   w.p AS matched_prefix
+            FROM winners
+            ORDER BY url
         """,
         "web_host_degrees": f"""
             WITH {_WEB_HOST_EDGES_CTE},

@@ -205,3 +205,92 @@ def test_extract_page_meta_passthrough_and_shape(spark):
         "canonical_url", "robots", "noindex", "nofollow",
     ]
     assert out.collect()[0]["doc_id"] == 7
+
+
+ROBOTS_BODY = """# example robots
+User-agent: *
+Disallow: /private
+Allow: /private/pub
+Disallow:
+
+User-agent: TigerBot
+Disallow: /tb
+Allow: /tb/ok
+"""
+
+
+def test_parse_robots_grouping_and_grammar(spark):
+    df = spark.createDataFrame(
+        [("a.example.com", ROBOTS_BODY),
+         ("empty.example.com", "# only comments\n\n")],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r["host"], r["agent"], r["rule"], r["path_prefix"])
+        for r in weblinks.parse_robots(df).collect()
+    }
+    assert rules == {
+        ("a.example.com", "*", "disallow", "/private"),
+        ("a.example.com", "*", "allow", "/private/pub"),
+        ("a.example.com", "tigerbot", "disallow", "/tb"),
+        ("a.example.com", "tigerbot", "allow", "/tb/ok"),
+    }  # empty Disallow dropped; comment-only host yields nothing
+
+
+def test_robots_allowed_rep_semantics(spark):
+    robots = spark.createDataFrame(
+        [("a.example.com", ROBOTS_BODY)], "host string, robots_txt string"
+    )
+    rules = weblinks.parse_robots(robots)
+    pages = spark.createDataFrame(
+        [(u,) for u in (
+            "https://a.example.com/",                 # no match -> allowed
+            "https://a.example.com/private/x",        # disallow /private
+            "https://a.example.com/private/pub/x",    # longest prefix: allow
+            "https://a.example.com/tb/ok/1",          # agent group
+            "https://b.example.com/anything",         # no robots -> allowed
+        )],
+        "url string",
+    )
+    # default agent '*': tigerbot group invisible
+    star = {r["url"]: r for r in weblinks.robots_allowed(pages, rules).collect()}
+    assert star["https://a.example.com/"]["allowed"] is True
+    assert star["https://a.example.com/"]["matched_prefix"] is None
+    assert star["https://a.example.com/private/x"]["allowed"] is False
+    assert star["https://a.example.com/private/pub/x"]["allowed"] is True
+    assert star["https://a.example.com/private/pub/x"]["matched_prefix"] == "/private/pub"
+    assert star["https://a.example.com/tb/ok/1"]["allowed"] is True  # '*' has no /tb rule
+    assert star["https://b.example.com/anything"]["allowed"] is True
+
+    # exact agent: its group SHADOWS '*' (no /private rule anymore)
+    tb = {
+        r["url"]: r
+        for r in weblinks.robots_allowed(pages, rules, agent="TigerBot").collect()
+    }
+    assert tb["https://a.example.com/private/x"]["allowed"] is True
+    assert tb["https://a.example.com/tb/ok/1"]["allowed"] is True   # allow /tb/ok
+    p = spark.createDataFrame(
+        [("https://a.example.com/tb/secret",)], "url string"
+    )
+    tb2 = weblinks.robots_allowed(p, rules, agent="tigerbot").collect()[0]
+    assert tb2["allowed"] is False and tb2["matched_prefix"] == "/tb"
+
+
+def test_robots_allowed_equal_length_allow_wins_and_plan(spark):
+    robots = spark.createDataFrame(
+        [("t.example.com",
+          "User-agent: *\nDisallow: /d\nAllow: /d\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    rules = weblinks.parse_robots(robots)
+    pages = spark.createDataFrame(
+        [("https://t.example.com/d/x",), ("https://t.example.com/y",)],
+        "url string",
+    )
+    out = weblinks.robots_allowed(pages, rules)
+    got = {r["url"]: r["allowed"] for r in out.collect()}
+    assert got["https://t.example.com/d/x"] is True   # tie -> allow wins
+    assert got["https://t.example.com/y"] is False    # Disallow: /
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the page side must not shuffle: one broadcast join, no page exchange
+    assert "BroadcastHashJoin" in plan, plan

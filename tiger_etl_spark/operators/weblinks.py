@@ -314,3 +314,147 @@ def host_edges_view(
         {"n_links": (None, "count")},
         transform=_links,
     )
+
+
+# robots.txt line grammar (the subset with identical semantics in Java
+# regex and RE2, shared verbatim with the SQL oracle): group headers and
+# allow/disallow rules; comments and unknown directives are ignored.
+ROBOTS_AGENT_RE = r"(?i)^\s*user-agent\s*:\s*([^#\s]+)"
+ROBOTS_RULE_RE = r"(?i)^\s*(allow|disallow)\s*:\s*([^#\s]*)"
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies into a rules table — one row per
+    ``(host, agent, rule, path_prefix, line_no)`` with ``rule`` in
+    {'allow','disallow'} and ``agent`` lower-cased.
+
+    Grouping is stateful across lines (a rule belongs to the most
+    recent User-agent header above it); that state is a running
+    ``last(..., ignorenulls)`` over a window partitioned by host and
+    ordered by line position — one keyed exchange on the host, no
+    Python. Rules before any User-agent header, comment lines, unknown
+    directives, and empty-path Disallow lines ("Disallow:" = allow all,
+    i.e. no rule) are dropped per the de-facto standard (REP,
+    RFC 9309).
+
+    Scale shape: robots bodies are small and one-per-host — the rules
+    table is ~10^2 rows per host at worst and broadcastable against any
+    page corpus.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col).cast("string"), r"\n")).alias(
+            "line_no", "_line"
+        ),
+    )
+    agent = F.regexp_extract("_line", ROBOTS_AGENT_RE, 1)
+    parsed = lines.select(
+        "host",
+        "line_no",
+        F.when(agent != "", F.lower(agent)).alias("_agent_hdr"),
+        F.lower(F.regexp_extract("_line", ROBOTS_RULE_RE, 1)).alias("_rule"),
+        F.regexp_extract("_line", ROBOTS_RULE_RE, 2).alias("_path"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = parsed.withColumn(
+        "agent", F.last("_agent_hdr", ignorenulls=True).over(w)
+    )
+    return grouped.where(
+        (F.col("_rule") != "")
+        & (F.col("_path") != "")
+        & F.col("agent").isNotNull()
+    ).select(
+        "host",
+        "agent",
+        F.col("_rule").alias("rule"),
+        F.col("_path").alias("path_prefix"),
+        "line_no",
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path+query of an http(s) url ('/' when absent) — the string
+    robots prefixes match against."""
+    p = F.regexp_replace(url, r"^https?://[^/]+", "")
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_allowed(
+    pages: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-page crawl permission under a parsed robots rules table
+    (:func:`parse_robots`), REP / RFC 9309 semantics:
+
+    - the group matched is the MOST SPECIFIC one that applies — an
+      exact ``agent`` group shadows the ``*`` group entirely (rules do
+      not merge across groups);
+    - within the group, the LONGEST matching path prefix wins;
+    - on equal length, Allow wins;
+    - no matching rule (or no robots.txt for the host) → allowed.
+
+    Adds ``allowed`` (boolean) and ``matched_prefix`` (nullable); all
+    input columns pass through untouched.
+
+    Plan shape (the 100 TB one): rules collapse to ONE array row per
+    host (robots bodies are small, so the per-host table is tiny and
+    broadcastable), pages broadcast-left-join that single row — no
+    fan-out, no shuffle of the page corpus, no window — and the
+    longest-prefix winner is an `array_max` over a filtered
+    struct array (lexicographic struct order = (prefix length,
+    allow-beats-disallow)), all inside the scan stage.
+    """
+    a = agent.lower()
+    applicable = rules.where(F.col("agent").isin(a, "*"))
+    # group selection: exact agent group shadows '*' — keep only rows
+    # whose specificity equals the host's max specificity
+    spec = F.when(F.col("agent") == a, F.lit(2)).otherwise(F.lit(1))
+    ranked = applicable.withColumn("_spec", spec)
+    host_max = ranked.groupBy("host").agg(F.max("_spec").alias("_maxspec"))
+    group = (
+        ranked.join(host_max, "host")
+        .where(F.col("_spec") == F.col("_maxspec"))
+        .select("host", "rule", "path_prefix")
+    )
+    per_host = group.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path_prefix").alias("l"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+                F.col("rule").alias("rule"),
+                F.col("path_prefix").alias("prefix"),
+            )
+        ).alias("_rules")
+    )
+    keep = list(pages.columns)
+    keyed = pages.withColumn("_host", host_of(F.col(url_col))).withColumn(
+        "_path", url_path(F.col(url_col))
+    )
+    joined = keyed.join(
+        F.broadcast(per_host), keyed["_host"] == per_host["host"], "left"
+    )
+    matched = F.filter(
+        F.coalesce(
+            "_rules",
+            F.array().cast(
+                "array<struct<l:int,a:int,rule:string,prefix:string>>"
+            ),
+        ),
+        lambda r: F.col("_path").startswith(r["prefix"]),
+    )
+    win = F.array_max(matched)
+    return joined.select(
+        *keep,
+        F.coalesce(win["rule"] == "allow", F.lit(True)).alias("allowed"),
+        win["prefix"].alias("matched_prefix"),
+    )
