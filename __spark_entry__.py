@@ -2139,6 +2139,39 @@ def web_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal / main-content extraction
+    (weblinks.extract_main_content — the jusText/boilerpipe
+    link-density heuristic): pages are synthesized with a
+    link-saturated nav, genuine prose paragraphs, a too-short block
+    and a link-heavy footer; the operator must keep exactly the prose.
+    Pure higher-order JVM expressions (split → transform → filter →
+    array_join), integer-ppm density — the oracle replays the whole
+    pipeline with DuckDB list functions over identically built
+    pages and the hash compare covers the extracted text itself."""
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.lit('<nav><a href="/">Home</a> <a href="/s">Search</a> '
+              '<a href="/l">Login</a></nav><p>'),
+        F.substring(F.col("text"), 1, 100),
+        F.lit("</p><p>tiny</p>"),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("<div>Extra section with plain words and no links "
+                      "here at all number "),
+                (i % 9).cast("string"),
+                F.lit("</div>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<footer><a href="/tos">terms</a> <a href="/p">privacy</a>'
+              "</footer>"),
+    )
+    pages = d.select("doc_id", html.cast("binary").alias("html"))
+    return weblinks.extract_main_content(pages).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2238,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_flags": doc_gopher_flags,
         "doc_compression_ratio": doc_compression_ratio,
         "web_robots_allowed": web_robots_allowed,
+        "web_main_content": web_main_content,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -3258,6 +3292,58 @@ def oracle_sql() -> dict[str, str]:
                    w.p AS matched_prefix
             FROM winners
             ORDER BY url
+        """,
+        "web_main_content": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<nav><a href="/">Home</a> <a href="/s">Search</a> '
+                       || '<a href="/l">Login</a></nav><p>'
+                       || substr(text, 1, 100)
+                       || '</p><p>tiny</p>'
+                       || CASE WHEN doc_id % 3 = 0 THEN
+                            '<div>Extra section with plain words and no '
+                            || 'links here at all number ' || (doc_id % 9)
+                            || '</div>'
+                          ELSE '' END
+                       || '<footer><a href="/tos">terms</a> '
+                       || '<a href="/p">privacy</a></footer>' AS html
+                FROM documents
+            ),
+            blocks AS (
+                SELECT doc_id,
+                       list_filter(
+                           list_transform(
+                               regexp_split_to_array(html,
+                                   '{weblinks.BLOCK_SPLIT_RE}'),
+                               b -> struct_pack(
+                                   t := trim(regexp_replace(
+                                       regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                       '\\s+', ' ', 'g')),
+                                   lc := coalesce(list_sum(list_transform(
+                                       regexp_extract_all(b,
+                                           '{weblinks.ANCHOR_TEXT_RE}', 1),
+                                       x -> len(trim(x)))), 0)
+                               )
+                           ),
+                           s -> len(s.t) > 0
+                       ) AS ne
+                FROM pages
+            ),
+            kept AS (
+                SELECT doc_id, ne,
+                       list_filter(ne,
+                           s -> len(string_split_regex(s.t, '\\s+')) >= 3
+                                AND s.lc * 1000000 <= 300000 * len(s.t)
+                       ) AS k
+                FROM blocks
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(k, s -> s.t), chr(10))
+                       AS main_text,
+                   CAST(len(k) AS BIGINT) AS n_blocks_kept,
+                   CAST(len(ne) AS BIGINT) AS n_blocks_total
+            FROM kept
+            ORDER BY doc_id
         """,
         "web_host_degrees": f"""
             WITH {_WEB_HOST_EDGES_CTE},

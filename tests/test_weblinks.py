@@ -294,3 +294,33 @@ def test_robots_allowed_equal_length_allow_wins_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the page side must not shuffle: one broadcast join, no page exchange
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_main_content_link_density(spark):
+    """Boilerplate removal: nav/footer chrome (short, link-saturated)
+    drops; body prose survives; block splitting handles nesting and
+    case-insensitive tags."""
+    html = (
+        b'<NAV><a href="/">Home</a> <a href="/a">About</a> '
+        b'<a href="/c">Contact</a></NAV>'
+        b"<p>This paragraph is genuine body prose with many plain words "
+        b"and zero links at all.</p>"
+        b"<p>ok</p>"  # too few words -> dropped
+        b'<div>Read the <a href="/d">docs</a> for this project; mostly '
+        b"prose with one short link inside a long sentence.</div>"
+        b'<footer><a href="/tos">terms of service</a> '
+        b'<a href="/priv">privacy policy</a> &copy;</footer>'
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html binary")
+    out = weblinks.extract_main_content(df).collect()[0]
+    assert "genuine body prose" in out["main_text"]
+    assert "docs" in out["main_text"]  # low-density block kept, tags gone
+    assert "Home" not in out["main_text"]
+    assert "terms of service" not in out["main_text"]
+    assert "<" not in out["main_text"]
+    assert out["n_blocks_kept"] == 2
+    assert out["n_blocks_total"] == 5
+    # empty page
+    empty = spark.createDataFrame([(1, b"")], "id long, html binary")
+    e = weblinks.extract_main_content(empty).collect()[0]
+    assert e["main_text"] == "" and e["n_blocks_total"] == 0

@@ -458,3 +458,97 @@ def robots_allowed(
         F.coalesce(win["rule"] == "allow", F.lit(True)).alias("allowed"),
         win["prefix"].alias("matched_prefix"),
     )
+
+
+# Block-level tags that delimit text blocks for boilerplate removal
+# (open OR close tag; inline tags like <a>/<b> stay inside the block).
+# Same cross-engine regex subset; \b is an ASCII word boundary in both
+# Java regex and RE2.
+BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|br|td|th|tr|ul|ol|table|section|article|"
+    r"header|footer|nav|aside|blockquote)\b[^>]*>"
+)
+# Anchor inner text (capture 1) — the chars counted as "link text" by
+# the density rule. Nested-markup anchors are skipped ([^<]*), same
+# convention as ANCHOR_PATTERN.
+ANCHOR_TEXT_RE = r"(?i)<a[^>]*>([^<]*)</a>"
+_MC_TAG_RE = r"<[^>]*>"
+_MC_WS_RE = r"\s+"
+
+
+def main_content_cols(
+    html: Column,
+    min_words: int = 3,
+    max_link_density_ppm: int = 300_000,
+) -> dict[str, Column]:
+    """Boilerplate removal / main-content extraction (the jusText /
+    boilerpipe link-density heuristic, the stage every web-text corpus
+    runs between fetch and quality filtering): split the page into
+    block-level segments, strip tags per block, and KEEP blocks that
+    have at least ``min_words`` words and whose anchor-text chars make
+    up at most ``max_link_density_ppm`` of the block's clean text —
+    navigation/footer chrome is short and link-saturated, body prose is
+    neither.
+
+    Pure JVM higher-order functions over one split of the html bytes
+    (transform → filter → array_join): no Python, no shuffle, runs
+    inside the scan stage at any corpus size. Link density uses integer
+    ppm arithmetic (comparator-exact). Returns ``main_text`` (kept
+    blocks joined by newline), ``n_blocks_kept``, ``n_blocks_total``
+    (blocks with any text at all).
+    """
+    blocks = F.split(html.cast("string"), BLOCK_SPLIT_RE)
+
+    def clean(b: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(b, _MC_TAG_RE, " "), _MC_WS_RE, " "
+            )
+        )
+
+    def link_chars(b: Column) -> Column:
+        return F.aggregate(
+            F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), F.lit(1)),
+            F.lit(0),
+            lambda acc, x: acc + F.length(F.trim(x)),
+        )
+
+    structs = F.transform(
+        blocks, lambda b: F.struct(clean(b).alias("t"), link_chars(b).alias("lc"))
+    )
+    nonempty = F.filter(structs, lambda s: F.length(s["t"]) > 0)
+
+    def words(t: Column) -> Column:
+        return F.size(F.split(t, _MC_WS_RE))
+
+    kept = F.filter(
+        nonempty,
+        lambda s: (words(s["t"]) >= min_words)
+        & (
+            s["lc"] * F.lit(1_000_000)
+            <= F.lit(max_link_density_ppm) * F.length(s["t"])
+        ),
+    )
+    return {
+        "main_text": F.array_join(
+            F.transform(kept, lambda s: s["t"]), "\n"
+        ),
+        "n_blocks_kept": F.size(kept).cast("long"),
+        "n_blocks_total": F.size(nonempty).cast("long"),
+    }
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    min_words: int = 3,
+    max_link_density_ppm: int = 300_000,
+) -> DataFrame:
+    """DataFrame form of :func:`main_content_cols`: all columns except
+    ``html_col`` pass through, plus main_text / n_blocks_kept /
+    n_blocks_total."""
+    keep = [c for c in df.columns if c != html_col]
+    cols = main_content_cols(
+        F.col(html_col), min_words, max_link_density_ppm
+    )
+    return df.select(*keep, *[c.alias(n) for n, c in cols.items()])
