@@ -79,7 +79,8 @@ def main() -> None:
         "detected_lang, content_fp; tracks n_tokens in per-file stats "
         "for export pruning), 'meta' (title, meta_description, "
         "canonical_url, robots, noindex, nofollow from the html head), "
-        "or 'standard+meta'; adds the columns to the table DDL at "
+        "'content' (boilerplate-stripped main_text + block counts), or "
+        "any '+' combination; adds the columns to the table DDL at "
         "creation (or evolves an existing table)",
     )
     ap.add_argument(

@@ -96,8 +96,8 @@ def main() -> None:
     ap.add_argument(
         "--enrich",
         default=None,
-        help="enricher preset spec ('standard', 'meta', or "
-        "'standard+meta') to apply during --replay-quarantine "
+        help="enricher preset spec ('standard', 'meta', 'content', or a "
+        "'+' combination) to apply during --replay-quarantine "
         "(MUST match what ingest used, or repaired rows land with "
         "NULL derived columns)",
     )

@@ -463,3 +463,58 @@ def test_ingest_page_meta_enrichment(spark, tmp_path, change_dir):
     b = got["https://meta.example.com/b"]
     assert b["title"] is None and b["robots"] is None
     assert b["noindex"] is False and b["nofollow"] is False
+
+
+def test_ingest_content_enrichment(spark, tmp_path):
+    """The 'content' preset stores boilerplate-stripped main_text at
+    ingest; stored values match the batch operator, and NULL-html
+    (tombstone payload) rows yield NULL main_text."""
+    import datetime
+
+    from tiger_etl_spark.cdc.pipeline import (
+        CONTENT_ENRICH_DDL,
+        content_enrichers,
+        resolve_enrich_spec,
+    )
+    from tiger_etl_spark.operators import weblinks
+
+    e, ddl = resolve_enrich_spec("standard+content")
+    assert "main_text" in e and "n_tokens" in e
+    assert "main_text string" in ddl
+
+    table = create_pages_table(
+        str(tmp_path / "pages_content"),
+        num_buckets=2,
+        enrich_ddl=CONTENT_ENRICH_DDL,
+    )
+    ts = datetime.datetime(2025, 3, 1)
+    html = (
+        b'<nav><a href="/">Home</a> <a href="/a">About</a> '
+        b'<a href="/c">More</a></nav>'
+        b"<p>real prose body with several plain words here</p>"
+    )
+    batch = spark.createDataFrame(
+        [
+            ("I", 1, "https://c.example.com/a", ts, None, html,
+             "en", 10, 2, "b"),
+            ("I", 2, "https://c.example.com/b", ts, None, None,
+             "en", 10, 2, "b"),
+        ],
+        EVENTS_READ_SCHEMA,
+    )
+    apply_changes(
+        spark, table, batch, batch_id=0, enrichers=content_enrichers()
+    )
+    got = {r["url"]: r for r in table.scan(spark).collect()}
+    a = got["https://c.example.com/a"]
+    exp = weblinks.extract_main_content(
+        spark.createDataFrame(
+            [("https://c.example.com/a", html)], "url string, html binary"
+        )
+    ).collect()[0]
+    assert a["main_text"] == exp["main_text"]
+    assert "real prose body" in a["main_text"]
+    assert "Home" not in a["main_text"]
+    assert a["n_blocks_kept"] == exp["n_blocks_kept"] == 1
+    b = got["https://c.example.com/b"]
+    assert b["main_text"] is None

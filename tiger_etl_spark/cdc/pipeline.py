@@ -139,11 +139,27 @@ def page_meta_enrichers() -> dict:
     return page_meta_cols(F.col("url"), F.col("html"))
 
 
+# Main-content preset (`--enrich content`): boilerplate-stripped body
+# text (jusText-style link-density rule over the raw html) stored next
+# to the tag-strip `text` column — exports can train on `main_text`
+# without ever re-touching html. Same fused winners-only stage.
+CONTENT_ENRICH_DDL = (
+    "main_text string, n_blocks_kept long, n_blocks_total long"
+)
+
+
+def content_enrichers() -> dict:
+    from tiger_etl_spark.operators.weblinks import main_content_cols
+
+    return main_content_cols(F.col("html"))
+
+
 # name → (enricher factory, DDL) for every named preset the jobs accept;
 # '+'-composed specs (e.g. 'standard+meta') merge dicts/DDLs in order.
 ENRICH_PRESETS: dict = {
     "standard": (standard_enrichers, STANDARD_ENRICH_DDL),
     "meta": (page_meta_enrichers, PAGE_META_ENRICH_DDL),
+    "content": (content_enrichers, CONTENT_ENRICH_DDL),
 }
 
 
