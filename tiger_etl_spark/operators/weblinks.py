@@ -331,7 +331,9 @@ def parse_robots(
     {'allow','disallow'} and ``agent`` lower-cased.
 
     Grouping is stateful across lines (a rule belongs to the most
-    recent User-agent header above it); that state is a running
+    recent User-agent header above it; the rarer REP form where several
+    consecutive User-agent headers share one rule block is out of scope
+    — only the last header of a run binds); that state is a running
     ``last(..., ignorenulls)`` over a window partitioned by host and
     ordered by line position — one keyed exchange on the host, no
     Python. Rules before any User-agent header, comment lines, unknown
@@ -435,13 +437,18 @@ def robots_allowed(
                 F.col("path_prefix").alias("prefix"),
             )
         ).alias("_rules")
-    )
+    ).withColumnRenamed("host", "_r_host")
+    # internal columns must not collide with passthrough page columns
+    # (a pages table may legitimately carry its own host column)
+    for c in ("_host", "_path", "_r_host", "_rules"):
+        if c in pages.columns:
+            raise ValueError(f"pages already has internal column {c!r}")
     keep = list(pages.columns)
     keyed = pages.withColumn("_host", host_of(F.col(url_col))).withColumn(
         "_path", url_path(F.col(url_col))
     )
     joined = keyed.join(
-        F.broadcast(per_host), keyed["_host"] == per_host["host"], "left"
+        F.broadcast(per_host), keyed["_host"] == per_host["_r_host"], "left"
     )
     matched = F.filter(
         F.coalesce(
