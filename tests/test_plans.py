@@ -317,3 +317,24 @@ def test_alpha_mixture_threshold_broadcast(spark):
     plan = plan_of(entrymod.doc_alpha_mixture_counts(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_page_meta_and_main_content_scan_stage_only(spark):
+    """The crawl-index extractors are pure scan-stage work: no shuffle
+    before the output sort, no Python eval node (codegen regex /
+    higher-order functions only)."""
+    for fn in (entrymod.web_page_meta, entrymod.web_main_content):
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+        # exactly the exchanges of the input-repartition + output sort:
+        # no aggregation/join exchange in between
+        assert "HashAggregate" not in plan and "Join" not in plan, plan
+
+
+def test_robots_allowed_broadcast_no_page_shuffle(spark):
+    """The robots gate joins the per-host rules array by broadcast —
+    the page corpus side must carry no hash-partitioning exchange."""
+    plan = plan_of(entrymod.web_robots_allowed(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
