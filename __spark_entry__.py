@@ -2172,6 +2172,30 @@ def web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weblinks.extract_main_content(pages).orderBy("doc_id")
 
 
+def web_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup groups — WHY crawl pipelines extract
+    rel=canonical: pages declaring the same canonical target are the
+    same logical document, deduped before training regardless of their
+    fetch urls. Composition of weblinks.extract_page_meta with a
+    keyed count: group key = declared canonical (fallback: own url),
+    keeper = lexicographic min url; only real duplicate groups
+    (n_pages >= 2) are returned. One map-side-combined shuffle on the
+    tiny (key) pairs."""
+    pages = _synth_meta_pages(spark, sf_dir)
+    meta = weblinks.extract_page_meta(pages)
+    key = F.coalesce(F.col("canonical_url"), F.col("url"))
+    return (
+        meta.select(key.alias("canonical_key"), "url")
+        .groupBy("canonical_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("url").alias("keeper_url"),
+        )
+        .where(F.col("n_pages") >= 2)
+        .orderBy("canonical_key")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2272,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_compression_ratio": doc_compression_ratio,
         "web_robots_allowed": web_robots_allowed,
         "web_main_content": web_main_content,
+        "web_canonical_groups": web_canonical_groups,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -3065,6 +3090,42 @@ def oracle_sql() -> dict[str, str]:
                 contains(robots_l, 'nofollow') AS nofollow
             FROM meta
             ORDER BY url
+        """,
+        "web_canonical_groups": f"""
+            WITH pages AS (
+                SELECT {_WEB_URL_SQL} AS url,
+                       CASE WHEN doc_id % 2 = 0 THEN
+                            '<link rel="canonical" href="/canon/'
+                            || (doc_id % 50) || '">'
+                         ELSE '' END AS html
+                FROM documents
+            ),
+            meta AS (
+                SELECT url,
+                       nullif(regexp_extract(html,
+                           '{weblinks.CANONICAL_PATTERN.replace(chr(39), chr(39) * 2)}',
+                           1), '') AS canon_raw
+                FROM pages
+            ),
+            keyed AS (
+                SELECT url,
+                       coalesce(
+                           CASE WHEN canon_raw IS NULL THEN NULL
+                                WHEN canon_raw LIKE '/%' THEN
+                                    regexp_extract(url,
+                                        '^(https?://[^/?#]+)', 1)
+                                    || canon_raw
+                                ELSE canon_raw END,
+                           url) AS canonical_key
+                FROM meta
+            )
+            SELECT canonical_key,
+                   count(*) AS n_pages,
+                   min(url) AS keeper_url
+            FROM keyed
+            GROUP BY canonical_key
+            HAVING count(*) >= 2
+            ORDER BY canonical_key
         """,
         "cdc_sequence_gaps": """
             WITH delivered AS (
