@@ -394,6 +394,7 @@ def robots_allowed(
     rules: DataFrame,
     agent: str = "*",
     url_col: str = "url",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-page crawl permission under a parsed robots rules table
     (:func:`parse_robots`), REP / RFC 9309 semantics:
@@ -408,13 +409,18 @@ def robots_allowed(
     Adds ``allowed`` (boolean) and ``matched_prefix`` (nullable); all
     input columns pass through untouched.
 
-    Plan shape (the 100 TB one): rules collapse to ONE array row per
-    host (robots bodies are small, so the per-host table is tiny and
-    broadcastable), pages broadcast-left-join that single row — no
-    fan-out, no shuffle of the page corpus, no window — and the
-    longest-prefix winner is an `array_max` over a filtered
-    struct array (lexicographic struct order = (prefix length,
-    allow-beats-disallow)), all inside the scan stage.
+    Plan shape: rules collapse to ONE array row per host, so the
+    right side is exactly one row per crawled host. With
+    ``broadcast=True`` (default; correct up to ~10^6 hosts) pages
+    broadcast-left-join that row — no fan-out, no shuffle of the page
+    corpus, no window — and the longest-prefix winner is an
+    `array_max` over a filtered struct array (lexicographic struct
+    order = (prefix length, allow-beats-disallow)) inside the scan
+    stage. At full web scale (10^8 hosts, rules in the GBs) pass
+    ``broadcast=False``: a plain equi-join on host, one row per host
+    on the build side; per-host page skew is the generic skew problem
+    AQE's skew-join split handles, and bucketing both tables by host
+    removes the shuffle entirely.
     """
     a = agent.lower()
     applicable = rules.where(F.col("agent").isin(a, "*"))
@@ -447,9 +453,8 @@ def robots_allowed(
     keyed = pages.withColumn("_host", host_of(F.col(url_col))).withColumn(
         "_path", url_path(F.col(url_col))
     )
-    joined = keyed.join(
-        F.broadcast(per_host), keyed["_host"] == per_host["_r_host"], "left"
-    )
+    rhs = F.broadcast(per_host) if broadcast else per_host
+    joined = keyed.join(rhs, keyed["_host"] == per_host["_r_host"], "left")
     matched = F.filter(
         F.coalesce(
             "_rules",
