@@ -2099,18 +2099,12 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def web_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt crawl gate (weblinks.parse_robots + robots_allowed,
-    REP / RFC 9309 semantics): per-host robots bodies are synthesized
-    deterministically — wildcard groups, an agent-specific group that
-    must SHADOW the wildcard one, a block-all host, hosts with no
-    robots at all, and an empty Disallow to exercise the grammar —
-    then every synthesized page is gated for agent 'tigerbot'.
-    Longest-prefix wins, allow beats disallow on ties, missing robots
-    allow. Plan: rules collapse to one array row per host and
-    broadcast; the page corpus never shuffles. The oracle re-parses
-    the SAME bodies with the SAME shared regexes in SQL and replays
-    the match with max(struct) ordering."""
+def _synth_robots(spark: SparkSession) -> DataFrame:
+    """Deterministic per-host robots.txt bodies (mirrored term-for-term
+    in the oracle CTE `_WEB_ROBOTS_RULES_CTES`): wildcard groups, an
+    agent-specific group that must SHADOW the wildcard one, a
+    block-all host, hosts with no robots at all (h % 7 == 3), and an
+    empty Disallow to exercise the grammar."""
     h = F.col("h")
     body = F.concat(
         F.lit("# synth robots\nUser-agent: *\nDisallow: /src0\nAllow: /src"),
@@ -2121,7 +2115,7 @@ def web_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit("\nDisallow:"),
     )
-    robots = (
+    return (
         spark.range(40)
         .select(F.col("id").alias("h"))
         .where(h % 7 != 3)
@@ -2132,7 +2126,18 @@ def web_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             body.alias("robots_txt"),
         )
     )
-    rules = weblinks.parse_robots(robots)
+
+
+def web_robots_allowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl gate (weblinks.parse_robots + robots_allowed,
+    REP / RFC 9309 semantics) over `_synth_robots` bodies: every
+    synthesized page gated for agent 'tigerbot'. Longest-prefix wins,
+    allow beats disallow on ties, missing robots allow, the exact
+    agent group shadows '*'. Plan: rules collapse to one array row per
+    host and broadcast; the page corpus never shuffles. The oracle
+    re-parses the SAME bodies with the SAME shared regexes in SQL and
+    replays the match with max(struct) ordering."""
+    rules = weblinks.parse_robots(_synth_robots(spark))
     pages = _synth_pages(spark, sf_dir).select("url")
     return weblinks.robots_allowed(pages, rules, agent="tigerbot").orderBy(
         "url"
@@ -2193,6 +2198,63 @@ def web_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_pages") >= 2)
         .orderBy("canonical_key")
+    )
+
+
+def web_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-curation funnel — fetched → robots-allowed
+    (REP gate, agent 'tigerbot') → indexable (no meta-robots noindex)
+    → has-content (boilerplate-stripped main text ≥ 10 words) — i.e.
+    the C4/RefinedWeb front half assembled from this round's operators
+    (robots_allowed + page_meta_cols + main_content_cols) in ONE pass:
+    all three gates are scan-stage expressions plus one broadcast
+    rules join, then a single conditional-sum aggregate unpivoted via
+    stack(). The oracle replays the full composition in SQL from the
+    shared robots CTEs and list pipelines."""
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    html = F.concat(
+        F.when(
+            i % 4 == 0, F.lit('<meta name="robots" content="noindex">')
+        ).otherwise(F.lit("")),
+        F.lit('<nav><a href="/">Home</a> <a href="/s">S</a> '
+              '<a href="/l">L</a></nav><p>'),
+        F.when(i % 6 == 1, F.lit("tiny")).otherwise(
+            F.substring(F.col("text"), 1, 100)
+        ),
+        F.lit('</p><footer><a href="/tos">terms</a> '
+              '<a href="/p">privacy</a></footer>'),
+    )
+    url = F.concat(
+        F.lit("https://host"), (i % 40).cast("string"),
+        F.lit(".example.com/"), F.col("source"),
+        F.lit("/"), i.cast("string"), F.lit(".html"),
+    )
+    pages = d.select(url.alias("url"), html.cast("binary").alias("html"))
+    rules = weblinks.parse_robots(_synth_robots(spark))
+    gated = weblinks.robots_allowed(pages, rules, agent="tigerbot")
+    noindex = weblinks.page_meta_cols(F.col("url"), F.col("html"))["noindex"]
+    mc = weblinks.main_content_cols(F.col("html"))
+    mw = F.when(F.length(mc["main_text"]) == 0, F.lit(0)).otherwise(
+        F.size(F.split(mc["main_text"], r"\s+"))
+    )
+    enr = gated.select(
+        F.col("allowed"), noindex.alias("noindex"), mw.alias("mw")
+    )
+    s1 = F.col("allowed")
+    s2 = s1 & ~F.col("noindex")
+    s3 = s2 & (F.col("mw") >= 10)
+    agg = enr.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'fetched', n0, 'robots_allowed', n1, "
+            "'indexable', n2, 'has_content', n3) AS (stage, n_pass)"
+        )
     )
 
 
@@ -2297,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_allowed": web_robots_allowed,
         "web_main_content": web_main_content,
         "web_canonical_groups": web_canonical_groups,
+        "web_crawl_funnel": web_crawl_funnel,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -2397,6 +2460,78 @@ _WEB_INCREMENTAL_CTE = f"""
         WHERE doc_id % 7 <> 0
     ),
     {_WEB_LINKS_TAIL_CTE}
+"""
+
+
+# robots.txt synthesis + parse + agent-group selection for agent
+# 'tigerbot', shared by the web_robots_allowed and web_crawl_funnel
+# oracles — mirrors _synth_robots + weblinks.parse_robots verbatim.
+_WEB_ROBOTS_RULES_CTES = f"""
+    bodies AS (
+                SELECT 'host' || h || '.example.com' AS host,
+                       '# synth robots' || chr(10)
+                       || 'User-agent: *' || chr(10)
+                       || 'Disallow: /src0' || chr(10)
+                       || 'Allow: /src' || (h % 3)
+                       || CASE WHEN h % 5 = 0
+                            THEN chr(10) || 'Disallow: /' ELSE '' END
+                       || CASE WHEN h % 4 = 0
+                            THEN chr(10) || 'User-agent: tigerbot'
+                                 || chr(10) || 'Disallow: /src1'
+                            ELSE '' END
+                       || chr(10) || 'Disallow:' AS body
+                FROM range(0, 40) t(h)
+                WHERE h % 7 <> 3
+            ),
+            rlines AS (
+                SELECT host,
+                       unnest(list_transform(
+                           string_split(body, chr(10)),
+                           (x, i) -> struct_pack(line := x, ln := i)
+                       )) AS r
+                FROM bodies
+            ),
+            parsed AS (
+                SELECT host, r.ln AS ln,
+                       CASE WHEN regexp_extract(r.line,
+                                '{weblinks.ROBOTS_AGENT_RE.replace(chr(39), chr(39) * 2)}',
+                                1) <> ''
+                            THEN lower(regexp_extract(r.line,
+                                '{weblinks.ROBOTS_AGENT_RE.replace(chr(39), chr(39) * 2)}',
+                                1))
+                       END AS agent_hdr,
+                       lower(regexp_extract(r.line,
+                           '{weblinks.ROBOTS_RULE_RE.replace(chr(39), chr(39) * 2)}',
+                           1)) AS rule,
+                       regexp_extract(r.line,
+                           '{weblinks.ROBOTS_RULE_RE.replace(chr(39), chr(39) * 2)}',
+                           2) AS path_prefix
+                FROM rlines
+            ),
+            grouped AS (
+                SELECT *,
+                       last_value(agent_hdr IGNORE NULLS) OVER (
+                           PARTITION BY host ORDER BY ln
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS agent
+                FROM parsed
+            ),
+            rules AS (
+                SELECT host, agent, rule, path_prefix
+                FROM grouped
+                WHERE rule <> '' AND path_prefix <> '' AND agent IS NOT NULL
+            ),
+            ranked AS (
+                SELECT *, CASE WHEN agent = 'tigerbot' THEN 2 ELSE 1 END
+                       AS spec
+                FROM rules WHERE agent IN ('tigerbot', '*')
+            ),
+            group_rules AS (
+                SELECT host, rule, path_prefix
+                FROM ranked r
+                WHERE spec = (SELECT max(spec) FROM ranked r2
+                              WHERE r2.host = r.host)
+            )
 """
 
 
@@ -3091,6 +3226,111 @@ def oracle_sql() -> dict[str, str]:
             FROM meta
             ORDER BY url
         """,
+        "web_crawl_funnel": f"""
+            WITH {_WEB_ROBOTS_RULES_CTES},
+            pages AS (
+                SELECT {_WEB_URL_SQL} AS url,
+                       CASE WHEN doc_id % 4 = 0 THEN
+                            '<meta name="robots" content="noindex">'
+                         ELSE '' END
+                       || '<nav><a href="/">Home</a> <a href="/s">S</a> '
+                       || '<a href="/l">L</a></nav><p>'
+                       || CASE WHEN doc_id % 6 = 1 THEN 'tiny'
+                            ELSE substr(text, 1, 100) END
+                       || '</p><footer><a href="/tos">terms</a> '
+                       || '<a href="/p">privacy</a></footer>' AS html
+                FROM documents
+            ),
+            meta AS (
+                SELECT url,
+                       contains(lower(coalesce(nullif(regexp_extract(html,
+                           '{weblinks.META_ROBOTS_PATTERN.replace(chr(39), chr(39) * 2)}',
+                           1), ''), '')), 'noindex') AS noindex
+                FROM pages
+            ),
+            blocks AS (
+                SELECT url,
+                       list_filter(
+                           list_transform(
+                               regexp_split_to_array(html,
+                                   '{weblinks.BLOCK_SPLIT_RE}'),
+                               b -> struct_pack(
+                                   t := trim(regexp_replace(
+                                       regexp_replace(b, '<[^>]*>', ' ', 'g'),
+                                       '\\s+', ' ', 'g')),
+                                   lc := coalesce(list_sum(list_transform(
+                                       regexp_extract_all(b,
+                                           '{weblinks.ANCHOR_TEXT_RE}', 1),
+                                       x -> len(trim(x)))), 0)
+                               )
+                           ),
+                           s -> len(s.t) > 0
+                       ) AS ne
+                FROM pages
+            ),
+            contentw AS (
+                SELECT url,
+                       array_to_string(list_transform(
+                           list_filter(ne,
+                               s -> len(string_split_regex(s.t, '\\s+')) >= 3
+                                    AND s.lc * 1000000 <= 300000 * len(s.t)),
+                           s -> s.t), chr(10)) AS main_text
+                FROM blocks
+            ),
+            mwords AS (
+                SELECT url,
+                       CASE WHEN len(main_text) = 0 THEN 0
+                            ELSE len(string_split_regex(main_text, '\\s+'))
+                       END AS mw
+                FROM contentw
+            ),
+            keyed AS (
+                SELECT url,
+                       lower(regexp_extract(url,
+                           '^https?://([^/:?#]+)', 1)) AS phost,
+                       CASE WHEN regexp_replace(url,
+                                '^https?://[^/]+', '') = '' THEN '/'
+                            ELSE regexp_replace(url,
+                                '^https?://[^/]+', '')
+                       END AS ppath
+                FROM pages
+            ),
+            winners AS (
+                SELECT k.url,
+                       coalesce(max(struct_pack(
+                           l := len(g.path_prefix)::INT,
+                           a := (g.rule = 'allow')::INT,
+                           r := g.rule,
+                           p := g.path_prefix
+                       )).r = 'allow', true) AS allowed
+                FROM keyed k
+                LEFT JOIN group_rules g
+                  ON k.phost = g.host
+                 AND starts_with(k.ppath, g.path_prefix)
+                GROUP BY k.url
+            ),
+            joined AS (
+                SELECT w.allowed, m.noindex, c.mw
+                FROM winners w
+                JOIN meta m ON w.url = m.url
+                JOIN mwords c ON w.url = c.url
+            ),
+            agg AS (
+                SELECT count(*) AS n0,
+                       sum(allowed::INT) AS n1,
+                       sum((allowed AND NOT noindex)::INT) AS n2,
+                       sum((allowed AND NOT noindex AND mw >= 10)::INT)
+                           AS n3
+                FROM joined
+            )
+            SELECT 'fetched' AS stage, CAST(n0 AS BIGINT) AS n_pass FROM agg
+            UNION ALL
+            SELECT 'robots_allowed', CAST(n1 AS BIGINT) FROM agg
+            UNION ALL
+            SELECT 'indexable', CAST(n2 AS BIGINT) FROM agg
+            UNION ALL
+            SELECT 'has_content', CAST(n3 AS BIGINT) FROM agg
+        """,
         "web_canonical_groups": f"""
             WITH pages AS (
                 SELECT {_WEB_URL_SQL} AS url,
@@ -3255,71 +3495,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "web_robots_allowed": f"""
-            WITH bodies AS (
-                SELECT 'host' || h || '.example.com' AS host,
-                       '# synth robots' || chr(10)
-                       || 'User-agent: *' || chr(10)
-                       || 'Disallow: /src0' || chr(10)
-                       || 'Allow: /src' || (h % 3)
-                       || CASE WHEN h % 5 = 0
-                            THEN chr(10) || 'Disallow: /' ELSE '' END
-                       || CASE WHEN h % 4 = 0
-                            THEN chr(10) || 'User-agent: tigerbot'
-                                 || chr(10) || 'Disallow: /src1'
-                            ELSE '' END
-                       || chr(10) || 'Disallow:' AS body
-                FROM range(0, 40) t(h)
-                WHERE h % 7 <> 3
-            ),
-            rlines AS (
-                SELECT host,
-                       unnest(list_transform(
-                           string_split(body, chr(10)),
-                           (x, i) -> struct_pack(line := x, ln := i)
-                       )) AS r
-                FROM bodies
-            ),
-            parsed AS (
-                SELECT host, r.ln AS ln,
-                       CASE WHEN regexp_extract(r.line,
-                                '{weblinks.ROBOTS_AGENT_RE.replace(chr(39), chr(39) * 2)}',
-                                1) <> ''
-                            THEN lower(regexp_extract(r.line,
-                                '{weblinks.ROBOTS_AGENT_RE.replace(chr(39), chr(39) * 2)}',
-                                1))
-                       END AS agent_hdr,
-                       lower(regexp_extract(r.line,
-                           '{weblinks.ROBOTS_RULE_RE.replace(chr(39), chr(39) * 2)}',
-                           1)) AS rule,
-                       regexp_extract(r.line,
-                           '{weblinks.ROBOTS_RULE_RE.replace(chr(39), chr(39) * 2)}',
-                           2) AS path_prefix
-                FROM rlines
-            ),
-            grouped AS (
-                SELECT *,
-                       last_value(agent_hdr IGNORE NULLS) OVER (
-                           PARTITION BY host ORDER BY ln
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS agent
-                FROM parsed
-            ),
-            rules AS (
-                SELECT host, agent, rule, path_prefix
-                FROM grouped
-                WHERE rule <> '' AND path_prefix <> '' AND agent IS NOT NULL
-            ),
-            ranked AS (
-                SELECT *, CASE WHEN agent = 'tigerbot' THEN 2 ELSE 1 END
-                       AS spec
-                FROM rules WHERE agent IN ('tigerbot', '*')
-            ),
-            group_rules AS (
-                SELECT host, rule, path_prefix
-                FROM ranked r
-                WHERE spec = (SELECT max(spec) FROM ranked r2
-                              WHERE r2.host = r.host)
-            ),
+            WITH {_WEB_ROBOTS_RULES_CTES},
             pages AS (
                 SELECT {_WEB_URL_SQL} AS url FROM documents
             ),
