@@ -2258,6 +2258,47 @@ def web_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multiscript suffixes planted by doc_script_mix (ASCII-safe chr()
+# construction, shared verbatim with its oracle): Cyrillic, CJK,
+# Arabic, Devanagari words.
+_SCRIPT_SUFFIXES = (
+    " " + "".join(chr(c) for c in (0x043F, 0x0440, 0x0438, 0x0432, 0x0435, 0x0442)),
+    " " + "".join(chr(c) for c in (0x4F60, 0x597D, 0x4E16, 0x754C)),
+    " " + "".join(chr(c) for c in (0x0645, 0x0631, 0x062D, 0x0628, 0x0627)),
+    " " + "".join(chr(c) for c in (0x0928, 0x092E, 0x0938, 0x094D, 0x0924, 0x0947)),
+)
+
+
+def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system router (functions/text.py script_mix_cols): the
+    char-class scan every multilingual corpus runs BEFORE language ID —
+    per-script char counts + dominant script label, one codegen regex
+    pass per script over explicit codepoint ranges (identical in Java
+    regex, RE2 and the oracle). Non-Latin words are planted
+    deterministically so every script path is exercised; short planted
+    words never outweigh the Latin body, so `script` stays 'latin' —
+    the COUNTS carry the cross-engine signal, and doc 0-mod-20 gets a
+    pure-Cyrillic body to flip the label too."""
+    from tiger_etl_spark.functions.text import script_mix_cols
+
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    body = F.when(
+        i % 20 == 0, F.concat_ws(" ", *[F.lit(_SCRIPT_SUFFIXES[0].strip())] * 9)
+    ).otherwise(F.col("text"))
+    aug = F.concat(
+        body,
+        F.when(i % 5 == 0, F.lit(_SCRIPT_SUFFIXES[0])).otherwise(F.lit("")),
+        F.when(i % 5 == 1, F.lit(_SCRIPT_SUFFIXES[1])).otherwise(F.lit("")),
+        F.when(i % 5 == 2, F.lit(_SCRIPT_SUFFIXES[2])).otherwise(F.lit("")),
+        F.when(i % 5 == 3, F.lit(_SCRIPT_SUFFIXES[3])).otherwise(F.lit("")),
+    )
+    cols = script_mix_cols(aug)
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -2360,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_main_content": web_main_content,
         "web_canonical_groups": web_canonical_groups,
         "web_crawl_funnel": web_crawl_funnel,
+        "doc_script_mix": doc_script_mix,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
         "doc_contamination": doc_contamination,
@@ -2461,6 +2503,47 @@ _WEB_INCREMENTAL_CTE = f"""
     ),
     {_WEB_LINKS_TAIL_CTE}
 """
+
+
+def _script_mix_sql() -> str:
+    """doc_script_mix oracle: mirrors script_mix_cols + the planted
+    suffixes (same SCRIPT_RANGES and _SCRIPT_SUFFIXES constants)."""
+    from tiger_etl_spark.functions.text import SCRIPT_RANGES
+
+    cyr_body = " ".join([_SCRIPT_SUFFIXES[0].strip()] * 9)
+    counts = ",\n                       ".join(
+        f"CAST(len(t) - len(regexp_replace(t, '[{rng}]', '', 'g')) "
+        f"AS BIGINT) AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    names = list(SCRIPT_RANGES)
+    greatest = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    label = "CASE " + " ".join(
+        f"WHEN n_{n} = g AND g > 0 THEN '{n}'" for n in names
+    ) + " ELSE 'other' END"
+    return f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 20 = 0 THEN '{cyr_body}'
+                            ELSE text END
+                       || CASE WHEN doc_id % 5 = 0 THEN '{_SCRIPT_SUFFIXES[0]}' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 1 THEN '{_SCRIPT_SUFFIXES[1]}' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 2 THEN '{_SCRIPT_SUFFIXES[2]}' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 3 THEN '{_SCRIPT_SUFFIXES[3]}' ELSE '' END
+                       AS t
+                FROM documents
+            ),
+            counted AS (
+                SELECT doc_id,
+                       {counts}
+                FROM aug
+            ),
+            g AS (SELECT *, {greatest} AS g FROM counted)
+            SELECT doc_id, {", ".join("n_" + n for n in names)},
+                   {label} AS script
+            FROM g
+            ORDER BY doc_id
+        """
 
 
 # robots.txt synthesis + parse + agent-group selection for agent
@@ -3226,6 +3309,7 @@ def oracle_sql() -> dict[str, str]:
             FROM meta
             ORDER BY url
         """,
+        "doc_script_mix": _script_mix_sql(),
         "web_crawl_funnel": f"""
             WITH {_WEB_ROBOTS_RULES_CTES},
             pages AS (

@@ -771,3 +771,35 @@ def test_compression_ratio_signal(spark):
     assert got[2] < got[1] / 4
     again = {r["id"]: r["r"] for r in sel.collect()}
     assert again == got
+
+
+def test_script_mix_routing(spark):
+    """script_mix_cols: per-script counts and dominant-script label on
+    planted single- and mixed-script docs; empty/no-script -> 'other';
+    ties break in SCRIPT_RANGES order."""
+    from pyspark.sql import functions as F
+
+    from tiger_etl_spark.functions.text import script_mix_cols
+
+    cyr = "".join(chr(c) for c in range(0x0430, 0x0438))
+    cjk = "".join(chr(c) for c in range(0x4E00, 0x4E06))
+    cases = [
+        (1, "plain latin words"),
+        (2, cyr),
+        (3, cjk + " tiny"),
+        (4, "12345 ... !!"),
+        (5, ""),
+        (6, "ab " + cyr[:2]),  # 2 latin vs 2 cyrillic -> tie -> latin first
+    ]
+    df = spark.createDataFrame(cases, "id long, t string")
+    cols = script_mix_cols(F.col("t"))
+    got = {
+        r["id"]: r
+        for r in df.select("id", *[c.alias(n) for n, c in cols.items()]).collect()
+    }
+    assert got[1]["script"] == "latin" and got[1]["n_latin"] == 15
+    assert got[2]["script"] == "cyrillic" and got[2]["n_cyrillic"] == 8
+    assert got[3]["script"] == "cjk" and got[3]["n_latin"] == 4
+    assert got[4]["script"] == "other"
+    assert got[5]["script"] == "other"
+    assert got[6]["script"] == "latin"

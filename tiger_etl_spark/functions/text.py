@@ -403,3 +403,47 @@ def compression_ratio_ppm_udf(text: pd.Series) -> pd.Series:
         return len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
 
     return text.map(ratio)
+
+
+# Writing-system ranges as EXPLICIT codepoint ranges (not \p{Script=..}
+# classes — Java regex and RE2 name scripts differently, literal ranges
+# behave identically in both and in the DuckDB oracle). Core BMP blocks
+# only: the goal is corpus routing, not full Unicode coverage.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "cyrillic": chr(0x0400) + "-" + chr(0x04FF),
+    "greek": chr(0x0370) + "-" + chr(0x03FF),
+    "arabic": chr(0x0600) + "-" + chr(0x06FF),
+    "devanagari": chr(0x0900) + "-" + chr(0x097F),
+    "cjk": chr(0x4E00) + "-" + chr(0x9FFF),
+    "hangul": chr(0xAC00) + "-" + chr(0xD7AF),
+}
+
+
+def script_mix_cols(text: Column) -> dict[str, Column]:
+    """Writing-system composition of a document — per-script character
+    counts plus the dominant ``script`` label ('other' when no script
+    chars at all; ties break in SCRIPT_RANGES order). The router every
+    multilingual web corpus needs BEFORE language ID: a char-class scan
+    is orders of magnitude cheaper than any LM and decides which
+    language-ID/tokenizer family even applies.
+
+    Counts are `length(text) - length(regexp_replace(text, '[range]',
+    ''))` — one codegen'd regex pass per script, no Python, no shuffle.
+    """
+    counts = {
+        name: (
+            F.length(text)
+            - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+        ).cast("long")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    best = F.greatest(*counts.values())
+    script = F.lit("other")
+    for name in reversed(list(counts)):
+        script = F.when(
+            (counts[name] == best) & (best > 0), F.lit(name)
+        ).otherwise(script)
+    out = {f"n_{name}": c for name, c in counts.items()}
+    out["script"] = script
+    return out
