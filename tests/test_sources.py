@@ -137,3 +137,67 @@ def test_warc_stream_end_to_end_parity(spark, tmp_path, warc_dir):
         assert rows[url]["text"] == e["text"]
         got = rows[url]["html"]
         assert (bytes(got) if got is not None else None) == e["html"]
+
+
+@pytest.fixture(scope="module")
+def dbz_dir(tmp_path_factory):
+    ev = gen_change_events(seed=13, n=N_EVENTS, n_hosts=30)
+    d = str(tmp_path_factory.mktemp("changes_dbz"))
+    write_change_files(ev, d, n_files=N_FILES, file_format="debezium")
+    return d
+
+
+def test_debezium_decode_matches_parquet(spark, dirs, dbz_dir):
+    """Debezium before/after envelopes decode to the identical
+    normalized rows as the parquet change files: c/u/d op codes mapped
+    back, delete key images read from `before`, payload bytes and
+    microsecond timestamps exact, invalid-fixture rows (unknown op,
+    null url/ts) surviving verbatim for the quarantine path."""
+    pq_dir, _ = dirs
+    cols = ["op", "op_seq", "url", "warc_ts", "body", "html", "lang",
+            "content_len", "schema_id"]
+
+    def norm(df):
+        return sorted(
+            (
+                tuple(
+                    bytes(v) if isinstance(v, (bytes, bytearray)) else v
+                    for v in r
+                )
+                for r in df.select(cols).collect()
+            )
+        )
+
+    a = norm(read_change_batch(spark, pq_dir + "/*.parquet", "parquet"))
+    b = norm(read_change_batch(spark, dbz_dir + "/*.debezium", "debezium"))
+    assert a == b
+
+
+def test_debezium_oracle_matches_parquet_oracle(dirs, dbz_dir):
+    pq_dir, _ = dirs
+    a = oracle.replay_dir(pq_dir)
+    b = oracle.replay_dir(dbz_dir)
+    assert set(a) == set(b)
+    for url in a:
+        assert a[url] == b[url]
+
+
+def test_debezium_stream_end_to_end_parity(spark, tmp_path, dbz_dir):
+    tp = str(tmp_path / "pages_dbz")
+    create_pages_table(tp, num_buckets=4)
+    res = run_stream(
+        spark,
+        dbz_dir,
+        tp,
+        str(tmp_path / "ckpt_dbz"),
+        max_files_per_trigger=2,
+        file_format="debezium",
+    )
+    assert res.batches_applied == 3
+    expected = oracle.replay_dir(dbz_dir)
+    rows = {r["url"]: r for r in LakeTable.load(tp).scan(spark).collect()}
+    assert set(rows) == set(expected)
+    for url, e in expected.items():
+        assert rows[url]["text"] == e["text"]
+        got = rows[url]["html"]
+        assert (bytes(got) if got is not None else None) == e["html"]

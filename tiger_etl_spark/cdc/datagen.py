@@ -272,6 +272,55 @@ def _slice_warc(ev: dict, idx: np.ndarray, schema_id: int, batch_file: str) -> s
     return "\n\n".join(recs)
 
 
+# Debezium op codes on the wire; unknown (invalid-fixture) ops pass
+# through verbatim so the quarantine path sees the same bytes.
+_DBZ_OP = {"I": "c", "U": "u", "D": "d"}
+
+
+def _slice_debezium(ev: dict, idx: np.ndarray, schema_id: int, batch_file: str) -> str:
+    """Debezium-style change-event envelope, one JSON object per line —
+    the literal shape a binlog/WAL connector (Debezium with schemas
+    disabled, Maxwell) forwards: `before`/`after` row images, a
+    `source` block carrying the WAL position (`lsn` = op_seq) and
+    commit time, and single-letter op codes (c/u/d). Deletes carry the
+    key in `before` with `after` null; inserts/updates carry the row in
+    `after` with `before` null (REPLICA IDENTITY DEFAULT — no
+    pre-image). Event time rides as epoch micros in `source.ts_us`
+    (Debezium's ts_ms is kept too but is millisecond-lossy) and in the
+    row image, so the decode is exact to the microsecond."""
+    import base64
+    import json
+
+    lines = []
+    for i in idx:
+        ts_us = None if ev["ts_null"][i] else int(ev["warc_ts_us"][i])
+        html = ev["html"][i]
+        b64 = base64.b64encode(html).decode("ascii") if html is not None else None
+        image: dict = {"url": ev["url"][i], "warc_ts_us": ts_us}
+        if schema_id == 1:
+            image["body_b64"] = b64
+        else:
+            image["html_b64"] = b64
+            image["lang"] = ev["lang"][i]
+        clen = ev["content_len"][i]
+        image["content_len"] = None if clen < 0 else int(clen)
+        op = ev["op"][i]
+        rec = {
+            "before": image if op == "D" else None,
+            "after": None if op == "D" else image,
+            "source": {
+                "lsn": int(ev["op_seq"][i]),
+                "ts_us": ts_us,
+                "schema_id": schema_id,
+                "file": batch_file,
+            },
+            "op": _DBZ_OP.get(op, op),
+            "ts_ms": ts_us // 1000 if ts_us is not None else None,
+        }
+        lines.append(json.dumps(rec, separators=(",", ":")))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
 def write_change_files(
     ev: dict,
     out_dir: str,
@@ -285,7 +334,7 @@ def write_change_files(
     `evolution_at` (FIXTURES.md §2–§3). `file_format`: "parquet"
     (columnar change files) or "jsonl" (text-WAL tail, one JSON object
     per line, binary as base64)."""
-    if file_format not in ("parquet", "jsonl", "warc"):
+    if file_format not in ("parquet", "jsonl", "warc", "debezium"):
         raise ValueError(f"unsupported change-file format: {file_format}")
     os.makedirs(out_dir, exist_ok=True)
     n = len(ev["op_seq"])
@@ -309,6 +358,9 @@ def write_change_files(
         elif file_format == "warc":
             with open(path, "w", encoding="utf-8") as fh:
                 fh.write(_slice_warc(ev, file_idx, schema_id, name))
+        elif file_format == "debezium":
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(_slice_debezium(ev, file_idx, schema_id, name))
         else:
             with open(path, "w", encoding="utf-8") as fh:
                 fh.write(_slice_jsonl(ev, file_idx, schema_id, name))

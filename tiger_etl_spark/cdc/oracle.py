@@ -131,18 +131,64 @@ def _read_warc_rows(path: str) -> list[dict]:
     return rows
 
 
+def _read_debezium_rows(path: str) -> list[dict]:
+    """Debezium-envelope change lines → parquet-reader-shaped row
+    dicts: row image from `after` (c/u) or `before` (d key image),
+    op codes c/u/d mapped back to I/U/D (unknown codes pass through),
+    event time from the image falling back to `source.ts_us`."""
+    import base64
+    import json
+    from datetime import datetime, timedelta, timezone
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    unmap = {"c": "I", "u": "U", "d": "D"}
+    rows = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            image = rec.get("after") or rec.get("before") or {}
+            src = rec.get("source") or {}
+            us = image.get("warc_ts_us")
+            if us is None:
+                us = src.get("ts_us")
+            row: dict = {
+                "op": unmap.get(rec.get("op"), rec.get("op")),
+                "op_seq": src.get("lsn"),
+                "url": image.get("url"),
+                "schema_id": src.get("schema_id"),
+                "batch_file": src.get("file"),
+                "content_len": image.get("content_len"),
+                "warc_ts": (
+                    epoch + timedelta(microseconds=us) if us is not None else None
+                ),
+            }
+            if "lang" in image:
+                row["lang"] = image["lang"]
+            for b64_key, bin_key in (("body_b64", "body"), ("html_b64", "html")):
+                if b64_key in image:
+                    v = image[b64_key]
+                    row[bin_key] = base64.b64decode(v) if v is not None else None
+            rows.append(row)
+    return rows
+
+
 def read_change_files(change_dir: str) -> list[dict]:
     events = []
     paths = sorted(
         glob.glob(os.path.join(change_dir, "*.parquet"))
         + glob.glob(os.path.join(change_dir, "*.jsonl"))
         + glob.glob(os.path.join(change_dir, "*.warc"))
+        + glob.glob(os.path.join(change_dir, "*.debezium"))
     )
     for path in paths:
         if path.endswith(".jsonl"):
             rows = _read_jsonl_rows(path)
         elif path.endswith(".warc"):
             rows = _read_warc_rows(path)
+        elif path.endswith(".debezium"):
+            rows = _read_debezium_rows(path)
         else:
             rows = pq.read_table(path).to_pylist()
         for row in rows:

@@ -13,8 +13,13 @@ directory read, in either physical format.
   lines, blank-line separated). The text reader splits records via
   `lineSep`; each field is one codegen'd `regexp_extract`, payload
   decode the same `unbase64` path as JSONL.
+- "debezium": Debezium/Maxwell change-event envelopes (one JSON object
+  per line, schemas disabled): `before`/`after` row images, `source`
+  block with WAL position (`lsn`) and commit time, single-letter op
+  codes c/u/d. The decode flattens the nested structs with
+  `coalesce(after.x, before.x)` — all JVM-side.
 
-Both return the same EVENTS_READ_SCHEMA column set, so everything
+All formats return the same EVENTS_READ_SCHEMA column set, so everything
 downstream (validate → schema-id mapping → fused dedup+extract → MERGE)
 is format-agnostic. Scale: the JSON parse is Jackson inside whole-stage
 codegen and the explicit schema prevents the runaway schema-inference
@@ -66,6 +71,77 @@ def _decode_jsonl(df: DataFrame) -> DataFrame:
     )
 
 
+# Row image inside a Debezium envelope: the pages-table columns as a
+# connector would forward them (binary as base64, event time as epoch
+# micros, both schema eras' fields present — absent fields read NULL).
+_DEBEZIUM_IMAGE = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts_us", T.LongType(), True),
+        T.StructField("body_b64", T.StringType(), True),
+        T.StructField("html_b64", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content_len", T.LongType(), True),
+    ]
+)
+
+# Debezium-with-schemas-disabled envelope: before/after row images,
+# source block with WAL position + commit time, single-letter op.
+EVENTS_DEBEZIUM_SCHEMA = T.StructType(
+    [
+        T.StructField("before", _DEBEZIUM_IMAGE, True),
+        T.StructField("after", _DEBEZIUM_IMAGE, True),
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("lsn", T.LongType(), True),
+                    T.StructField("ts_us", T.LongType(), True),
+                    T.StructField("schema_id", T.IntegerType(), True),
+                    T.StructField("file", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+    ]
+)
+
+
+def _decode_debezium(df: DataFrame) -> DataFrame:
+    """Debezium envelope → EVENTS_READ_SCHEMA columns. The row image is
+    `after` for c/u (no pre-image under REPLICA IDENTITY DEFAULT) and
+    `before` for d (key image), so every field reads
+    `coalesce(after.x, before.x)`; op codes map c/u/d → I/U/D with
+    unknown codes passed through verbatim (they hit the same
+    quarantine rules as on the other wire formats). All JVM
+    expressions — no Python in the row loop."""
+
+    def img(field: str) -> F.Column:
+        return F.coalesce(F.col(f"after.{field}"), F.col(f"before.{field}"))
+
+    op = F.col("op")
+    return df.select(
+        F.when(op == "c", F.lit("I"))
+        .when(op == "u", F.lit("U"))
+        .when(op == "d", F.lit("D"))
+        .otherwise(op)
+        .alias("op"),
+        F.col("source.lsn").alias("op_seq"),
+        img("url").alias("url"),
+        F.timestamp_micros(F.coalesce(img("warc_ts_us"), F.col("source.ts_us"))).alias(
+            "warc_ts"
+        ),
+        F.unbase64(img("body_b64")).alias("body"),
+        F.unbase64(img("html_b64")).alias("html"),
+        img("lang").alias("lang"),
+        img("content_len").alias("content_len"),
+        F.col("source.schema_id").alias("schema_id"),
+        F.col("source.file").alias("batch_file"),
+    )
+
+
 def _decode_warc(df: DataFrame) -> DataFrame:
     """WARC-style header-block records → EVENTS_READ_SCHEMA columns.
     One record per row (the reader splits on the blank line via
@@ -107,6 +183,10 @@ def read_change_batch(
         return _decode_jsonl(spark.read.schema(EVENTS_JSONL_SCHEMA).json(path))
     if file_format == "warc":
         return _decode_warc(spark.read.option("lineSep", "\n\n").text(path))
+    if file_format == "debezium":
+        return _decode_debezium(
+            spark.read.schema(EVENTS_DEBEZIUM_SCHEMA).json(path)
+        )
     raise ValueError(f"unsupported change-file format: {file_format}")
 
 
@@ -131,4 +211,7 @@ def read_change_stream(
     if file_format == "warc":
         raw = reader.option("lineSep", "\n\n").text(change_dir)
         return _decode_warc(raw)
+    if file_format == "debezium":
+        src = reader.schema(EVENTS_DEBEZIUM_SCHEMA).json(change_dir)
+        return _decode_debezium(src)
     raise ValueError(f"unsupported change-file format: {file_format}")
