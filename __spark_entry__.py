@@ -25,6 +25,7 @@ from tiger_etl_spark.operators import (  # noqa: E402
     crud,
     dedup,
     dedup_ingest,
+    dsir,
     graph,
     profile,
     scan_ops,
@@ -1352,6 +1353,19 @@ def doc_alpha_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (Xie et al. 2023,
+    operators/dsir.py): top 50 docs by hashed-ngram log-likelihood
+    ratio toward the English subset as target. Unigram+bigram features
+    md5-hashed into 4096 buckets; the two fitted models are 4096-row
+    broadcast tables; log-probs quantized to integer micro-nats so the
+    per-doc weight is engine-exact integer arithmetic."""
+    d = _t_wide(spark, sf_dir, "documents")
+    return dsir.dsir_select(
+        d, d.where(F.col("lang") == "en"), n_buckets=4096, k=50
+    )
+
+
 def doc_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling — 20 docs per language by deterministic
     md5-hash order; the hash-threshold prefilter bounds the per-stratum
@@ -2367,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
         "doc_lang_sample": doc_lang_sample,
         "doc_source_quota": doc_source_quota,
+        "doc_dsir_select": doc_dsir_select,
         "url_canonical_dedup": url_canonical_dedup,
         "doc_top_tokens": doc_top_tokens,
         "doc_top_bigrams": doc_top_bigrams,
@@ -3807,6 +3822,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, count(*) AS occurrences FROM grams
             GROUP BY ngram ORDER BY occurrences DESC, ngram LIMIT 20
+        """,
+        "doc_dsir_select": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(w) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+                FROM toks, UNNEST(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+            ),
+            dc AS (
+                SELECT doc_id,
+                       (('0x' || substring(md5(g), 1, 15))::BIGINT % 4096) AS bucket,
+                       count(*) AS cnt
+                FROM grams GROUP BY 1, 2
+            ),
+            raw_c AS (SELECT bucket, sum(cnt) AS c FROM dc GROUP BY 1),
+            tgt_c AS (SELECT bucket, sum(cnt) AS c FROM dc
+                      JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+            raw_t AS (SELECT coalesce(sum(c), 0) AS t FROM raw_c),
+            tgt_t AS (SELECT coalesce(sum(c), 0) AS t FROM tgt_c),
+            space AS (SELECT unnest(generate_series(0, 4095)) AS bucket),
+            model AS (
+                SELECT s.bucket,
+                       floor(ln((coalesce(tc.c, 0) + 1)::DOUBLE / (tt.t + 4096))
+                             * 1000000)::BIGINT AS lt,
+                       floor(ln((coalesce(rc.c, 0) + 1)::DOUBLE / (rt.t + 4096))
+                             * 1000000)::BIGINT AS lr
+                FROM space s
+                LEFT JOIN tgt_c tc USING (bucket)
+                LEFT JOIN raw_c rc USING (bucket)
+                CROSS JOIN tgt_t tt CROSS JOIN raw_t rt
+            )
+            SELECT d.doc_id, sum(d.cnt * (m.lt - m.lr))::BIGINT AS weight_micro
+            FROM dc d JOIN model m USING (bucket)
+            GROUP BY 1 ORDER BY weight_micro DESC, doc_id LIMIT 50
         """,
         "doc_tfidf_search": _TFIDF_SQL,
         "doc_bm25_search": _BM25_SQL,

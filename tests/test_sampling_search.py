@@ -160,3 +160,47 @@ def test_ivf_partial_probe_recall(embeddings):
     n_scanned = cells.where(F.col("_cell").isin(probe)).count()
     assert n_scanned < embeddings.count()
     cells.unpersist()
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Planted corpus: raw docs are either 'sports prose' (matching the
+    target distribution) or 'markup noise'; DSIR must rank every
+    sports doc above every noise doc, and weights must be integral
+    micro-nats (engine-exact arithmetic)."""
+    from tiger_etl_spark.operators import dsir
+
+    sports = "the match ended with a late goal and the crowd sang all night"
+    noise = "zz9 qq8 xx7 vv6 kk5 jj4 hh3 gg2 ff1 ee0 dd9 cc8 bb7 aa6"
+    raw_rows = [(i, sports + f" extra{i % 3}") for i in range(10)] + [
+        (100 + i, noise + f" tail{i % 3}") for i in range(10)
+    ]
+    target_rows = [(1000 + i, sports + f" bonus{i % 2}") for i in range(5)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+
+    out = dsir.dsir_select(raw, target, n_buckets=512, k=20).collect()
+    assert len(out) == 20
+    ranked = [r["doc_id"] for r in out]
+    assert set(ranked[:10]) == set(range(10))  # all sports docs first
+    assert all(isinstance(r["weight_micro"], int) for r in out)
+    # weights strictly separate the two populations
+    w_sports = min(r["weight_micro"] for r in out if r["doc_id"] < 100)
+    w_noise = max(r["weight_micro"] for r in out if r["doc_id"] >= 100)
+    assert w_sports > w_noise
+
+
+def test_dsir_models_cover_full_bucket_space(spark):
+    from tiger_etl_spark.operators import dsir
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    counts = dsir.hashed_gram_counts(df, "doc_id", "text", n_buckets=64)
+    model = dsir.fit_bucket_logprobs(counts, n_buckets=64)
+    rows = model.collect()
+    assert len(rows) == 64  # absent buckets present at the smoothing floor
+    assert all(r["logp_micro"] < 0 for r in rows)
