@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tiger_etl_spark.functions import scalar  # noqa: E402
 from tiger_etl_spark.functions.text import token_count  # noqa: E402
 from tiger_etl_spark.operators import (  # noqa: E402
+    bpe,
     crud,
     dedup,
     dedup_ingest,
@@ -2322,6 +2323,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
+def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: learn a BPE merge table over the document
+    corpus (Sennrich et al. 2016 re-expressed as Spark aggregations —
+    operators/bpe.py). Beyond-reference capability for a training-data
+    pipeline; the merge loop is inherently iterative/stateful, so this
+    query has no single-statement SQL oracle (rows-only check) — the
+    algorithm itself is pinned against an independent single-threaded
+    implementation in tests/test_bpe.py."""
+    d = _t_wide(spark, sf_dir, "documents")
+    wc = bpe.word_counts(d, "text", max_words=20_000)
+    merges = bpe.bpe_train(wc, n_merges=64, min_count=2)
+    return bpe.merges_df(spark, merges).orderBy("rank")
+
+
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned BPE tokenizer —
+    the real cost/packing counter (memoized Arrow-batched encode,
+    operators/bpe.py). Iterative tokenizer => rows-only check; encode
+    parity is pinned in tests/test_bpe.py."""
+    d = _t_wide(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(
+        bpe.word_counts(d, "text", max_words=20_000), n_merges=64
+    )
+    return bpe.bpe_token_counts(d, "doc_id", "text", merges).orderBy(
+        "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -2425,6 +2454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs_lsh_capped": embedding_neardup_pairs_lsh_capped,
         "embedding_semantic_dedup": embedding_semantic_dedup,
         "media_feature_stats": media_feature_stats,
+        "doc_bpe_vocab": doc_bpe_vocab,
+        "doc_bpe_token_counts": doc_bpe_token_counts,
     }
 
 
