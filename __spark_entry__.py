@@ -1783,6 +1783,32 @@ def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering — CCNet §4.4 perplexity bucketing: every
+    document's mean char-bigram log-probability (integer micro-nats —
+    comparator-exact) is ranked within its language and cut into
+    equal-depth head/middle/tail buckets (operators/langmodel.py).
+    The rank-exact ntile path is used here (the score table is
+    (id, lang, int)); at 100 TB the stored-threshold scan-stage path
+    `assign_buckets` applies the same cuts with no sort at all."""
+    from tiger_etl_spark.operators import langmodel
+
+    d = _t_wide(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    model = _shared(
+        spark,
+        ("char_lm_model", sf_dir),
+        lambda: langmodel.char_bigram_model(
+            _t_wide(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
+            "text",
+        ),
+    )
+    scores = langmodel.char_lm_micro_nats(
+        d, "doc_id", "text", model=model, unseen_logp=-999.0
+    )
+    joined = scores.join(d.select("doc_id", "lang"), "doc_id")
+    return langmodel.ccnet_buckets(joined, "doc_id", "lang")
+
+
 def doc_bigram_pmi_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining — top-20 word bigrams by pointwise mutual
     information with min-count 5 (Church & Hanks; tokenizer/vocab
@@ -2456,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_stats": media_feature_stats,
         "doc_bpe_vocab": doc_bpe_vocab,
         "doc_bpe_token_counts": doc_bpe_token_counts,
+        "doc_ccnet_buckets": doc_ccnet_buckets,
     }
 
 
@@ -3799,6 +3826,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN pref p ON p.c1 = substring(bg.bg, 1, 1)
             CROSS JOIN v
             GROUP BY bg.doc_id
+        """,
+        "doc_ccnet_buckets": """
+            WITH t AS (
+                SELECT doc_id, lang, lower(text) AS t FROM documents
+                WHERE text IS NOT NULL
+            ),
+            bg AS (
+                SELECT doc_id, substring(t, i, 2) AS bg
+                FROM t, UNNEST(generate_series(1, greatest(length(t) - 1, 0))) AS g(i)
+            ),
+            model AS (SELECT bg, count(*) AS c_xy FROM bg GROUP BY bg),
+            pref AS (
+                SELECT substring(bg, 1, 1) AS c1, sum(c_xy) AS c_x
+                FROM model GROUP BY 1
+            ),
+            v AS (SELECT count(*)::DOUBLE AS v FROM pref),
+            sc AS (
+                SELECT bg.doc_id,
+                       CAST(floor(avg(ln((m.c_xy + 1) / (p.c_x + v.v)))
+                                  * 1000000) AS BIGINT) AS lm_micro_nats
+                FROM bg
+                JOIN model m USING (bg)
+                JOIN pref p ON p.c1 = substring(bg.bg, 1, 1)
+                CROSS JOIN v
+                GROUP BY bg.doc_id
+            )
+            SELECT sc.doc_id, t.lang, sc.lm_micro_nats,
+                   CASE ntile(3) OVER (
+                            PARTITION BY t.lang
+                            ORDER BY sc.lm_micro_nats DESC, sc.doc_id)
+                        WHEN 1 THEN 'head'
+                        WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS lm_bucket
+            FROM sc JOIN t ON t.doc_id = sc.doc_id
         """,
         "doc_length_quantiles": """
             SELECT lang,

@@ -73,3 +73,79 @@ def test_external_model_scores_unseen_bigrams(spark):
     assert 11 in got  # all-novel doc present...
     assert got[11] == (3, -50.0)  # ...at the penalty floor
     assert got[10][1] > -50.0  # seen bigrams score from the model
+
+
+def _scored_lang_df(spark):
+    """12 docs in 2 langs with clearly separated quality tiers."""
+    natural = "the quick brown fox jumps over the lazy dog and runs home "
+    noisy = "qzxj wvkq zzqx jxqv kqzw xjqz vqkx "
+    rows = []
+    for i in range(6):
+        # mix: doc 0/1 pure natural ... doc 4/5 pure noise
+        k = i // 2
+        rows.append((i, "en", natural * (3 - k) + noisy * k))
+        rows.append((10 + i, "fr", natural * (3 - k) + noisy * k))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_micro_nats_quantize_the_average(spark):
+    df = _scored_lang_df(spark)
+    d = {r["doc_id"]: r for r in langmodel.char_lm_scores(df, "doc_id", "text", scale=9).collect()}
+    m = {r["doc_id"]: r for r in langmodel.char_lm_micro_nats(df, "doc_id", "text").collect()}
+    assert set(d) == set(m)
+    for i in d:
+        assert m[i]["n_bigrams"] == d[i]["n_bigrams"]
+        # floor(avg*1e6) within 1 of round-9-then-floor
+        import math
+        assert abs(m[i]["lm_micro_nats"] - math.floor(d[i]["avg_logp"] * 1e6)) <= 1
+
+
+def test_ccnet_buckets_rank_exact(spark):
+    df = _scored_lang_df(spark)
+    scores = langmodel.char_lm_micro_nats(df, "doc_id", "text").join(
+        df.select("doc_id", "lang"), "doc_id"
+    )
+    out = langmodel.ccnet_buckets(scores, "doc_id", "lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        assert len(rows) == 6
+        labels = {r["lm_bucket"] for r in rows}
+        assert labels == {"head", "middle", "tail"}
+        # equal-depth: 2 docs per bucket
+        from collections import Counter
+        assert Counter(r["lm_bucket"] for r in rows) == Counter(
+            {"head": 2, "middle": 2, "tail": 2}
+        )
+        # head buckets hold the highest (most natural) scores
+        ranked = sorted(rows, key=lambda r: (-r["lm_micro_nats"], r["doc_id"]))
+        assert [r["lm_bucket"] for r in ranked] == [
+            "head", "head", "middle", "middle", "tail", "tail"
+        ]
+
+
+def test_threshold_assignment_matches_rank_path_off_boundaries(spark):
+    df = _scored_lang_df(spark)
+    scores = langmodel.char_lm_micro_nats(df, "doc_id", "text").join(
+        df.select("doc_id", "lang"), "doc_id"
+    )
+    exact = langmodel.ccnet_buckets(scores, "doc_id", "lang")
+    th = langmodel.ccnet_bucket_thresholds(exact, "lang")
+    assigned = langmodel.assign_buckets(scores, th, "lang")
+    got = {r["doc_id"]: r["lm_bucket"] for r in assigned.collect()}
+    want = {r["doc_id"]: r["lm_bucket"] for r in exact.collect()}
+    # distinct integer scores here => threshold path reproduces ranks
+    assert got == want
+
+
+def test_assign_buckets_below_all_thresholds_goes_to_tail(spark):
+    scores = spark.createDataFrame(
+        [(1, "en", -999_000_000)], "doc_id long, lang string, lm_micro_nats long"
+    )
+    th = spark.createDataFrame(
+        [("en", "head", -100), ("en", "middle", -200), ("en", "tail", -300)],
+        "lang string, lm_bucket string, min_score long",
+    )
+    out = langmodel.assign_buckets(scores, th, "lang").collect()
+    assert out[0]["lm_bucket"] == "tail"

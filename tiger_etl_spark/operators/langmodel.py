@@ -84,23 +84,134 @@ def char_lm_scores(
     seen bigram) and unseen bigrams score that penalty via a left join.
     Self-trained scoring covers every bigram by construction, so the
     parameter is required exactly when ``model`` is supplied."""
-    ex = df.select(F.col(id_col), F.explode(_char_bigrams(text_col)).alias("bg"))
-    if model is None:
-        model = char_bigram_model(df, text_col)
-        scored = ex.join(F.broadcast(model), "bg")
-    else:
-        if unseen_logp is None:
-            raise ValueError(
-                "scoring under an external model requires unseen_logp "
-                "(otherwise unseen bigrams drop and garbage scores high)"
-            )
-        scored = ex.join(F.broadcast(model), "bg", "left").withColumn(
-            "logp", F.coalesce(F.col("logp"), F.lit(float(unseen_logp)))
-        )
+    scored = _scored_bigrams(df, id_col, text_col, model, unseen_logp)
     return (
         scored.groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(F.avg("logp"), scale).alias("avg_logp"),
         )
+    )
+
+
+def _scored_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame | None,
+    unseen_logp: float | None,
+) -> DataFrame:
+    """(id, bg, logp): the document bigram stream joined to the
+    broadcast model — shared by the rounded-double and integer
+    micro-nat aggregators."""
+    ex = df.select(F.col(id_col), F.explode(_char_bigrams(text_col)).alias("bg"))
+    if model is None:
+        model = char_bigram_model(df, text_col)
+        return ex.join(F.broadcast(model), "bg")
+    if unseen_logp is None:
+        raise ValueError(
+            "scoring under an external model requires unseen_logp "
+            "(otherwise unseen bigrams drop and garbage scores high)"
+        )
+    return ex.join(F.broadcast(model), "bg", "left").withColumn(
+        "logp", F.coalesce(F.col("logp"), F.lit(float(unseen_logp)))
+    )
+
+
+def char_lm_micro_nats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame | None = None,
+    unseen_logp: float | None = None,
+) -> DataFrame:
+    """(id, n_bigrams, lm_micro_nats) — like `char_lm_scores` but the
+    mean log-probability is quantized to integer micro-nats
+    (`floor(avg*1e6)`), the comparator-exact currency the repo uses
+    wherever a double would otherwise ride into a hash comparison."""
+    scored = _scored_bigrams(df, id_col, text_col, model, unseen_logp)
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.floor(F.avg("logp") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("lm_micro_nats"),
+    )
+
+
+BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def ccnet_buckets(
+    scores: DataFrame,
+    id_col: str,
+    lang_col: str,
+    score_col: str = "lm_micro_nats",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet §4.4 perplexity bucketing: within each language, rank
+    documents by LM score (best = most natural text first) and cut the
+    ranking into `n_buckets` equal-depth buckets — head / middle /
+    tail for the default 3. Rank-exact (ntile) semantics: deterministic
+    given the integer score + id tie-break, ANSI-identical in DuckDB.
+
+    Scale shape: ntile partitions by language, so each language's score
+    table sorts in one task — fine for the SCORE table (id, lang, int)
+    up to ~10^8 docs/lang per task, but at full 100 TB corpus width use
+    `ccnet_bucket_thresholds` + `assign_buckets`: thresholds computed
+    once from this (or a sampled) ranking, assignment a pure scan-stage
+    comparison with no sort of the corpus at all — which is exactly how
+    CCNet itself applies fixed per-language cutoffs."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.desc(score_col), F.col(id_col))
+    )
+    nt = F.ntile(n_buckets).over(w)
+    label = F.element_at(
+        F.lit(list(BUCKET_LABELS[:n_buckets])), nt
+    ) if n_buckets <= len(BUCKET_LABELS) else nt.cast("string")
+    return scores.select(
+        id_col, lang_col, score_col, label.alias("lm_bucket")
+    )
+
+
+def ccnet_bucket_thresholds(
+    buckets: DataFrame,
+    lang_col: str,
+    score_col: str = "lm_micro_nats",
+) -> DataFrame:
+    """(lang, lm_bucket, min_score) — per-language lower score bound of
+    each rank-exact bucket, derived once from a `ccnet_buckets` run
+    (typically over a sample). Broadcastable: |languages| × buckets."""
+    return buckets.groupBy(lang_col, "lm_bucket").agg(
+        F.min(score_col).alias("min_score")
+    )
+
+
+def assign_buckets(
+    scores: DataFrame,
+    thresholds: DataFrame,
+    lang_col: str,
+    score_col: str = "lm_micro_nats",
+) -> DataFrame:
+    """Scan-stage bucket assignment under stored per-language
+    thresholds: broadcast join + greatest-lower-bound pick, no sort,
+    no per-language shuffle — the 100 TB application path. Documents
+    scoring below every threshold fall into the last (worst) bucket."""
+    th = thresholds.groupBy(lang_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("min_score", "lm_bucket")), asc=False
+        ).alias("cuts")
+    )
+    pick = F.filter(
+        F.col("cuts"), lambda c: F.col(score_col) >= c["min_score"]
+    )
+    chosen = F.when(F.size(pick) > 0, pick[0]["lm_bucket"]).otherwise(
+        F.element_at(F.col("cuts"), -1)["lm_bucket"]
+    )
+    return (
+        scores.join(F.broadcast(th), lang_col, "left")
+        .withColumn("lm_bucket", chosen)
+        .drop("cuts")
     )
