@@ -2320,7 +2320,7 @@ def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     words never outweigh the Latin body, so `script` stays 'latin' —
     the COUNTS carry the cross-engine signal, and doc 0-mod-20 gets a
     pure-Cyrillic body to flip the label too."""
-    from tiger_etl_spark.functions.text import script_mix_cols
+    from tiger_etl_spark.functions.text import with_script_mix
 
     d = _t_wide(spark, sf_dir, "documents")
     i = F.col("doc_id")
@@ -2334,10 +2334,11 @@ def doc_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(i % 5 == 2, F.lit(_SCRIPT_SUFFIXES[2])).otherwise(F.lit("")),
         F.when(i % 5 == 3, F.lit(_SCRIPT_SUFFIXES[3])).otherwise(F.lit("")),
     )
-    cols = script_mix_cols(aug)
-    return d.select(
-        "doc_id", *[c.alias(n) for n, c in cols.items()]
-    ).orderBy("doc_id")
+    # materialize aug once, then counts once (two-projection path): the
+    # inline form re-ran every per-script regex inside each CASE branch
+    # of the label chain — ~k^2 regex passes/row, 10x wall on this query
+    mixed = with_script_mix(d.select("doc_id", aug.alias("_aug")), F.col("_aug"))
+    return mixed.drop("_aug").orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -447,3 +447,33 @@ def script_mix_cols(text: Column) -> dict[str, Column]:
     out = {f"n_{name}": c for name, c in counts.items()}
     out["script"] = script
     return out
+
+
+def with_script_mix(df: DataFrame, text: Column) -> DataFrame:
+    """`script_mix_cols` applied in two projections so each script's
+    regex pass runs ONCE per row: the first select materializes the
+    `n_<script>` counts, the second derives the dominant-`script` label
+    from the already-computed count columns. The single-select form
+    re-evaluates every count inside each CASE branch of the label chain
+    (codegen subexpression elimination does not reach into conditional
+    branches), turning k scripts into O(k^2) regex scans per row."""
+    counted = df.select(
+        "*",
+        *[
+            (
+                F.length(text)
+                - F.length(F.regexp_replace(text, f"[{rng}]", ""))
+            )
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, rng in SCRIPT_RANGES.items()
+        ],
+    )
+    names = list(SCRIPT_RANGES)
+    best = F.greatest(*[F.col(f"n_{n}") for n in names])
+    script = F.lit("other")
+    for name in reversed(names):
+        script = F.when(
+            (F.col(f"n_{name}") == best) & (best > 0), F.lit(name)
+        ).otherwise(script)
+    return counted.withColumn("script", script)
