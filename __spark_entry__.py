@@ -1343,6 +1343,19 @@ def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
 
 
+def doc_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle (operators/sampling.py
+    shuffle_assign): every doc → (shard, pos) from a salted md5, a full
+    pseudo-random permutation with NO global sort — one exchange on
+    `shard` plus an in-partition rank, the only 100 TB-shaped way to
+    shuffle a training corpus. Same (salt, id) → same (shard, pos) on
+    any cluster size; the DuckDB oracle reproduces the permutation from
+    the same md5."""
+    d = _t_wide(spark, sf_dir, "documents")
+    out = sampling.shuffle_assign(d, "doc_id", salt="r3", num_shards=16)
+    return out.select("doc_id", "shard", "pos")
+
+
 def doc_alpha_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing — alpha (temperature) sampling at α=0.5
     (XLM-R §3.1 style: expected kept per source ∝ N_s^0.5, the largest
@@ -2434,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_metrics": doc_repetition_metrics,
         "doc_filter_funnel": doc_filter_funnel,
         "doc_split_counts": doc_split_counts,
+        "doc_shuffle_assign": doc_shuffle_assign,
         "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
         "doc_lang_sample": doc_lang_sample,
         "doc_source_quota": doc_source_quota,
@@ -3207,6 +3221,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "doc_split_counts": _SPLIT_SQL,
+        "doc_shuffle_assign": _SHUFFLE_SQL,
         "doc_filter_funnel": """
             WITH m AS (
                 SELECT length(text) AS nc,
@@ -4693,6 +4708,29 @@ SELECT CASE WHEN bucket < 3686 THEN 'train'
             ELSE 'test' END AS split,
        lang, count(*) AS n_docs
 FROM b GROUP BY 1, 2
+"""
+
+# deterministic corpus shuffle — mirrors operators.sampling.shuffle_assign
+# (salted md5 key; shard = first-3-hex-nibble bucket % 16; pos = rank of
+# the key within the shard, row_number cast BIGINT to match Spark's long)
+_SHUFFLE_SQL = """
+WITH k AS (
+    SELECT doc_id,
+           md5(cast(doc_id AS VARCHAR) || ':r3') AS skey
+    FROM documents
+), s AS (
+    SELECT doc_id, skey,
+           CAST((
+               (strpos('0123456789abcdef', skey[1:1]) - 1) * 256
+             + (strpos('0123456789abcdef', skey[2:2]) - 1) * 16
+             + (strpos('0123456789abcdef', skey[3:3]) - 1)
+           ) % 16 AS INTEGER) AS shard
+    FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s
 """
 
 # alpha mixture sampling — mirrors operators.sampling.alpha_mixture_sample

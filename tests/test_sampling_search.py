@@ -48,6 +48,63 @@ def test_hash_split_no_shuffle(docs):
     assert "Exchange" not in plan
 
 
+# --------------------------------------------------------- shuffle_assign
+def test_shuffle_assign_is_dense_permutation(docs):
+    """(shard, pos) must be a full permutation: every shard's positions
+    are exactly 0..n_s-1, total rows preserved, and the whole assignment
+    is a pure function of (salt, id) — invariant under repartitioning."""
+    out = sampling.shuffle_assign(docs, "doc_id", salt="ep0", num_shards=8)
+    n = docs.count()
+    assert out.count() == n
+    per = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.count_distinct("pos").alias("d"),
+        )
+        .collect()
+    )
+    assert len(per) == 8
+    for r in per:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1 and r["d"] == r["n"]
+        # rough uniformity: no shard more than 2x the fair share
+        assert r["n"] < 2 * n / 8
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in out.collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in sampling.shuffle_assign(
+            docs.repartition(13), "doc_id", salt="ep0", num_shards=8
+        ).collect()
+    }
+    assert a == b
+
+
+def test_shuffle_assign_salt_changes_permutation(docs):
+    """A different salt must produce a genuinely different permutation
+    (fresh epoch order), while each remains internally dense."""
+    a = sampling.shuffle_assign(docs, "doc_id", salt="ep0", num_shards=8)
+    b = sampling.shuffle_assign(docs, "doc_id", salt="ep1", num_shards=8)
+    joined = a.alias("a").join(b.alias("b"), "doc_id").select(
+        (
+            (F.col("a.shard") == F.col("b.shard"))
+            & (F.col("a.pos") == F.col("b.pos"))
+        ).cast("int").alias("same")
+    )
+    frac_same = joined.agg(F.avg("same")).first()[0]
+    assert frac_same < 0.05
+
+
+def test_shuffle_assign_single_exchange(docs):
+    """The permutation costs exactly one exchange (on `shard`) — no
+    global sort / range partitioning anywhere in the plan."""
+    out = sampling.shuffle_assign(docs, "doc_id", salt="x", num_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
 # ----------------------------------------------------- stratified_sample
 def test_stratified_sample_matches_full_rank(docs):
     """The hash-threshold prefilter must not change the selected set:

@@ -145,3 +145,46 @@ def alpha_mixture_sample(
         .where(hash_bucket(F.col(id_col), space) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def shuffle_assign(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "",
+    num_shards: int = 1024,
+    space: int = _BUCKET_SPACE,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: every row
+    gets a `shard` (which output file it belongs to) and a `pos` (its
+    position within that shard), drawn from a salted content hash —
+    together they define a full pseudo-random permutation of the corpus
+    WITHOUT a global sort.
+
+    This is how you shuffle 100 TB: a true global orderBy(rand()) is a
+    single total-order sort (range exchange + global merge); here the
+    permutation is (a) shard = hash-bucket of the salted key — a pure
+    projection — and (b) pos = rank within the shard of the salted key,
+    i.e. one exchange on `shard` plus an in-partition sort of
+    corpus/num_shards rows. Each shard is independently orderable and
+    the concatenation shard 0..N-1 in pos order IS the shuffled corpus.
+    Changing `salt` yields a fresh epoch-level permutation; the same
+    (salt, id) pair lands at the same (shard, pos) on any cluster size,
+    any partitioning, and in the DuckDB oracle (md5 both sides).
+
+    Reference has no shuffle surface (its ORDER BY pagination,
+    user_management.py:544-547, is the closest analog); the semantics
+    follow standard LM-corpus practice (shard-then-shuffle, e.g.
+    Megatron/GPT-NeoX data loaders consume exactly this layout).
+    """
+    sid = F.col(id_col).cast("string")
+    key = F.md5(F.concat(sid, F.lit(":" + salt)))
+    shard = (
+        F.conv(F.substring(key, 1, 3), 16, 10).cast("int") % num_shards
+    ).cast("int")
+    keyed = df.withColumn("_skey", key).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_skey", F.col(id_col))
+    return (
+        keyed.withColumn(
+            "pos", (F.row_number().over(w) - 1).cast("long")
+        ).drop("_skey")
+    )
