@@ -473,6 +473,53 @@ def lake_rollback_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lake_wap_publish_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish gate (lake/wap.py — the Iceberg WAP
+    branch→audit→fast-forward workflow over this lake's staged
+    manifests): merge the even-event_id half as the published base, then
+    (1) stage a NULL-flood poisoned batch (every event_type NULL — an
+    upstream schema break) whose audit FAILS and aborts — readers never
+    see it; (2) stage a clean odd batch (event_id % 4 == 1) whose audit
+    passes and publishes. Final state must be exactly the LWW resolution
+    of evens ∪ clean odds — the poisoned batch must leave zero trace.
+    Audit cost: one narrow agg pass over the staged scan."""
+    from tiger_etl_spark.lake import LakeTable
+    from tiger_etl_spark.lake.wap import WapCommit
+
+    base = _scratch_table("wap")
+    t = LakeTable.create(
+        os.path.join(base, "t"),
+        _EVENTS_TABLE_DDL,
+        key_col="user_id",
+        num_buckets=4,
+    )
+    t.merge(spark, _events_batch(spark, sf_dir, F.col("event_id") % 2 == 0))
+
+    poisoned = _events_batch(
+        spark, sf_dir, F.col("event_id") % 2 == 1
+    ).withColumn("event_type", F.lit(None).cast("string"))
+    wap = WapCommit(t, os.path.join(base, "_txn"))
+    wap.merge(spark, poisoned)
+    res = wap.check_max_null_frac("event_type", 0.05).run(spark)
+    assert not res.passed  # the gate must catch the null flood
+
+    clean = _events_batch(spark, sf_dir, F.col("event_id") % 4 == 1)
+    wap2 = WapCommit(t, os.path.join(base, "_txn"))
+    wap2.merge(spark, clean)
+    res2 = (
+        wap2.check_max_null_frac("event_type", 0.05)
+        .check_rows_delta_frac(10.0)
+        .run(spark)
+    )
+    assert res2.passed
+    return t.scan(spark).select(
+        "user_id",
+        _epoch_us("warc_ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+
+
 def lake_cascade_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — FK ondelete=CASCADE (sessions_management/model.py:45-50) as a
     final-state query: customers (every 10th key) are the parent, their
@@ -2416,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_validation_profile": event_validation_profile,
         "lake_truncate_state": lake_truncate_state,
         "lake_rollback_state": lake_rollback_state,
+        "lake_wap_publish_state": lake_wap_publish_state,
         "lake_cascade_delete_state": lake_cascade_delete_state,
         "part_relevance_top20": part_relevance_top20,
         "orders_page3": orders_page3,
@@ -2938,6 +2986,19 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY ts DESC, event_id DESC
                        ) AS rn
                 FROM events WHERE ts IS NOT NULL AND event_id % 2 = 0
+            ) WHERE rn = 1
+        """,
+        "lake_wap_publish_state": """
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+                WHERE ts IS NOT NULL
+                  AND (event_id % 2 = 0 OR event_id % 4 = 1)
             ) WHERE rn = 1
         """,
         "lake_cascade_delete_state": """
