@@ -19,9 +19,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from tiger_etl_spark.cdc.pipeline import (
+    APPLIED_WINDOW,
     WATERMARK_HOURS_DEFAULT,
     LineageRecord,
     apply_changes,
+    applied_batches_update,
     batch_applied,
 )
 from tiger_etl_spark.cdc.sources import read_change_stream
@@ -33,6 +35,25 @@ class StreamResult:
     lineage: list[LineageRecord] = field(default_factory=list)
     batches_applied: int = 0
     batches_skipped: int = 0
+    batches_rejected: int = 0
+    audit_failures: list[tuple[int, list[str]]] = field(default_factory=list)
+
+
+class AuditRejected(RuntimeError):
+    """Raised (audit_policy='halt') when a micro-batch fails the audit
+    gate: the staged snapshot was aborted, the checkpoint did NOT
+    advance, and a restart re-delivers the same batch — fail-closed."""
+
+    def __init__(self, batch_id: int, failures: list[str]):
+        super().__init__(
+            f"batch {batch_id} failed audit: {', '.join(failures)}"
+        )
+        self.batch_id = batch_id
+        self.failures = failures
+
+
+def _audit_rejected(props: dict, batch_id: int) -> bool:
+    return str(batch_id) in props.get("audit_rejected", {})
 
 
 def run_stream(
@@ -50,6 +71,8 @@ def run_stream(
     enrichers: dict | None = None,
     static_dim=None,
     history_path: str | None = None,
+    audit=None,
+    audit_policy: str = "halt",
 ) -> StreamResult:
     """Process all currently-available change files (availableNow
     trigger: drains the backlog in bounded micro-batches, then stops —
@@ -67,7 +90,22 @@ def run_stream(
     create_history_table) maintained from the SAME micro-batches — each
     batch folds to version fragments under its own applied-batch
     ledger, so a crash between the main merge and the history merge
-    replays into a per-table no-op/apply pair and both converge."""
+    replays into a per-table no-op/apply pair and both converge.
+
+    `audit`: a ``lake.wap.AuditSpec`` — the Write-Audit-Publish gate per
+    micro-batch: the merge lands on a STAGED snapshot (pointer not
+    flipped), the check set runs in one aggregation pass over the staged
+    state, and only a passing batch is published. A failing batch is
+    aborted trace-free, then per `audit_policy`:
+    - 'halt' (default, fail-closed): raise AuditRejected; the checkpoint
+      did not advance, so a restart re-delivers the batch — an operator
+      must fix or drop it.
+    - 'quarantine': dead-letter the RAW batch under
+      `<table>/_audit_rejects/batch_id=N/` (reasons in `_reasons.json`),
+      mark the batch applied in the ledger (so replay skips it, and the
+      SCD2 history/views never see it), and continue the stream.
+    Audit cost is one extra job per batch — enable it when a bad publish
+    is costlier than that scan (it usually is)."""
     result = StreamResult()
 
     source = read_change_stream(
@@ -99,22 +137,108 @@ def run_stream(
             # checkpoint commit). The data is in; the views may not be —
             # the same crash window can precede their refresh — so
             # refresh (idempotent, no-op when current) runs here too.
+            # An audit-REJECTED batch is in the ledger but its data was
+            # never published — history/views must not see it either.
             result.batches_skipped += 1
-            for v in views or ():
-                v.refresh(spark, table)
-            maintain_history(batch_df, batch_id)
+            if not _audit_rejected(table.props, batch_id):
+                for v in views or ():
+                    v.refresh(spark, table)
+                maintain_history(batch_df, batch_id)
             cache["table"] = table
             return
-        rec = apply_changes(
-            spark,
-            table,
-            batch_df,
-            batch_id,
-            watermark_hours=watermark_hours,
-            merge_mode=merge_mode,
-            enrichers=enrichers,
-            static_dim=static_dim,
-        )
+
+        if audit is not None:
+            from tiger_etl_spark.lake.wap import abort_staged, manifest_rows
+
+            base_rows = manifest_rows(table)
+            table._defer_pointer = True
+            try:
+                rec = apply_changes(
+                    spark,
+                    table,
+                    batch_df,
+                    batch_id,
+                    watermark_hours=watermark_hours,
+                    merge_mode=merge_mode,
+                    enrichers=enrichers,
+                    static_dim=static_dim,
+                )
+                res = audit.evaluate(
+                    spark,
+                    table.scan(spark),
+                    base_rows=base_rows,
+                    staged_rows=manifest_rows(table),
+                )
+            finally:
+                table._defer_pointer = False
+            if not res.passed:
+                import json as _json
+                import os as _os
+                import shutil as _shutil
+
+                abort_staged(table)
+                # the staged commit's per-row dead-letter split is
+                # subsumed by the whole-batch reject copy below
+                _shutil.rmtree(
+                    _os.path.join(
+                        table.path, "_quarantine", f"batch_id={batch_id}"
+                    ),
+                    ignore_errors=True,
+                )
+                result.batches_rejected += 1
+                result.audit_failures.append((batch_id, res.failures))
+                if audit_policy == "halt":
+                    raise AuditRejected(batch_id, res.failures)
+                # quarantine policy: dead-letter the raw batch, then mark
+                # it applied (props-only commit) so replay and later
+                # maintenance skip it — the stream keeps going
+                rdir = _os.path.join(
+                    table.path, "_audit_rejects", f"batch_id={batch_id}"
+                )
+                batch_df.write.mode("overwrite").parquet(rdir)
+                with open(_os.path.join(rdir, "_reasons.json"), "w") as fh:
+                    fh.write(
+                        _json.dumps(
+                            {"failures": res.failures, "metrics": res.metrics}
+                        )
+                    )
+                hwm = int(table.props.get("applied_batch_hwm", -1))
+                rejected = {
+                    k: v
+                    for k, v in {
+                        **table.props.get("audit_rejected", {}),
+                        str(batch_id): ",".join(res.failures),
+                    }.items()
+                    if int(k) > max(hwm, batch_id) - APPLIED_WINDOW
+                }
+                table.update_props(
+                    {
+                        **applied_batches_update(
+                            table.props,
+                            table.props.get("applied_batches", {}),
+                            batch_id,
+                            table.manifest["snapshot_id"],
+                        ),
+                        "audit_rejected": rejected,
+                    }
+                )
+                cache["table"] = table
+                return
+            # audit passed: publish = the atomic pointer flip. A crash
+            # BEFORE this line leaves the staged manifest inert and the
+            # checkpoint unadvanced — the replay simply re-stages.
+            LakeTable._write_pointer(table.path, table.manifest["version"])
+        else:
+            rec = apply_changes(
+                spark,
+                table,
+                batch_df,
+                batch_id,
+                watermark_hours=watermark_hours,
+                merge_mode=merge_mode,
+                enrichers=enrichers,
+                static_dim=static_dim,
+            )
         result.lineage.append(rec)
         result.batches_applied += 1
         if compact_every and (result.batches_applied % compact_every == 0):

@@ -16,6 +16,14 @@ TABLE STATE before readers can see it, which is the only form that can
 catch whole-batch pathologies (a truncating replay, a null-flood from an
 upstream schema break, a fan-out bug doubling the row count).
 
+Two consumption shapes:
+- ``WapCommit`` — explicit stage → audit → publish | abort on one table
+  (the interactive / job-script form).
+- ``AuditSpec`` — the check set alone, handed to
+  ``cdc.streaming.run_stream(audit=...)`` which stages EVERY micro-batch
+  and publishes only the ones that pass (policy: halt the stream, or
+  dead-letter the batch and continue).
+
 Scale notes: every declarative check is folded into ONE narrow
 aggregation pass over the staged scan (a single job, partial-aggregated,
 no shuffle beyond the final 1-row reduce); the row-delta check compares
@@ -43,6 +51,103 @@ class AuditResult:
     metrics: dict = field(default_factory=dict)
 
 
+class AuditSpec:
+    """A reusable, declarative set of table-state quality checks.
+    Builder-style ``check_*`` methods return self; ``evaluate`` runs the
+    whole set in one aggregation job over the given scan."""
+
+    def __init__(self) -> None:
+        self.checks: list[tuple[str, F.Column]] = []
+        self.bounds: list[float] = []
+        self.delta_bound: float | None = None
+
+    # ------------------------------------------------------------ checks
+    def check_max_null_frac(self, col: str, max_frac: float) -> "AuditSpec":
+        """Fail if > max_frac of staged rows have NULL in `col` — the
+        upstream-schema-break detector."""
+        name = f"null_frac({col})<={max_frac}"
+        self.checks.append((name, F.avg(F.col(col).isNull().cast("double"))))
+        self.bounds.append(float(max_frac))
+        return self
+
+    def check_max_violation_frac(
+        self, name: str, predicate, max_frac: float
+    ) -> "AuditSpec":
+        """Fail if > max_frac of staged rows violate `predicate` (a
+        boolean Column over the table schema). NULL predicate results
+        count as violations."""
+        label = f"violation_frac({name})<={max_frac}"
+        ok = F.coalesce(predicate.cast("boolean"), F.lit(False))
+        self.checks.append((label, F.avg((~ok).cast("double"))))
+        self.bounds.append(float(max_frac))
+        return self
+
+    def check_rows_delta_frac(self, max_frac: float) -> "AuditSpec":
+        """Fail if the staged snapshot's STORED row count (manifest file
+        entries — raw rows including tombstones, the same accounting on
+        both sides) moved more than max_frac relative to the published
+        snapshot — catches truncating replays and fan-out bugs with ZERO
+        data read: both counts come from manifests."""
+        self.delta_bound = float(max_frac)
+        return self
+
+    # ---------------------------------------------------------- evaluate
+    def evaluate(
+        self,
+        spark: SparkSession,
+        staged: DataFrame,
+        base_rows: int | None = None,
+        staged_rows: int | None = None,
+    ) -> AuditResult:
+        """One aggregation job over `staged` (the post-merge scan), plus
+        the manifest-only row-delta comparison when both counts are
+        supplied."""
+        failures, metrics = [], {}
+        if self.delta_bound is not None and base_rows is not None:
+            base = float(base_rows)
+            delta = (
+                abs(float(staged_rows or 0) - base) / base if base > 0 else 0.0
+            )
+            name = f"rows_delta_frac<={self.delta_bound}"
+            metrics[name] = delta
+            if delta > self.delta_bound:
+                failures.append(name)
+        if self.checks:
+            aggs = [c.alias(f"_m{i}") for i, (_, c) in enumerate(self.checks)]
+            row = staged.agg(*aggs).first()
+            for i, (name, _) in enumerate(self.checks):
+                val = row[f"_m{i}"]
+                metrics[name] = float(val) if val is not None else 0.0
+                if val is not None and float(val) > self.bounds[i]:
+                    failures.append(name)
+        return AuditResult(
+            passed=not failures, failures=failures, metrics=metrics
+        )
+
+
+def manifest_rows(table: LakeTable) -> int:
+    """Stored-row count straight from the manifest (no data read)."""
+    return sum(f["rows"] for f in table.manifest["files"])
+
+
+def abort_staged(table: LakeTable) -> int:
+    """Discard any staged (committed-but-unpublished) snapshots on
+    `table`: delete manifests above the published pointer and reload the
+    in-memory handle to the published state. Staged data files become
+    unreferenced orphans (harmless; reused version slots / vacuumable),
+    exactly as in ``LakeTransaction.abort``. Returns the published
+    version."""
+    with open(os.path.join(table.path, "meta", "_current")) as f:
+        published = int(f.read().strip())
+    for v in range(published + 1, table.manifest["version"] + 1):
+        mp = os.path.join(table.path, "meta", f"v{v}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+    table.manifest = LakeTable.load(table.path).manifest
+    table._seg_cache = {}
+    return published
+
+
 class WapCommit:
     """One staged commit on one table: ``merge`` → ``audit`` →
     ``publish`` | ``abort``. The staged snapshot is visible ONLY through
@@ -59,10 +164,9 @@ class WapCommit:
     def __init__(self, table: LakeTable, txn_dir: str):
         self.table = table
         self.base_version = table.manifest["version"]
-        self.base_rows = sum(f["rows"] for f in table.manifest["files"])
+        self.base_rows = manifest_rows(table)
         self.txn = LakeTransaction(txn_dir)
-        self.checks: list[tuple[str, F.Column]] = []
-        self.bounds: list[tuple[str, str, float]] = []
+        self.spec = AuditSpec()
 
     # ------------------------------------------------------------ write
     def merge(self, spark: SparkSession, batch: DataFrame, **kw) -> MergeStats:
@@ -78,65 +182,29 @@ class WapCommit:
 
     # ------------------------------------------------------------ audit
     def check_max_null_frac(self, col: str, max_frac: float) -> "WapCommit":
-        """Fail if > max_frac of staged rows have NULL in `col` — the
-        upstream-schema-break detector."""
-        name = f"null_frac({col})<={max_frac}"
-        self.checks.append(
-            (name, F.avg(F.col(col).isNull().cast("double")))
-        )
-        self.bounds.append((name, "max", float(max_frac)))
+        self.spec.check_max_null_frac(col, max_frac)
         return self
 
     def check_max_violation_frac(
         self, name: str, predicate, max_frac: float
     ) -> "WapCommit":
-        """Fail if > max_frac of staged rows violate `predicate` (a
-        boolean Column over the table schema). NULL predicate results
-        count as violations."""
-        label = f"violation_frac({name})<={max_frac}"
-        ok = F.coalesce(predicate.cast("boolean"), F.lit(False))
-        self.checks.append((label, F.avg((~ok).cast("double"))))
-        self.bounds.append((label, "max", float(max_frac)))
+        self.spec.check_max_violation_frac(name, predicate, max_frac)
         return self
 
     def check_rows_delta_frac(self, max_frac: float) -> "WapCommit":
-        """Fail if the staged snapshot's STORED row count (manifest file
-        entries — raw rows including tombstones, the same accounting on
-        both sides) moved more than max_frac relative to the published
-        snapshot — catches truncating replays and fan-out bugs with ZERO
-        data read: both counts come from manifests."""
-        self._delta_bound = float(max_frac)
+        self.spec.check_rows_delta_frac(max_frac)
         return self
-
-    _delta_bound: float | None = None
 
     def audit(self, spark: SparkSession) -> AuditResult:
         """Evaluate every registered check in ONE aggregation job over
         the staged scan (plus the manifest-only row-delta check, which
         reads no data)."""
-        failures, metrics = [], {}
-        if self._delta_bound is not None:
-            staged_rows = sum(
-                f["rows"] for f in self.table.manifest["files"]
-            )
-            base = float(self.base_rows)
-            delta = abs(staged_rows - base) / base if base > 0 else 0.0
-            name = f"rows_delta_frac<={self._delta_bound}"
-            metrics[name] = delta
-            if delta > self._delta_bound:
-                failures.append(name)
-        if self.checks:
-            aggs = [
-                c.alias(f"_m{i}") for i, (_, c) in enumerate(self.checks)
-            ]
-            row = self.staged_scan(spark).agg(*aggs).first()
-            for i, (name, _) in enumerate(self.checks):
-                val = row[f"_m{i}"]
-                bound = self.bounds[i][2]
-                metrics[name] = float(val) if val is not None else 0.0
-                if val is not None and float(val) > bound:
-                    failures.append(name)
-        return AuditResult(passed=not failures, failures=failures, metrics=metrics)
+        return self.spec.evaluate(
+            spark,
+            self.staged_scan(spark),
+            base_rows=self.base_rows,
+            staged_rows=manifest_rows(self.table),
+        )
 
     # ---------------------------------------------------------- lifecycle
     def publish(self) -> int:
@@ -152,9 +220,7 @@ class WapCommit:
         return self.table.manifest["version"]
 
     def run(self, spark: SparkSession) -> AuditResult:
-        """audit → publish-or-abort in one call (the streaming
-        foreachBatch shape: stage the micro-batch merge, then
-        ``wap.run(spark)``)."""
+        """audit → publish-or-abort in one call."""
         result = self.audit(spark)
         if result.passed:
             self.publish()
