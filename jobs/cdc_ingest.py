@@ -114,6 +114,24 @@ def main() -> None:
         help="comma-separated page columns whose version history the "
         "--history-path table tracks (DDL derived from the pages schema)",
     )
+    ap.add_argument(
+        "--audit",
+        default=None,
+        help="Write-Audit-Publish gate per micro-batch (lake/wap.py): "
+        "comma-separated checks over the STAGED table state — "
+        "'null(col)<=F' (null fraction), 'nonneg(col)<=F' (negative-"
+        "value fraction), 'nonempty(col)<=F' (null/empty fraction), "
+        "'delta<=F' (manifest row-count delta, zero data read). A "
+        "failing batch never becomes reader-visible.",
+    )
+    ap.add_argument(
+        "--audit-policy",
+        choices=["halt", "quarantine"],
+        default="halt",
+        help="on audit failure: 'halt' the stream fail-closed (restart "
+        "re-delivers the batch), or 'quarantine' — dead-letter the raw "
+        "batch under <table>/_audit_rejects/ and continue",
+    )
     ap.add_argument("--local-cores", type=int, default=0, help=">0: run local[N] (smoke)")
     args = ap.parse_args()
 
@@ -260,6 +278,12 @@ def main() -> None:
 
         views = [host_edges_view(args.webgraph_path)]
 
+    audit = None
+    if args.audit:
+        from tiger_etl_spark.lake.wap import parse_audit_spec
+
+        audit = parse_audit_spec(args.audit)
+
     result = run_stream(
         spark,
         args.changes,
@@ -274,12 +298,16 @@ def main() -> None:
         static_dim=static_dim,
         history_path=args.history_path,
         views=views,
+        audit=audit,
+        audit_policy=args.audit_policy,
     )
     print(
         json.dumps(
             {
                 "batches_applied": result.batches_applied,
                 "batches_skipped": result.batches_skipped,
+                "batches_rejected": result.batches_rejected,
+                "audit_failures": result.audit_failures,
                 "rows_in": sum(r.rows_in for r in result.lineage),
                 "rows_quarantined": sum(r.rows_quarantined for r in result.lineage),
                 "rows_late": sum(r.rows_late for r in result.lineage),

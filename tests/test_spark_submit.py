@@ -58,6 +58,10 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--max-files-per-trigger", "1",
             "--history-path", str(tmp_path / "hist"),
             "--history-attrs", "lang",
+            # WAP gate through the packaged job: clean stream must
+            # publish every batch
+            "--audit", "null(url)<=0,delta<=50",
+            "--audit-policy", "quarantine",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -70,6 +74,7 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert out, proc.stdout[-2000:]
     result = json.loads(out[-1])
     assert result["batches_applied"] == 3
+    assert result["batches_rejected"] == 0
     # write_change_files injects ~1% WAL-replay duplicates into the
     # next file; rows_in counts them (the LWW merge absorbs them)
     assert n_events <= result["rows_in"] <= int(n_events * 1.05)

@@ -133,6 +133,36 @@ def test_crash_after_intent_rolls_forward(spark, tmp_path):
     assert _state(spark, t.path) == {"a": 2}
 
 
+def test_parse_audit_spec_grammar(spark, tmp_path):
+    """CLI grammar → AuditSpec: each kind lands as the right check, and
+    a bad term is rejected loudly."""
+    import pytest
+
+    from tiger_etl_spark.lake.wap import parse_audit_spec
+
+    spec = parse_audit_spec(
+        "null(v)<=0.1, nonneg(v)<=0.2, nonempty(url)<=0, delta<=2.5"
+    )
+    assert len(spec.checks) == 3
+    assert spec.delta_bound == 2.5
+    assert spec.bounds == [0.1, 0.2, 0.0]
+    names = [n for n, _ in spec.checks]
+    assert names[0].startswith("null_frac(v)")
+    assert "nonneg(v)" in names[1]
+    assert "nonempty(url)" in names[2]
+    for bad in ("null(v)", "frob(v)<=0.1", "null v<=0.1"):
+        with pytest.raises(ValueError):
+            parse_audit_spec(bad)
+    # semantics on a real table: nonneg catches the planted negative
+    t = _table(spark, tmp_path, [("a", 1)])
+    wap = WapCommit(t, str(tmp_path / "_txn"))
+    wap.spec = parse_audit_spec("nonneg(v)<=0")
+    wap.merge(spark, _batch(spark, [("b", -3)], seq=5, op="I"))
+    res = wap.run(spark)
+    assert not res.passed
+    assert _state(spark, t.path) == {"a": 1}
+
+
 def test_audit_is_single_job(spark, tmp_path):
     """All scan-based checks fold into one aggregation over one scan."""
     t = _table(spark, tmp_path, [("a", 1), ("b", 2)])

@@ -125,6 +125,50 @@ class AuditSpec:
         )
 
 
+def parse_audit_spec(spec: str) -> AuditSpec:
+    """Build an AuditSpec from the compact CLI grammar used by
+    ``jobs/cdc_ingest.py --audit`` — comma-separated terms:
+
+    - ``null(col)<=F``      null fraction of `col` bounded by F
+    - ``nonneg(col)<=F``    fraction of rows with `col` < 0 bounded by F
+    - ``nonempty(col)<=F``  fraction with `col` NULL/empty bounded by F
+    - ``delta<=F``          manifest stored-row delta fraction bound
+
+    e.g. ``--audit "null(text)<=0.02,nonneg(content_len)<=0,delta<=2.0"``.
+    Arbitrary predicates are the library API's job
+    (``check_max_violation_frac``)."""
+    out = AuditSpec()
+    for term in [t.strip() for t in spec.split(",") if t.strip()]:
+        if "<=" not in term:
+            raise ValueError(f"audit term {term!r}: missing '<=bound'")
+        head, bound_s = term.rsplit("<=", 1)
+        bound = float(bound_s)
+        head = head.strip()
+        if head == "delta":
+            out.check_rows_delta_frac(bound)
+            continue
+        if "(" not in head or not head.endswith(")"):
+            raise ValueError(f"audit term {term!r}: expected kind(col)")
+        kind, col = head[:-1].split("(", 1)
+        kind, col = kind.strip(), col.strip()
+        if kind == "null":
+            out.check_max_null_frac(col, bound)
+        elif kind == "nonneg":
+            out.check_max_violation_frac(
+                f"nonneg({col})", F.col(col) >= 0, bound
+            )
+        elif kind == "nonempty":
+            out.check_max_violation_frac(
+                f"nonempty({col})", F.length(F.col(col)) > 0, bound
+            )
+        else:
+            raise ValueError(
+                f"audit term {term!r}: unknown kind {kind!r} "
+                "(null|nonneg|nonempty|delta)"
+            )
+    return out
+
+
 def manifest_rows(table: LakeTable) -> int:
     """Stored-row count straight from the manifest (no data read)."""
     return sum(f["rows"] for f in table.manifest["files"])
