@@ -520,6 +520,62 @@ def lake_wap_publish_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_bootstrap_tail_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot bootstrap + binlog-tail takeover (cdc/bootstrap.py —
+    the DMS/Debezium snapshot+streaming pattern): full-load the gen-0
+    crawl as base files at position op_seq=1 (cow on empty, one
+    bucket-aligned shuffle), then tail two change batches through the
+    real pipeline — link-rewrite every third page (U, day 2), delete
+    every seventh (D, day 3). Final state must be the LWW resolution,
+    with text extracted by the SAME vectorized kernel on both the
+    bootstrapped and the streamed rows; the oracle rebuilds the pages
+    and the tag-strip extraction in SQL."""
+    from tiger_etl_spark.cdc.bootstrap import bootstrap_table
+    from tiger_etl_spark.cdc.pipeline import apply_changes, create_pages_table
+
+    base = _scratch_table("boot")
+    t = create_pages_table(os.path.join(base, "t"), num_buckets=4)
+    snap = _synth_pages(spark, sf_dir, gen=0).select(
+        "url",
+        F.lit("2025-01-01 00:00:00").cast("timestamp_ltz").alias("warc_ts"),
+        "html",
+    )
+    bootstrap_table(spark, t, snap)
+
+    def ev_batch(df: DataFrame, op: str, seq: int, day: int) -> DataFrame:
+        html = (
+            F.col("html") if op != "D" else F.lit(None).cast("binary")
+        )
+        return df.select(
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("op_seq"),
+            "url",
+            F.lit(f"2025-01-0{day} 00:00:00")
+            .cast("timestamp_ltz")
+            .alias("warc_ts"),
+            F.lit(None).cast("binary").alias("body"),
+            html.alias("html"),
+            F.lit(None).cast("string").alias("lang"),
+            F.length(html).cast("long").alias("content_len"),
+            F.lit(2).cast("int").alias("schema_id"),
+            F.lit(f"tail-{seq}").alias("batch_file"),
+        )
+
+    upd = _synth_pages(spark, sf_dir, gen=1, with_id=True).where(
+        F.col("doc_id") % 3 == 0
+    )
+    apply_changes(spark, t, ev_batch(upd, "U", 2, 2), batch_id=0)
+    dels = _synth_pages(spark, sf_dir, gen=0, with_id=True).where(
+        F.col("doc_id") % 7 == 0
+    )
+    apply_changes(spark, t, ev_batch(dels, "D", 3, 3), batch_id=1)
+    return t.scan(spark).select(
+        "url",
+        "text",
+        F.length("html").cast("long").alias("html_len"),
+    ).orderBy("url")
+
+
 def lake_cascade_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 — FK ondelete=CASCADE (sessions_management/model.py:45-50) as a
     final-state query: customers (every 10th key) are the parent, their
@@ -2464,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_truncate_state": lake_truncate_state,
         "lake_rollback_state": lake_rollback_state,
         "lake_wap_publish_state": lake_wap_publish_state,
+        "cdc_bootstrap_tail_state": cdc_bootstrap_tail_state,
         "lake_cascade_delete_state": lake_cascade_delete_state,
         "part_relevance_top20": part_relevance_top20,
         "orders_page3": orders_page3,
@@ -2987,6 +3044,20 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events WHERE ts IS NOT NULL AND event_id % 2 = 0
             ) WHERE rn = 1
+        """,
+        "cdc_bootstrap_tail_state": f"""
+            WITH pages AS (
+                SELECT {_WEB_URL_SQL} AS url,
+                       CASE WHEN doc_id % 3 = 0 THEN {_web_html_sql(1)}
+                            ELSE {_web_html_sql(0)} END AS html
+                FROM documents
+                WHERE doc_id % 7 <> 0
+            )
+            SELECT url,
+                   trim(regexp_replace(regexp_replace(html,
+                        '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS text,
+                   CAST(strlen(html) AS BIGINT) AS html_len
+            FROM pages
         """,
         "lake_wap_publish_state": """
             SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type

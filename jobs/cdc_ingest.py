@@ -115,6 +115,22 @@ def main() -> None:
         "--history-path table tracks (DDL derived from the pages schema)",
     )
     ap.add_argument(
+        "--bootstrap",
+        default=None,
+        help="parquet dir holding a position-consistent keyed snapshot "
+        "(url, warc_ts, html[, lang, content_len]) to full-load as base "
+        "files BEFORE tailing --changes (cdc/bootstrap.py: the "
+        "DMS/Debezium snapshot+streaming pattern). Idempotent: a table "
+        "already carrying the bootstrap marker skips the load.",
+    )
+    ap.add_argument(
+        "--bootstrap-op-seq",
+        type=int,
+        default=1,
+        help="the snapshot's consistent position (stamped on every "
+        "loaded row; must be >= 1)",
+    )
+    ap.add_argument(
         "--audit",
         default=None,
         help="Write-Audit-Publish gate per micro-batch (lake/wap.py): "
@@ -283,6 +299,27 @@ def main() -> None:
         from tiger_etl_spark.lake.wap import parse_audit_spec
 
         audit = parse_audit_spec(args.audit)
+
+    if args.bootstrap:
+        from tiger_etl_spark.cdc.bootstrap import bootstrap_table
+
+        tbl = LakeTable.load(args.table)
+        rec = bootstrap_table(
+            spark,
+            tbl,
+            spark.read.parquet(args.bootstrap),
+            op_seq=args.bootstrap_op_seq,
+            enrichers=enrichers,
+            static_dim=static_dim,
+        )
+        print(
+            json.dumps(
+                {
+                    "bootstrap": "skipped" if rec is None else "loaded",
+                    "bootstrap_rows": 0 if rec is None else rec.rows_in,
+                }
+            )
+        )
 
     result = run_stream(
         spark,
