@@ -94,12 +94,26 @@ def main() -> None:
         "maintenance (rows still invalid stay quarantined)",
     )
     ap.add_argument(
+        "--replay-audit-rejects",
+        action="store_true",
+        help="re-merge whole batches the WAP gate dead-lettered "
+        "(audit_policy=quarantine), staged and re-judged by --audit; "
+        "batches that still fail the gate stay rejected",
+    )
+    ap.add_argument(
+        "--audit",
+        default=None,
+        help="audit spec for --replay-audit-rejects (same grammar as "
+        "cdc_ingest --audit; typically the SAME spec the stream ran). "
+        "Omitted = repaired batches publish unaudited.",
+    )
+    ap.add_argument(
         "--enrich",
         default=None,
         help="enricher preset spec ('standard', 'meta', 'content', or a "
-        "'+' combination) to apply during --replay-quarantine "
-        "(MUST match what ingest used, or repaired rows land with "
-        "NULL derived columns)",
+        "'+' combination) to apply during --replay-quarantine / "
+        "--replay-audit-rejects (MUST match what ingest used, or "
+        "repaired rows land with NULL derived columns)",
     )
     ap.add_argument(
         "--dim-table",
@@ -147,6 +161,28 @@ def main() -> None:
         out["quarantine_replay"] = replay_quarantine(
             spark,
             table,
+            enrichers=resolve_enrich_spec(args.enrich)[0],
+            static_dim=(
+                (spark.read.parquet(args.dim_table), args.dim_on)
+                if args.dim_table
+                else None
+            ),
+        )
+    if args.replay_audit_rejects:
+        from tiger_etl_spark.cdc.pipeline import (
+            replay_audit_rejects,
+            resolve_enrich_spec,
+        )
+
+        audit = None
+        if args.audit:
+            from tiger_etl_spark.lake.wap import parse_audit_spec
+
+            audit = parse_audit_spec(args.audit)
+        out["audit_reject_replay"] = replay_audit_rejects(
+            spark,
+            table,
+            audit=audit,
             enrichers=resolve_enrich_spec(args.enrich)[0],
             static_dim=(
                 (spark.read.parquet(args.dim_table), args.dim_on)

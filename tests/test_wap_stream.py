@@ -165,6 +165,67 @@ def test_audit_quarantine_exactly_once_on_restart(spark, tmp_path):
     assert _final(spark, tp) == before
 
 
+def test_replay_audit_rejects_repairs_and_publishes(spark, tmp_path):
+    """The repair loop: a dead-lettered batch, fixed (content_len
+    recomputed from html) and re-merged under the SAME audit, brings the
+    table to full parity with the never-poisoned change log; the reject
+    dir and the rejected-prop entry are cleared. An unfixed replay must
+    still fail the gate and keep the dir."""
+    from tiger_etl_spark.cdc.pipeline import replay_audit_rejects
+
+    cdir = _mk_changes(tmp_path, poison=True)
+    tp = str(tmp_path / "pages")
+    create_pages_table(tp, num_buckets=4)
+    res = run_stream(
+        spark,
+        cdir,
+        tp,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        audit=_audit(),
+        audit_policy="quarantine",
+    )
+    assert res.batches_rejected == 1
+    bad_id = res.audit_failures[0][0]
+    table = LakeTable.load(tp)
+    rdir = os.path.join(tp, "_audit_rejects", f"batch_id={bad_id}")
+
+    # replay WITHOUT a fixer: the same poison re-merges staged, fails
+    # the same gate, aborts — dir intact, nothing published
+    v = table.manifest["version"]
+    out = replay_audit_rejects(spark, table, audit=_audit())
+    assert out == {
+        "batches": 1,
+        "published": 0,
+        "still_failing": 1,
+        "rows_applied": 0,
+        "rows_dropped_invalid": 0,
+    }
+    assert os.path.isdir(rdir)
+    assert LakeTable.load(tp).manifest["version"] == v
+
+    # replay WITH the repair: publishes, clears dir + prop, and the
+    # final state now equals the oracle replay of the CLEAN log
+    def fix(df):
+        return df.withColumn(
+            "content_len", F.length("html").cast("long")  # null html → null
+        )
+
+    out2 = replay_audit_rejects(spark, table, fixer=fix, audit=_audit())
+    assert out2["published"] == 1 and out2["rows_applied"] > 0
+    assert not os.path.isdir(rdir)
+    assert str(bad_id) not in table.props.get("audit_rejected", {})
+    clean = _mk_changes(tmp_path, poison=False)
+    expected = oracle.replay_dir(clean)
+    state = {
+        r["url"]: (r["content_len"], r["text"])
+        for r in LakeTable.load(tp).scan(spark).collect()
+    }
+    assert set(state) == set(expected)
+    for url, e in expected.items():
+        assert state[url] == (e["content_len"], e["text"]), url
+
+
 def test_clean_stream_with_audit_matches_oracle(spark, tmp_path):
     """The gate must be a no-op on a healthy stream: full parity with
     the oracle replay, every batch published."""

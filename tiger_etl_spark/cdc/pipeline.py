@@ -737,3 +737,139 @@ def replay_quarantine(
         out["rows_applied"] += n_ok
         out["rows_still_invalid"] += n_bad
     return out
+
+
+def read_audit_rejects(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """All audit-rejected batches' raw wire rows, with their batch id."""
+    import glob as _glob
+
+    from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+
+    root = os.path.join(table.path, "_audit_rejects")
+    dirs = sorted(_glob.glob(os.path.join(root, "batch_id=*")))
+    if not dirs:
+        return spark.createDataFrame([], EVENTS_READ_SCHEMA).withColumn(
+            "_reject_batch_id", F.lit(None).cast("long")
+        )
+    parts = []
+    for d in dirs:
+        bid = int(os.path.basename(d).split("=", 1)[1])
+        parts.append(
+            spark.read.schema(EVENTS_READ_SCHEMA)
+            .parquet(d)
+            .withColumn("_reject_batch_id", F.lit(bid).cast("long"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replay_audit_rejects(
+    spark: SparkSession,
+    table: LakeTable,
+    fixer=None,
+    audit=None,
+    enrichers: dict | None = None,
+    static_dim: tuple[DataFrame, object] | None = None,
+) -> dict:
+    """Repair-and-reingest for WHOLE batches the Write-Audit-Publish
+    gate dead-lettered (`run_stream(audit_policy='quarantine')`): the
+    per-batch analog of `replay_quarantine`'s per-row recovery.
+
+    Per reject dir: read the raw wire rows, apply the optional
+    `fixer(df) -> df` repair, re-validate (rows the fixer could not
+    save are routed into the normal per-row quarantine dead-letter for
+    this batch when the repair publishes — `replay_quarantine` is their
+    recovery loop), then merge through the SAME fused hot path — STAGED,
+    and re-judged
+    by `audit` (an AuditSpec, typically the same spec the stream ran):
+    a repair that still fails the gate aborts trace-free and keeps the
+    reject dir for another round. On publish the dir is removed and the
+    batch's `audit_rejected` prop entry cleared (it stays in the
+    applied ledger — the stream must keep skipping it).
+
+    Crash-safe by idempotence: a crash between publish and dir removal
+    re-replays a merge whose rows are LWW no-ops, the audit passes on
+    the already-repaired state, and the dir is removed then.
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    from tiger_etl_spark.cdc.schemas import EVENTS_READ_SCHEMA
+    from tiger_etl_spark.lake.wap import abort_staged, manifest_rows
+
+    root = os.path.join(table.path, "_audit_rejects")
+    out = {
+        "batches": 0,
+        "published": 0,
+        "still_failing": 0,
+        "rows_applied": 0,
+        "rows_dropped_invalid": 0,
+    }
+    for rdir in sorted(_glob.glob(os.path.join(root, "batch_id=*"))):
+        bid = int(os.path.basename(rdir).split("=", 1)[1])
+        df = spark.read.schema(EVENTS_READ_SCHEMA).parquet(rdir)
+        if fixer is not None:
+            df = fixer(df)
+        checked = with_validation(df)
+        is_valid = F.size("_invalid_reasons") == 0
+        counts = checked.select(
+            F.sum(is_valid.cast("long")).alias("ok"),
+            F.sum((~is_valid).cast("long")).alias("bad"),
+        ).first()
+        n_ok, n_bad = counts["ok"] or 0, counts["bad"] or 0
+        out["batches"] += 1
+        out["rows_dropped_invalid"] += n_bad
+        if not n_ok:
+            continue
+        mapped = map_to_live_schema(
+            checked.where(is_valid).drop("_invalid_reasons")
+        )
+        base_rows = manifest_rows(table)
+        table._defer_pointer = True
+        try:
+            if table.merge_policy == "lww":
+                batch = _fused_dedup_extract(table, mapped, enrichers, static_dim)
+                table.merge(spark, batch, mode="mor", prepared=True)
+            else:
+                from tiger_etl_spark.functions.text import extract_text_udf
+
+                batch = mapped.withColumn(
+                    "text", extract_text_udf(F.col("html"))
+                ).select(
+                    "op", "op_seq", "url", "warc_ts", "html", "text",
+                    "lang", "content_len",
+                )
+                table.merge(spark, batch, mode="mor")
+            res = None
+            if audit is not None:
+                res = audit.evaluate(
+                    spark,
+                    table.scan(spark),
+                    base_rows=base_rows,
+                    staged_rows=manifest_rows(table),
+                )
+        finally:
+            table._defer_pointer = False
+        if res is not None and not res.passed:
+            abort_staged(table)
+            out["still_failing"] += 1
+            continue
+        LakeTable._write_pointer(table.path, table.manifest["version"])
+        out["published"] += 1
+        out["rows_applied"] += n_ok
+        if n_bad:
+            # preserve the rows the fixer could not save: they re-enter
+            # the per-row dead-letter (their original stream-time copy
+            # was subsumed into this reject dir when the batch bounced)
+            checked.where(~is_valid).withColumn(
+                "_invalid_reasons", F.array_join("_invalid_reasons", ",")
+            ).write.mode("overwrite").parquet(
+                os.path.join(table.path, "_quarantine", f"batch_id={bid}")
+            )
+        _shutil.rmtree(rdir, ignore_errors=True)
+        rejected = dict(table.props.get("audit_rejected", {}))
+        if rejected.pop(str(bid), None) is not None:
+            table.update_props({"audit_rejected": rejected})
+    return out
