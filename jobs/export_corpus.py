@@ -86,6 +86,13 @@ def main() -> None:
         "robots gate materialized by `--enrich meta` at ingest); rows "
         "with NULL noindex are kept",
     )
+    ap.add_argument(
+        "--shuffle-salt",
+        default=None,
+        help="globally shuffle the export: shard membership AND in-file "
+        "row order from a salted md5 of the key (no global sort; a new "
+        "salt = a fresh epoch permutation)",
+    )
     ap.add_argument("--local-cores", type=int, default=None)
     args = ap.parse_args()
 
@@ -155,6 +162,7 @@ def main() -> None:
         fmt=args.format,
         columns=args.columns.split(",") if args.columns else None,
         row_filter=row_filter,
+        shuffle_salt=args.shuffle_salt,
     )
     print(json.dumps(manifest))
 

@@ -255,3 +255,58 @@ def test_export_row_filter_excludes_noindex(spark, tmp_path):
     assert man["rows"] == 20
     assert "noindex" in man["row_filter"]
     assert "noindex" not in got.columns
+
+
+def test_export_shuffled_shards(spark, tmp_path):
+    """shuffle_salt: in-file row order is the salted-md5 permutation —
+    deterministic under rerun, different under a different salt, and
+    shard membership matches the salted key (never the unsalted hash)."""
+    import hashlib
+
+    t = _table(spark, tmp_path, n=80)
+    out1 = str(tmp_path / "ep0")
+    m = export_training_shards(
+        spark, t, out1, num_shards=4, shuffle_salt="ep0"
+    )
+    assert m["shuffle_salt"] == "ep0"
+    assert m["rows"] == 80
+
+    def skey(url: str, salt: str) -> str:
+        return hashlib.md5(f"{url}:{salt}".encode()).hexdigest()
+
+    all_urls = []
+    for shard in range(4):
+        part = spark.read.parquet(
+            os.path.join(out1, "split=all", f"shard={shard}")
+        )
+        urls = [r["url"] for r in part.collect()]
+        all_urls.extend(urls)
+        # in-file order IS the permutation order
+        assert urls == sorted(urls, key=lambda u: (skey(u, "ep0"), u))
+        # membership from the salted key's first 3 nibbles
+        for u in urls:
+            assert int(skey(u, "ep0")[:3], 16) % 4 == shard
+    assert len(all_urls) == 80
+
+    # rerun with the same salt: byte-identical order
+    out2 = str(tmp_path / "ep0b")
+    export_training_shards(spark, t, out2, num_shards=4, shuffle_salt="ep0")
+    for shard in range(4):
+        a = [r["url"] for r in spark.read.parquet(
+            os.path.join(out1, "split=all", f"shard={shard}")).collect()]
+        b = [r["url"] for r in spark.read.parquet(
+            os.path.join(out2, "split=all", f"shard={shard}")).collect()]
+        assert a == b
+
+    # a different salt reshuffles membership and order
+    out3 = str(tmp_path / "ep1")
+    export_training_shards(spark, t, out3, num_shards=4, shuffle_salt="ep1")
+    same = 0
+    for shard in range(4):
+        a = [r["url"] for r in spark.read.parquet(
+            os.path.join(out1, "split=all", f"shard={shard}")).collect()]
+        b = [r["url"] for r in spark.read.parquet(
+            os.path.join(out3, "split=all", f"shard={shard}")).collect()]
+        if a == b:
+            same += 1
+    assert same == 0

@@ -56,6 +56,7 @@ def export_training_shards(
     fmt: str = "parquet",
     columns: list[str] | None = None,
     row_filter: Column | None = None,
+    shuffle_salt: str | None = None,
 ) -> dict:
     """Export the table's current state as a sharded training dataset.
 
@@ -79,6 +80,13 @@ def export_training_shards(
     - `fmt`: 'parquet' or 'jsonl' (newline-delimited JSON, the common
       interchange for text corpora; binary columns are dropped there).
     - `columns`: projection for the export (default: all non-internal).
+    - `shuffle_salt`: globally shuffle the corpus for training (the
+      `sampling.shuffle_assign` permutation): shard membership AND the
+      row order inside every shard file come from a salted md5 of the
+      key — a full pseudo-random permutation with no global sort (the
+      in-shard order is a sortWithinPartitions on the already-sharded
+      exchange). A different salt is a fresh epoch-level permutation;
+      the same salt reproduces the same file order on any cluster size.
 
     Returns (and writes to `<out_dir>/_manifest.json`) the export
     manifest: source table path + snapshot version, config, and
@@ -123,10 +131,25 @@ def export_training_shards(
 
     # deterministic shard membership: pmod(hash(key), shards) — and the
     # repartition by the same expression lands shard i in partition i
-    # (bucket_expr alignment), so partitionBy writes one file per shard
-    df = df.withColumn(
-        _SHARD_COL, F.pmod(F.hash(F.col(key)), F.lit(num_shards)).cast("int")
-    )
+    # (bucket_expr alignment), so partitionBy writes one file per shard.
+    # Under shuffle_salt the shard comes from the salted md5 instead, so
+    # shard membership itself re-randomizes per epoch.
+    if shuffle_salt is None:
+        df = df.withColumn(
+            _SHARD_COL,
+            F.pmod(F.hash(F.col(key)), F.lit(num_shards)).cast("int"),
+        )
+    else:
+        skey = F.md5(
+            F.concat(F.col(key).cast("string"), F.lit(":" + shuffle_salt))
+        )
+        df = df.withColumn("_skey", skey).withColumn(
+            _SHARD_COL,
+            (
+                F.conv(F.substring("_skey", 1, 3), 16, 10).cast("int")
+                % num_shards
+            ).cast("int"),
+        )
     obs = Observation("export")
 
     def metric_cols() -> list:
@@ -143,6 +166,13 @@ def export_training_shards(
     df = df.observe(obs, *metric_cols())
 
     out = df.repartition(len(weights) * num_shards, F.col("split"), F.col(_SHARD_COL))
+    if shuffle_salt is not None:
+        # permuted in-file order: sort the already-sharded partitions by
+        # the salted key (bounded per-partition sort, no global order),
+        # then drop the key — the projection preserves partition order
+        out = out.sortWithinPartitions("split", _SHARD_COL, "_skey").drop(
+            "_skey"
+        )
     writer_df = out
     if fmt == "jsonl":
         bin_cols = [f.name for f in out.schema.fields
@@ -182,6 +212,7 @@ def export_training_shards(
             else {}
         ),
         "split_weights": weights,
+        "shuffle_salt": shuffle_salt,
         "pack_budget": pack_budget,
         "size_col": size_col,
         "rows": int(m.get("rows") or 0),
