@@ -1459,6 +1459,16 @@ def doc_shuffle_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "pos")
 
 
+def doc_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing card (sampling.mixture_epochs — LLaMA-1 table-1 /
+    DoReMi style): per source, doc/token counts and the uniform-target
+    epoch factor in integer ppm (integer division only — engine-exact).
+    One tiny agg; no data shuffle beyond the per-source groupBy."""
+    d = _t_wide(spark, sf_dir, "documents")
+    toks = d.select("source", token_count(F.col("text")).alias("n_tok"))
+    return sampling.mixture_epochs(toks, "source", "n_tok")
+
+
 def doc_alpha_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture rebalancing — alpha (temperature) sampling at α=0.5
     (XLM-R §3.1 style: expected kept per source ∝ N_s^0.5, the largest
@@ -2553,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_funnel": doc_filter_funnel,
         "doc_split_counts": doc_split_counts,
         "doc_shuffle_assign": doc_shuffle_assign,
+        "doc_mixture_epochs": doc_mixture_epochs,
         "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
         "doc_lang_sample": doc_lang_sample,
         "doc_source_quota": doc_source_quota,
@@ -3354,6 +3365,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_split_counts": _SPLIT_SQL,
         "doc_shuffle_assign": _SHUFFLE_SQL,
+        "doc_mixture_epochs": r"""
+            WITH tok AS (
+                SELECT source,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS n_tok
+                FROM documents
+            ), s AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                FROM tok GROUP BY source
+            ), t AS (
+                SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS ns
+                FROM s
+            )
+            SELECT source, n_docs, n_tokens,
+                   CAST((1000000::BIGINT * total) // (ns * n_tokens)
+                        AS BIGINT) AS epochs_ppm
+            FROM s, t
+        """,
         "doc_filter_funnel": """
             WITH m AS (
                 SELECT length(text) AS nc,

@@ -188,3 +188,55 @@ def shuffle_assign(
             "pos", (F.row_number().over(w) - 1).cast("long")
         ).drop("_skey")
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    budget_tokens: int | None = None,
+) -> DataFrame:
+    """Data-mixing card (the LLaMA/DoReMi-style table a training run is
+    configured from): per source, document/token counts and the
+    EPOCH FACTOR — how many passes over that source hit its share of
+    the token budget under a uniform target mixture:
+
+        epochs_s = (budget / n_sources) / tokens_s
+
+    `budget_tokens` defaults to the corpus total (pure re-balancing: a
+    small source is repeated >1 epoch, a large one sampled <1). Emitted
+    as integer parts-per-million computed with INTEGER division only
+    (`1e6 * budget div (n_sources * tokens_s)`) — engine-exact, never a
+    rounded double (the round-2 comparator-exactness convention).
+
+    One tiny agg (n_sources rows) + window-less broadcast totals; no
+    data shuffle beyond the groupBy. Reference has no mixing surface;
+    semantics follow the public data-card convention (epochs column of
+    the LLaMA-1 table 1 / DoReMi §2 weights).
+    """
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(tokens_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = (
+        F.lit(int(budget_tokens)).cast("long")
+        if budget_tokens is not None
+        else F.sum("n_tokens").over(w)
+    )
+    ns = F.count(F.lit(1)).over(w)
+    return per.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.expr("1000000").cast("long").alias("_m"),
+        total.alias("_b"),
+        ns.cast("long").alias("_ns"),
+    ).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.expr("_m * _b div (_ns * n_tokens)").cast("long").alias(
+            "epochs_ppm"
+        ),
+    )
