@@ -48,6 +48,34 @@ def test_hash_split_no_shuffle(docs):
     assert "Exchange" not in plan
 
 
+# --------------------------------------------------------- mixture_epochs
+def test_mixture_epochs_integer_arithmetic(spark):
+    """Epoch factors are pure integer division of the uniform-target
+    share: with an explicit budget the expected ppm is computable by
+    hand; the corpus-total default re-balances (small source > 1 epoch,
+    large < 1)."""
+    rows = [("a", 100)] * 10 + [("b", 300)] * 30
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    # explicit budget 20_000 over 2 sources → 10_000 tokens/source:
+    # a has 1_000 tokens → 10.0 epochs; b has 9_000 → 1.111111
+    out = {
+        r["source"]: r
+        for r in sampling.mixture_epochs(
+            df, "source", "n_tok", budget_tokens=20_000
+        ).collect()
+    }
+    assert out["a"]["n_docs"] == 10 and out["a"]["n_tokens"] == 1_000
+    assert out["a"]["epochs_ppm"] == 10_000_000
+    assert out["b"]["epochs_ppm"] == (1_000_000 * 20_000) // (2 * 9_000)
+    # default budget = corpus total (10_000): a → 5.0 epochs, b → 0.555...
+    out2 = {
+        r["source"]: r["epochs_ppm"]
+        for r in sampling.mixture_epochs(df, "source", "n_tok").collect()
+    }
+    assert out2["a"] == 5_000_000
+    assert out2["b"] == (1_000_000 * 10_000) // (2 * 9_000)
+
+
 # --------------------------------------------------------- shuffle_assign
 def test_shuffle_assign_is_dense_permutation(docs):
     """(shard, pos) must be a full permutation: every shard's positions
