@@ -827,6 +827,7 @@ def replay_audit_rejects(
             checked.where(is_valid).drop("_invalid_reasons")
         )
         base_rows = manifest_rows(table)
+        pre_paths = {f["path"] for f in table.manifest["files"]}
         table._defer_pointer = True
         try:
             if table.merge_policy == "lww":
@@ -844,9 +845,19 @@ def replay_audit_rejects(
                 table.merge(spark, batch, mode="mor")
             res = None
             if audit is not None:
+                # same delta scope as the streaming gate: judge only the
+                # files this replay staged — O(batch), tombstones out
+                new_files = [
+                    f
+                    for f in table.manifest["files"]
+                    if f["path"] not in pre_paths
+                ]
+                delta = table._read_files(spark, new_files).where(
+                    ~F.col("_deleted")
+                )
                 res = audit.evaluate(
                     spark,
-                    table.scan(spark),
+                    delta,
                     base_rows=base_rows,
                     staged_rows=manifest_rows(table),
                 )

@@ -94,8 +94,11 @@ def run_stream(
 
     `audit`: a ``lake.wap.AuditSpec`` — the Write-Audit-Publish gate per
     micro-batch: the merge lands on a STAGED snapshot (pointer not
-    flipped), the check set runs in one aggregation pass over the staged
-    state, and only a passing batch is published. A failing batch is
+    flipped), the check set runs in one aggregation pass over the
+    batch's STAGED DELTA FILES (the manifest diff — O(batch) per
+    micro-batch, never a table scan; under cow, the touched buckets'
+    post-image; tombstones excluded), and only a passing batch is
+    published. A failing batch is
     aborted trace-free, then per `audit_policy`:
     - 'halt' (default, fail-closed): raise AuditRejected; the checkpoint
       did not advance, so a restart re-delivers the batch — an operator
@@ -148,9 +151,12 @@ def run_stream(
             return
 
         if audit is not None:
+            from pyspark.sql import functions as F
+
             from tiger_etl_spark.lake.wap import abort_staged, manifest_rows
 
             base_rows = manifest_rows(table)
+            pre_paths = {f["path"] for f in table.manifest["files"]}
             table._defer_pointer = True
             try:
                 rec = apply_changes(
@@ -163,9 +169,22 @@ def run_stream(
                     enrichers=enrichers,
                     static_dim=static_dim,
                 )
+                # DELTA-scoped audit: judge only the files THIS batch
+                # staged (manifest diff — known without any listing), so
+                # the gate costs O(batch) per micro-batch, never a full
+                # table scan. Tombstones carry null payloads by design
+                # and are excluded from the fraction checks.
+                new_files = [
+                    f
+                    for f in table.manifest["files"]
+                    if f["path"] not in pre_paths
+                ]
+                delta = table._read_files(spark, new_files).where(
+                    ~F.col("_deleted")
+                )
                 res = audit.evaluate(
                     spark,
-                    table.scan(spark),
+                    delta,
                     base_rows=base_rows,
                     staged_rows=manifest_rows(table),
                 )
