@@ -2368,6 +2368,35 @@ def web_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-pattern quality gates (weblinks.url_quality_cols — the
+    C4 §2.1 / RefinedWeb §3.1 url filters): structural features
+    (path depth, query-param count) plus search/auth/asset/over-long
+    pattern gates and the composite keep decision, all scan-stage
+    codegen regexes. Variants are planted per doc_id % 6 (search query,
+    /login, .jpg asset, param-stuffed, 200-char path) and mirrored
+    term-for-term in the oracle."""
+    from tiger_etl_spark.operators.weblinks import url_quality_cols
+
+    d = _synth_pages(spark, sf_dir, with_id=True)
+    m = F.col("doc_id") % 6
+    suffix = (
+        F.when(m == 0, F.lit("?search=llm&page=2"))
+        .when(m == 1, F.lit("/login"))
+        .when(m == 2, F.lit(".jpg"))
+        .when(m == 3, F.lit("?a=1&b=2&c=3"))
+        .when(m == 4, F.concat(F.lit("/"), F.repeat(F.lit("x"), 200)))
+        .otherwise(F.lit(""))
+    )
+    # materialize the augmented url once (two-projection pattern — the
+    # CASE chain must not re-run inside every gate's regex)
+    aug = d.select("doc_id", F.concat(F.col("url"), suffix).alias("_u"))
+    cols = url_quality_cols(F.col("_u"))
+    return aug.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
 def web_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed crawl-curation funnel — fetched → robots-allowed
     (REP gate, agent 'tigerbot') → indexable (no meta-robots noindex)
@@ -2602,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_main_content": web_main_content,
         "web_canonical_groups": web_canonical_groups,
         "web_crawl_funnel": web_crawl_funnel,
+        "web_url_quality": web_url_quality,
         "doc_script_mix": doc_script_mix,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
@@ -3564,6 +3594,51 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY url
         """,
         "doc_script_mix": _script_mix_sql(),
+        "web_url_quality": f"""
+            WITH pages AS (
+                SELECT doc_id, {_WEB_URL_SQL} AS url0 FROM documents
+            ), aug AS (
+                SELECT doc_id,
+                       url0 || CASE doc_id % 6
+                           WHEN 0 THEN '?search=llm&page=2'
+                           WHEN 1 THEN '/login'
+                           WHEN 2 THEN '.jpg'
+                           WHEN 3 THEN '?a=1&b=2&c=3'
+                           WHEN 4 THEN '/' || repeat('x', 200)
+                           ELSE '' END AS url
+                FROM pages
+            ), f AS (
+                SELECT doc_id, url, lower(url) AS low,
+                       regexp_extract(lower(url),
+                           '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                       regexp_extract(lower(url), '\\?([^#]*)', 1) AS query
+                FROM aug
+            ), g AS (
+                SELECT doc_id,
+                       CAST(length(path) - length(replace(path, '/', ''))
+                            AS BIGINT) AS path_depth,
+                       CAST(CASE WHEN length(query) = 0 THEN 0
+                            ELSE length(query)
+                                 - length(replace(query, '&', '')) + 1
+                            END AS BIGINT) AS n_params,
+                       regexp_matches(low,
+                           '[?&/](search|query|find|results?)([=/?&#]|$)')
+                           AS flag_search,
+                       regexp_matches(low,
+                           '/(login|log-in|signin|sign-in|signup|sign-up|register|account)([/?#]|$)')
+                           AS flag_auth,
+                       regexp_matches(low,
+                           '\\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|json|xml|pdf|zip|gz|tar|mp3|mp4|avi|mov|woff2?)([?#]|$)')
+                           AS flag_asset,
+                       length(url) > 200 AS flag_long
+                FROM f
+            )
+            SELECT doc_id, path_depth, n_params, flag_search, flag_auth,
+                   flag_asset, flag_long,
+                   NOT (flag_search OR flag_auth OR flag_asset OR flag_long)
+                       AS url_ok
+            FROM g
+        """,
         "web_crawl_funnel": f"""
             WITH {_WEB_ROBOTS_RULES_CTES},
             pages AS (

@@ -331,6 +331,14 @@ def test_page_meta_and_main_content_scan_stage_only(spark):
         assert "HashAggregate" not in plan and "Join" not in plan, plan
 
 
+def test_url_quality_scan_stage_only(spark):
+    """URL gates are codegen regexes over one projection: no Python
+    node, no aggregate or join anywhere in the plan."""
+    plan = plan_of(entrymod.web_url_quality(spark, SF_DIR))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan, plan
+
+
 def test_robots_allowed_broadcast_no_page_shuffle(spark):
     """The robots gate joins the per-host rules array by broadcast —
     the page corpus side must carry no hash-partitioning exchange."""

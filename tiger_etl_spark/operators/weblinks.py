@@ -564,3 +564,55 @@ def extract_main_content(
         F.col(html_col), min_words, max_link_density_ppm
     )
     return df.select(*keep, *[c.alias(n) for n, c in cols.items()])
+
+
+# URL-pattern quality gates (C4 §2.1 / RefinedWeb §3.1 url filtering):
+# pages whose URL alone marks them as non-content — search/result pages,
+# auth pages, media/asset files, parameter-stuffed links. Patterns are
+# deliberately literal-alternation regexes that behave identically in
+# Java regex (Spark) and RE2 (DuckDB oracle).
+_URL_SEARCH_RE = r"[?&/](search|query|find|results?)([=/?&#]|$)"
+_URL_AUTH_RE = r"/(login|log-in|signin|sign-in|signup|sign-up|register|account)([/?#]|$)"
+_URL_ASSET_RE = (
+    r"\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|json|xml|pdf|zip|gz|tar"
+    r"|mp3|mp4|avi|mov|woff2?)([?#]|$)"
+)
+
+
+def url_quality_cols(url: Column) -> dict[str, Column]:
+    """Structural URL features + pattern gates, all scan-stage codegen
+    expressions (zero shuffles, no UDF):
+
+    - `path_depth` — '/' segments after the host (BIGINT)
+    - `n_params` — query parameters (0 when no '?')
+    - `flag_search` / `flag_auth` / `flag_asset` — pattern gates
+    - `flag_long` — over-long URL (> 200 chars), the spam-link screen
+    - `url_ok` — passes every gate (the C4-style keep decision)
+
+    Lower-cased before matching so the gates are case-stable."""
+    low = F.lower(url)
+    path = F.regexp_extract(low, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(low, r"\?([^#]*)", 1)
+    depth = (
+        F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    ).cast("long")
+    n_params = F.when(F.length(query) == 0, F.lit(0).cast("long")).otherwise(
+        (
+            F.length(query)
+            - F.length(F.regexp_replace(query, "&", ""))
+            + 1
+        ).cast("long")
+    )
+    flag_search = low.rlike(_URL_SEARCH_RE)
+    flag_auth = low.rlike(_URL_AUTH_RE)
+    flag_asset = low.rlike(_URL_ASSET_RE)
+    flag_long = F.length(url) > 200
+    return {
+        "path_depth": depth,
+        "n_params": n_params,
+        "flag_search": flag_search,
+        "flag_auth": flag_auth,
+        "flag_asset": flag_asset,
+        "flag_long": flag_long,
+        "url_ok": ~(flag_search | flag_auth | flag_asset | flag_long),
+    }
