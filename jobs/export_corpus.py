@@ -87,6 +87,13 @@ def main() -> None:
         "with NULL noindex are kept",
     )
     ap.add_argument(
+        "--exclude-url-flagged",
+        action="store_true",
+        help="drop pages whose stored `url_ok` boolean is false (the "
+        "C4-style url-pattern gate materialized by `--enrich urlgate` "
+        "at ingest); rows with NULL url_ok are kept",
+    )
+    ap.add_argument(
         "--shuffle-salt",
         default=None,
         help="globally shuffle the export: shard membership AND in-file "
@@ -121,6 +128,18 @@ def main() -> None:
                 "ingest with `--enrich meta` (or standard+meta) first"
             )
         row_filter = ~F.coalesce(F.col("noindex"), F.lit(False))
+    if args.exclude_url_flagged:
+        have = {
+            f.name
+            for f in spark.createDataFrame([], table.schema_ddl).schema.fields
+        }
+        if "url_ok" not in have:
+            raise SystemExit(
+                "--exclude-url-flagged needs a stored `url_ok` column — "
+                "ingest with `--enrich urlgate` first"
+            )
+        gate = F.coalesce(F.col("url_ok"), F.lit(True))
+        row_filter = gate if row_filter is None else (row_filter & gate)
     col_ranges = None
     if args.min_quality is not None or args.max_quality is not None:
         col_ranges = {args.quality_col: (args.min_quality, args.max_quality)}

@@ -518,3 +518,50 @@ def test_ingest_content_enrichment(spark, tmp_path):
     assert a["n_blocks_kept"] == exp["n_blocks_kept"] == 1
     b = got["https://c.example.com/b"]
     assert b["main_text"] is None
+
+
+def test_ingest_urlgate_enrichment(spark, tmp_path, change_dir):
+    """The 'urlgate' enricher preset materializes the url-pattern keep
+    decision at ingest (fused winners-only stage); stored values equal
+    the batch operator over the final urls, and final-state parity is
+    untouched."""
+    from tiger_etl_spark.cdc.pipeline import (
+        URLGATE_ENRICH_DDL,
+        resolve_enrich_spec,
+        urlgate_enrichers,
+    )
+    from tiger_etl_spark.operators.weblinks import url_quality_cols
+
+    en, ddl = resolve_enrich_spec("urlgate")
+    assert "url_ok" in en and "url_ok boolean" in ddl
+
+    table = create_pages_table(
+        str(tmp_path / "pages_urlgate"),
+        num_buckets=4,
+        enrich_ddl=URLGATE_ENRICH_DDL,
+    )
+    for i, path in enumerate(
+        sorted(glob.glob(os.path.join(change_dir, "*.parquet")))
+    ):
+        events = spark.read.schema(EVENTS_READ_SCHEMA).parquet(path)
+        apply_changes(
+            spark, table, events, batch_id=i, enrichers=urlgate_enrichers()
+        )
+    assert_final_state_matches_oracle(spark, table, change_dir)
+
+    final = table.scan(spark)
+    cols = url_quality_cols(F.col("url"))
+    recomputed = {
+        r["url"]: (r["ok"], r["depth"])
+        for r in final.select(
+            "url",
+            cols["url_ok"].alias("ok"),
+            cols["path_depth"].alias("depth"),
+        ).collect()
+    }
+    stored = {
+        r["url"]: (r["url_ok"], r["url_path_depth"])
+        for r in final.select("url", "url_ok", "url_path_depth").collect()
+    }
+    assert stored == recomputed
+    assert all(v[0] is not None for v in stored.values())

@@ -156,10 +156,26 @@ def content_enrichers() -> dict:
 
 # name → (enricher factory, DDL) for every named preset the jobs accept;
 # '+'-composed specs (e.g. 'standard+meta') merge dicts/DDLs in order.
+# URL-gate preset (`--enrich urlgate`): the C4/RefinedWeb url-pattern
+# keep decision + structural features stored at ingest (scan-stage
+# codegen regexes over the winners — zero extra cost), so exports can
+# drop search/auth/asset pages via a stored-column row gate
+# (`--exclude` on url_ok) without re-parsing urls.
+URLGATE_ENRICH_DDL = "url_ok boolean, url_path_depth long"
+
+
+def urlgate_enrichers() -> dict:
+    from tiger_etl_spark.operators.weblinks import url_quality_cols
+
+    cols = url_quality_cols(F.col("url"))
+    return {"url_ok": cols["url_ok"], "url_path_depth": cols["path_depth"]}
+
+
 ENRICH_PRESETS: dict = {
     "standard": (standard_enrichers, STANDARD_ENRICH_DDL),
     "meta": (page_meta_enrichers, PAGE_META_ENRICH_DDL),
     "content": (content_enrichers, CONTENT_ENRICH_DDL),
+    "urlgate": (urlgate_enrichers, URLGATE_ENRICH_DDL),
 }
 
 
