@@ -2397,6 +2397,59 @@ def web_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def web_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level curation rollup (the UT1-blocklist / host-filtering
+    stage of a web pipeline): per host — page count, total tokens, the
+    fraction of pages failing the URL-pattern gate (integer ppm,
+    integer division), and the host keep decision (majority-clean).
+    One map-side-combined groupBy over codegen'd per-row gates; at
+    10^10 pages this is the standard (host) agg that decides which
+    domains survive curation. Reuses web_url_quality's planted
+    variants so flag rates differ by host."""
+    from tiger_etl_spark.operators.weblinks import host_of, url_quality_cols
+
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base_url = F.concat(
+        F.lit("https://host"), (i % 40).cast("string"),
+        F.lit(".example.com/"), F.col("source"),
+        F.lit("/"), i.cast("string"), F.lit(".html"),
+    )
+    m = i % 6
+    suffix = (
+        F.when(m == 0, F.lit("?search=llm&page=2"))
+        .when(m == 1, F.lit("/login"))
+        .when(m == 2, F.lit(".jpg"))
+        .when(m == 3, F.lit("?a=1&b=2&c=3"))
+        .when(m == 4, F.concat(F.lit("/"), F.repeat(F.lit("x"), 200)))
+        .otherwise(F.lit(""))
+    )
+    rows = d.select(
+        F.concat(base_url, suffix).alias("_u"),
+        token_count(F.col("text")).alias("_tok"),
+    )
+    ok = url_quality_cols(F.col("_u"))["url_ok"]
+    per = (
+        rows.select(host_of(F.col("_u")).alias("host"), "_tok",
+                    (~ok).cast("long").alias("_bad"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum("_tok").cast("long").alias("n_tokens"),
+            F.sum("_bad").cast("long").alias("_nbad"),
+        )
+    )
+    return per.select(
+        "host",
+        "n_pages",
+        "n_tokens",
+        F.expr("1000000 * _nbad div n_pages").cast("long").alias(
+            "flagged_ppm"
+        ),
+        (F.expr("1000000 * _nbad div n_pages") < 500_000).alias("host_ok"),
+    )
+
+
 def web_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed crawl-curation funnel — fetched → robots-allowed
     (REP gate, agent 'tigerbot') → indexable (no meta-robots noindex)
@@ -2632,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_canonical_groups": web_canonical_groups,
         "web_crawl_funnel": web_crawl_funnel,
         "web_url_quality": web_url_quality,
+        "web_host_reputation": web_host_reputation,
         "doc_script_mix": doc_script_mix,
         "graph_khop_counts": graph_khop_counts,
         "graph_pagerank_top20": graph_pagerank_top20,
@@ -3594,6 +3648,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY url
         """,
         "doc_script_mix": _script_mix_sql(),
+        "web_host_reputation": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       'host' || (doc_id % 40) || '.example.com' AS host,
+                       ({_WEB_URL_SQL}) || CASE doc_id % 6
+                           WHEN 0 THEN '?search=llm&page=2'
+                           WHEN 1 THEN '/login'
+                           WHEN 2 THEN '.jpg'
+                           WHEN 3 THEN '?a=1&b=2&c=3'
+                           WHEN 4 THEN '/' || repeat('x', 200)
+                           ELSE '' END AS url,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tok
+                FROM documents
+            ), g AS (
+                SELECT host, n_tok,
+                       CASE WHEN
+                            regexp_matches(lower(url),
+                              '[?&/](search|query|find|results?)([=/?&#]|$)')
+                         OR regexp_matches(lower(url),
+                              '/(login|log-in|signin|sign-in|signup|sign-up|register|account)([/?#]|$)')
+                         OR regexp_matches(lower(url),
+                              '\\.(jpg|jpeg|png|gif|webp|svg|ico|css|js|json|xml|pdf|zip|gz|tar|mp3|mp4|avi|mov|woff2?)([?#]|$)')
+                         OR length(url) > 200
+                       THEN 1 ELSE 0 END AS bad
+                FROM aug
+            ), s AS (
+                SELECT host,
+                       CAST(count(*) AS BIGINT) AS n_pages,
+                       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                       CAST(sum(bad) AS BIGINT) AS nbad
+                FROM g GROUP BY host
+            )
+            SELECT host, n_pages, n_tokens,
+                   CAST((1000000::BIGINT * nbad) // n_pages AS BIGINT)
+                       AS flagged_ppm,
+                   ((1000000::BIGINT * nbad) // n_pages) < 500000
+                       AS host_ok
+            FROM s
+        """,
         "web_url_quality": f"""
             WITH pages AS (
                 SELECT doc_id, {_WEB_URL_SQL} AS url0 FROM documents
