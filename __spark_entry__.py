@@ -3467,8 +3467,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT source, n_docs, n_tokens,
-                   CAST((1000000::BIGINT * total) // (ns * n_tokens)
-                        AS BIGINT) AS epochs_ppm
+                   -- NULLIF: a zero-token source must yield NULL (Spark
+                   -- DIV-by-zero semantics), not a division error
+                   CAST((1000000::BIGINT * total)
+                        // NULLIF(ns * n_tokens, 0) AS BIGINT) AS epochs_ppm
             FROM s, t
         """,
         "doc_filter_funnel": """
