@@ -94,6 +94,14 @@ def main() -> None:
         "maintenance (rows still invalid stay quarantined)",
     )
     ap.add_argument(
+        "--verify-checksum",
+        action="store_true",
+        help="prove any compaction content-preserving: order-insensitive "
+        "scan checksum before vs after the rewrite; a mismatch rolls "
+        "back to the pre-compaction snapshot and preserves all "
+        "manifests (costs two scans)",
+    )
+    ap.add_argument(
         "--replay-audit-rejects",
         action="store_true",
         help="re-merge whole batches the WAP gate dead-lettered "
@@ -207,6 +215,7 @@ def main() -> None:
                 args.zorder_cols.split(",") if args.zorder_cols else None
             ),
             max_records_per_file=args.max_records_per_file,
+            verify=args.verify_checksum,
         )
     )
     if args.vacuum_hours is not None:

@@ -210,3 +210,55 @@ def test_vacuum_removes_only_old_orphans(spark, tmp_path):
     assert not _os.path.exists(orphan)
     assert _os.path.exists(fresh)
     assert _state(spark, t) == before  # committed data untouched
+
+
+def test_maintain_verify_checksum_passes_and_rolls_back(spark, tmp_path):
+    """maintain(verify=True): a healthy compaction is checksum-proven
+    content-preserving; a corrupted rewrite (simulated by a compact that
+    also drops a row) is detected and ROLLED BACK, with snapshot expiry
+    suppressed so the forensic manifests survive."""
+    t = LakeTable.create(str(tmp_path / "tv"), DDL, key_col="url", num_buckets=2)
+    for j in range(3):
+        t.merge(
+            spark,
+            batch_df(
+                spark,
+                [("I", j * 10 + i, f"k{i}", j * 10 + i, f"v{j}") for i in range(4)],
+            ),
+        )
+    before = _state(spark, t)
+
+    out = t.maintain(spark, max_delta_files_per_bucket=2, verify=True)
+    assert out["compacted"] and out["compaction_verified"] is True
+    assert _state(spark, t) == before
+    # healthy pass reports no verification key when nothing compacted
+    out2 = t.maintain(spark, max_delta_files_per_bucket=2, verify=True)
+    assert not out2["compacted"] and "compaction_verified" not in out2
+
+    # corrupt path: wrap compact to silently delete one key afterwards
+    t2 = LakeTable.create(str(tmp_path / "tv2"), DDL, key_col="url", num_buckets=2)
+    for j in range(3):
+        t2.merge(
+            spark,
+            batch_df(
+                spark,
+                [("I", j * 10 + i, f"k{i}", j * 10 + i, f"v{j}") for i in range(4)],
+            ),
+        )
+    before2 = _state(spark, t2)
+    real_compact = t2.compact
+
+    def corrupting_compact(*a, **kw):
+        res = real_compact(*a, **kw)
+        t2.delete_where(spark, F.col("url") == "k0", op_seq=10_000)
+        return res
+
+    t2.compact = corrupting_compact
+    try:
+        out3 = t2.maintain(spark, max_delta_files_per_bucket=2, verify=True)
+    finally:
+        del t2.compact
+    assert out3["compaction_verified"] is False
+    assert out3["snapshots_expired_files_removed"] == 0
+    # rolled back: full content restored, k0 included
+    assert _state(spark, t2) == before2

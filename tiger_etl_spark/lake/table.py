@@ -1446,6 +1446,7 @@ class LakeTable:
         cluster_cols: list[str] | None = None,
         zorder_cols: list[str] | None = None,
         max_records_per_file: int | None = None,
+        verify: bool = False,
     ) -> dict:
         """One-call maintenance policy (the Iceberg maintenance-job /
         Timescale background-worker analog, reference retention intent
@@ -1454,14 +1455,29 @@ class LakeTable:
         when healthy — then expire old snapshots. Run it after every
         N batches or on a schedule; it is idempotent and cheap when
         there is nothing to do. Read amplification stays bounded at
-        `max_delta_files_per_bucket` resolve inputs per bucket."""
+        `max_delta_files_per_bucket` resolve inputs per bucket.
+
+        ``verify=True``: prove the compaction content-preserving before
+        keeping it — an order-insensitive checksum of the resolved scan
+        (operators/audit.py: one narrow agg) is taken before and after
+        the rewrite; a mismatch ROLLS BACK to the pre-compaction
+        snapshot and skips snapshot expiry (the forensic manifests must
+        survive). Costs two scans — the price of a guaranteed-safe
+        rewrite of 100 TB of base files."""
         per_bucket: dict[int, int] = {}
         for f in self.manifest["files"]:
             if f["kind"] == "delta":
                 per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
         worst = max(per_bucket.values(), default=0)
         compacted = worst > max_delta_files_per_bucket
+        verified: bool | None = None
         if compacted:
+            pre = pre_version = None
+            if verify:
+                from tiger_etl_spark.operators.audit import table_checksum
+
+                pre_version = self.manifest["version"]
+                pre = table_checksum(self.scan(spark)).first()
             self.compact(
                 spark,
                 tombstone_horizon=tombstone_horizon,
@@ -1470,12 +1486,28 @@ class LakeTable:
                 zorder_cols=zorder_cols,
                 max_records_per_file=max_records_per_file,
             )
-        expired = self.expire_snapshots(keep_last=keep_snapshots)
-        return {
+            if verify:
+                from tiger_etl_spark.operators.audit import table_checksum
+
+                post = table_checksum(self.scan(spark)).first()
+                verified = (pre["n_rows"], pre["checksum"]) == (
+                    post["n_rows"],
+                    post["checksum"],
+                )
+                if not verified:
+                    self.rollback(pre_version)
+        if verified is False:
+            expired = 0  # keep every manifest for the post-mortem
+        else:
+            expired = self.expire_snapshots(keep_last=keep_snapshots)
+        out = {
             "compacted": compacted,
             "max_delta_files_per_bucket_seen": worst,
             "snapshots_expired_files_removed": expired,
         }
+        if verified is not None:
+            out["compaction_verified"] = verified
+        return out
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> MergeStats:
         """Partition evolution (Iceberg `bucket(B)` spec change): when
