@@ -1169,7 +1169,15 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: dedup.distinct_shingles(d, "doc_id", "text", k=3),
     )
     out = dedup.ngram_jaccard(d, cands, "doc_id", "text", k=3, shingles=shingles)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # Integer-ppm output (n_shared*1e6 DIV n_union): pure integer
+    # arithmetic on both the Spark and DuckDB side — engine-exact,
+    # immune to round-half double fragility at ...5e-7 boundaries
+    # (the doc_repetition_metrics r02 lesson).
+    return out.select(
+        "id_a",
+        "id_b",
+        F.expr("n_shared * 1000000L div n_union").alias("jaccard_ppm"),
+    )
 
 
 def doc_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1290,11 +1298,21 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         shingles=shingles,
     )
+    # Integer-ppm overlap + integer-compare contamination flag:
+    # engine-exact on both sides (no double rounding anywhere).
     return out.select(
         "doc_id",
         "n_shingles",
-        F.round("overlap", 6).alias("overlap"),
-        (F.col("overlap") >= 0.5).alias("contaminated"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.expr("n_hit * 1000000L div n_shingles"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("overlap_ppm"),
+        (
+            (F.col("n_shingles") > 0)
+            & (F.col("n_hit") * 2 >= F.col("n_shingles"))
+        ).alias("contaminated"),
     )
 
 
@@ -1425,11 +1443,15 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("blob")
     )
     feats = extract_media_features(d, "doc_id", "blob", n_features=8)
+    # floor(mean*1000) as integer milli-units: each mean is ONE IEEE
+    # division of an exact integer byte-sum by an exact count, so the
+    # double is bit-identical across engines; floor has no .5 tie rule
+    # (unlike round), making the output engine-exact.
     return feats.select(
         "doc_id",
         F.size("features").alias("n_features"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 8), 6).alias("f7"),
+        F.floor(F.element_at("features", 1) * 1000).alias("f0_milli"),
+        F.floor(F.element_at("features", 8) * 1000).alias("f7_milli"),
     )
 
 
@@ -2368,6 +2390,75 @@ def web_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_alias_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier op — redirect/canonical alias chains collapsed to
+    their terminal target by distributed pointer doubling
+    (operators/frontier.py resolve_alias_chains: O(log max_hops) keyed
+    self-joins, never one join per hop). Edges are synthesized
+    deterministically from documents: u{i} → u{i div 3} (a tree toward
+    terminal u0) with a planted 2-cycle u30 ⇄ u31, so chains entering
+    the cycle come out `unresolved` while tree chains resolve with
+    exact integer depths — engine-exact output, no floats anywhere."""
+    from tiger_etl_spark.operators import frontier
+
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    edges = d.where(i >= 1).select(
+        F.concat(F.lit("u"), i.cast("string")).alias("src"),
+        F.when(i == 30, F.lit("u31"))
+        .when(i == 31, F.lit("u30"))
+        .otherwise(F.concat(F.lit("u"), F.expr("cast(doc_id div 3 as string)")))
+        .alias("dst"),
+    )
+    return frontier.resolve_alias_chains(edges, max_hops=8)
+
+
+def web_revisit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier op — recrawl scheduling signal: per-key change
+    rate over the observation history (operators/frontier.py
+    revisit_priority). Events stand in for fetch observations (user_id
+    ≈ url, event_type ≈ content hash); change_rate_ppm is pure integer
+    arithmetic (n_changes*1e6 DIV (n_obs−1)) — engine-exact. One keyed
+    lag window + one hash agg, both shuffling on the key only."""
+    from tiger_etl_spark.operators import frontier
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").alias("ts_l"),
+        "event_type",
+    )
+    out = frontier.revisit_priority(ev, "user_id", "ts_l", "event_type")
+    return out.select(
+        F.col("key").alias("user_id"),
+        "n_obs",
+        "n_changes",
+        "span_us",
+        "change_rate_ppm",
+    )
+
+
+def web_crawl_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier op — per-host politeness scheduling
+    (operators/frontier.py politeness_waves): rank each host's URLs by
+    (priority desc, url) and emit the crawl wave; one fetch per host
+    per wave keeps the crawler polite while the frontier stays fully
+    parallel across hosts. max_wave=5 bounds hot hosts (the skew cap).
+    Hosts/priorities derive from doc_id arithmetic, mirrored
+    term-for-term in the oracle; all outputs integers/strings."""
+    from tiger_etl_spark.operators import frontier
+
+    d = _t_wide(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    urls = d.select(
+        F.concat(F.lit("host"), (i % 40).cast("string")).alias("host"),
+        F.concat(F.lit("u"), i.cast("string")).alias("url"),
+        ((i * 37) % 101).cast("long").alias("prio"),
+    )
+    return frontier.politeness_waves(
+        urls, "host", "url", "prio", max_wave=5
+    ).select("host", "url", F.col("priority").alias("prio"), "wave")
+
+
 def web_url_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-pattern quality gates (weblinks.url_quality_cols — the
     C4 §2.1 / RefinedWeb §3.1 url filters): structural features
@@ -2683,6 +2774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_allowed": web_robots_allowed,
         "web_main_content": web_main_content,
         "web_canonical_groups": web_canonical_groups,
+        "web_alias_chains": web_alias_chains,
+        "web_revisit_priority": web_revisit_priority,
+        "web_crawl_waves": web_crawl_waves,
         "web_crawl_funnel": web_crawl_funnel,
         "web_url_quality": web_url_quality,
         "web_host_reputation": web_host_reputation,
@@ -3877,6 +3971,78 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) >= 2
             ORDER BY canonical_key
         """,
+        # mirrors operators/frontier.py resolve_alias_chains: same edge
+        # synthesis (u{i} -> u{i div 3}, planted 2-cycle u30<->u31), a
+        # recursive walk capped at max_hops=8; a src whose max walk depth
+        # exceeds the cap (cycle or over-long chain) is unresolved with
+        # NULL final/depth — exactly the engine's pointer-doubling
+        # semantics. All outputs integers/strings/bools: engine-exact.
+        "web_alias_chains": """
+            WITH RECURSIVE raw_edges AS (
+                SELECT 'u' || doc_id AS src,
+                       CASE WHEN doc_id = 30 THEN 'u31'
+                            WHEN doc_id = 31 THEN 'u30'
+                            ELSE 'u' || (doc_id // 3) END AS dst
+                FROM documents WHERE doc_id >= 1
+            ),
+            e AS (SELECT src, min(dst) AS dst FROM raw_edges GROUP BY src),
+            walk AS (
+                SELECT src, dst AS cur, 1 AS depth FROM e
+                UNION ALL
+                SELECT w.src, e.dst, w.depth + 1
+                FROM walk w JOIN e ON e.src = w.cur
+                WHERE w.depth <= 8
+            ),
+            fin AS (SELECT src, max(depth) AS md FROM walk GROUP BY src)
+            SELECT w.src,
+                   CASE WHEN w.depth <= 8 THEN w.cur END AS final,
+                   CAST(CASE WHEN w.depth <= 8 THEN w.depth END
+                        AS BIGINT) AS depth,
+                   w.depth > 8 AS unresolved
+            FROM walk w JOIN fin f ON f.src = w.src AND f.md = w.depth
+        """,
+        # mirrors operators/frontier.py revisit_priority over events:
+        # consecutive-pair inequality count per user via a keyed lag
+        # window, integer-ppm change rate (no float division anywhere)
+        "web_revisit_priority": """
+            WITH m AS (
+                SELECT user_id,
+                       epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(event_type) OVER w IS NULL THEN 0
+                            WHEN event_type <> lag(event_type) OVER w
+                                THEN 1
+                            ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+            )
+            SELECT user_id,
+                   count(*) AS n_obs,
+                   CAST(sum(chg) AS BIGINT) AS n_changes,
+                   CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+                   CAST(CASE WHEN count(*) > 1
+                             THEN sum(chg) * 1000000 // (count(*) - 1)
+                             ELSE 0 END AS BIGINT) AS change_rate_ppm
+            FROM m GROUP BY user_id
+        """,
+        # mirrors operators/frontier.py politeness_waves: per-host
+        # row_number by (priority desc, url), wave capped at 5
+        "web_crawl_waves": """
+            WITH urls AS (
+                SELECT 'host' || (doc_id % 40) AS host,
+                       'u' || doc_id AS url,
+                       CAST((doc_id * 37) % 101 AS BIGINT) AS prio
+                FROM documents
+            ),
+            ranked AS (
+                SELECT host, url, prio,
+                       CAST(row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY prio DESC, url
+                       ) - 1 AS BIGINT) AS wave
+                FROM urls
+            )
+            SELECT host, url, prio, wave FROM ranked WHERE wave <= 5
+        """,
         "cdc_sequence_gaps": """
             WITH delivered AS (
                 SELECT doc_id FROM documents
@@ -4506,8 +4672,9 @@ shared AS (
     GROUP BY c.id_a, c.id_b
 )
 SELECT c.id_a, c.id_b,
-       round(coalesce(s.n_shared, 0)
-             / (sa.n_sh + sb.n_sh - coalesce(s.n_shared, 0)), 6) AS jaccard
+       CAST(coalesce(s.n_shared, 0) * 1000000
+            // (sa.n_sh + sb.n_sh - coalesce(s.n_shared, 0))
+            AS BIGINT) AS jaccard_ppm
 FROM cand c
 LEFT JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
 JOIN sizes sa ON sa.doc_id = c.id_a
@@ -4538,12 +4705,11 @@ hits AS (
 base AS (SELECT DISTINCT doc_id FROM documents WHERE source != 'src0')
 SELECT b.doc_id,
        coalesce(s.n_shingles, 0) AS n_shingles,
-       round(CASE WHEN coalesce(s.n_shingles, 0) > 0
-                  THEN coalesce(h.n_hit, 0) / CAST(s.n_shingles AS DOUBLE)
-                  ELSE 0.0 END, 6) AS overlap,
-       (CASE WHEN coalesce(s.n_shingles, 0) > 0
-             THEN coalesce(h.n_hit, 0) / CAST(s.n_shingles AS DOUBLE)
-             ELSE 0.0 END) >= 0.5 AS contaminated
+       CAST(CASE WHEN coalesce(s.n_shingles, 0) > 0
+                 THEN coalesce(h.n_hit, 0) * 1000000 // s.n_shingles
+                 ELSE 0 END AS BIGINT) AS overlap_ppm,
+       (coalesce(s.n_shingles, 0) > 0
+        AND coalesce(h.n_hit, 0) * 2 >= s.n_shingles) AS contaminated
 FROM base b
 LEFT JOIN sizes s ON s.doc_id = b.doc_id
 LEFT JOIN hits h ON h.doc_id = b.doc_id
@@ -4993,8 +5159,8 @@ feats AS (
 )
 SELECT b.doc_id,
        8 AS n_features,
-       round(coalesce(f.m0, 0.0), 6) AS f0,
-       round(coalesce(f.m7, 0.0), 6) AS f7
+       CAST(floor(coalesce(f.m0, 0.0) * 1000) AS BIGINT) AS f0_milli,
+       CAST(floor(coalesce(f.m7, 0.0) * 1000) AS BIGINT) AS f7_milli
 FROM b LEFT JOIN feats f ON b.doc_id = f.doc_id
 """
 

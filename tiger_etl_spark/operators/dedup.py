@@ -164,6 +164,13 @@ def ngram_jaccard(
                 F.col("n_shared")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
             ).alias("jaccard"),
+            # exact integer counts alongside the double ratio, so callers
+            # that need an engine-exact comparable output (the oracle
+            # gate) can derive integer ppm instead of rounding a double
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            .cast("long")
+            .alias("n_union"),
         )
     )
 
@@ -223,6 +230,8 @@ def contamination_overlap(
             )
             .otherwise(0.0)
             .alias("overlap"),
+            # exact hit count for integer-ppm comparable outputs
+            F.coalesce("_n_hit", F.lit(0)).cast("long").alias("n_hit"),
         )
     )
 
