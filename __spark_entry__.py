@@ -337,6 +337,68 @@ def cdc_partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed semantics, SQL-expressible — the net per-key
+    diff between two snapshots of a change stream, exactly what
+    LakeTable.changes_between (lake/table.py) emits to incremental
+    consumers. Events ≤ T1 and ≤ T2 are LWW-resolved ('error' = delete);
+    the full-outer key join tags I (absent/deleted → live), U (live
+    both, winner advanced), D (live → deleted), carrying the newer
+    winner's payload. T1/T2 are integer-microsecond cutoffs at 1/3 and
+    2/3 of the observed span — identical integer arithmetic in the
+    oracle, so the comparison is engine-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        _epoch_us("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    b = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).select(
+        F.expr("lo + (hi - lo) div 3").alias("t1"),
+        F.expr("lo + 2 * ((hi - lo) div 3)").alias("t2"),
+    )
+    evb = ev.crossJoin(F.broadcast(b))  # 1-row scalar bounds, broadcast
+
+    def state(cut_col: str) -> DataFrame:
+        s = windows.latest_per_key(
+            evb.where(F.col("ts_us") <= F.col(cut_col)).drop("t1", "t2"),
+            ["user_id"],
+            ["ts_us", "event_id"],
+        )
+        return s.select(
+            "user_id",
+            F.struct("ts_us", "event_id", "event_type", "value").alias("_w"),
+        )
+
+    s1 = state("t1").withColumnRenamed("_w", "_a")
+    s2 = state("t2").withColumnRenamed("_w", "_b")
+    j = s1.join(s2, "user_id", "full_outer")
+    a_del = F.col("_a").isNull() | (F.col("_a.event_type") == "error")
+    b_del = F.col("_b").isNull() | (F.col("_b.event_type") == "error")
+    # events(≤T1) ⊆ events(≤T2): the T2 winner is ≥ the T1 winner, so
+    # "changed" reduces to winner inequality
+    changed = F.col("_a").isNull() | (
+        F.struct(F.col("_b.ts_us"), F.col("_b.event_id"))
+        != F.struct(F.col("_a.ts_us"), F.col("_a.event_id"))
+    )
+    op = (
+        F.when(a_del & ~b_del & changed, "I")
+        .when(~a_del & b_del & changed, "D")
+        .when(~a_del & ~b_del & changed, "U")
+    )
+    return j.where(op.isNotNull()).select(
+        op.alias("_change_op"),
+        "user_id",
+        F.col("_b.ts_us").alias("ts_us"),
+        F.col("_b.event_id").alias("event_id"),
+        F.col("_b.event_type").alias("event_type"),
+        F.col("_b.value").alias("value"),
+    )
+
+
 def event_validation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/F9/F11/F12/F13 composite — the reference's request-validation
     surface (passwords.py:34-44 strength, model.py:263-278 isoformat,
@@ -2699,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": latest_event_per_user,
         "cdc_final_state": cdc_final_state,
         "cdc_partial_update_state": cdc_partial_update_state,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
         "event_validation_profile": event_validation_profile,
         "lake_truncate_state": lake_truncate_state,
         "lake_rollback_state": lake_rollback_state,
@@ -3170,6 +3233,64 @@ def oracle_sql() -> dict[str, str]:
                         THEN m_b.v END AS val_b
             FROM agg
             WHERE m_row IS NOT NULL AND (m_del IS NULL OR m_row > m_del)
+        """,
+        # mirrors cdc_snapshot_diff (LakeTable.changes_between net-effect
+        # semantics): LWW state at two integer-microsecond cutoffs, full
+        # outer join, I/U/D tagging with the newer winner's payload
+        "cdc_snapshot_diff": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       event_type, value
+                FROM events
+            ),
+            cut AS (
+                SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 3 AS t1,
+                       min(ts_us)
+                       + 2 * ((max(ts_us) - min(ts_us)) // 3) AS t2
+                FROM ev
+            ),
+            s1 AS (
+                SELECT * FROM (
+                    SELECT e.*, row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts_us DESC, event_id DESC) AS rn
+                    FROM ev e, cut WHERE e.ts_us <= cut.t1
+                ) WHERE rn = 1
+            ),
+            s2 AS (
+                SELECT * FROM (
+                    SELECT e.*, row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts_us DESC, event_id DESC) AS rn
+                    FROM ev e, cut WHERE e.ts_us <= cut.t2
+                ) WHERE rn = 1
+            ),
+            j AS (
+                SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                       a.ts_us AS a_ts, a.event_id AS a_eid,
+                       a.event_type AS a_type,
+                       b.ts_us AS b_ts, b.event_id AS b_eid,
+                       b.event_type AS b_type, b.value AS b_value,
+                       (a.user_id IS NULL OR a.event_type = 'error')
+                           AS a_del,
+                       (b.user_id IS NULL OR b.event_type = 'error')
+                           AS b_del,
+                       (a.user_id IS NULL
+                        OR b.ts_us <> a.ts_us
+                        OR b.event_id <> a.event_id) AS changed
+                FROM s1 a FULL OUTER JOIN s2 b
+                  ON a.user_id = b.user_id
+            )
+            SELECT CASE WHEN a_del AND NOT b_del AND changed THEN 'I'
+                        WHEN NOT a_del AND b_del AND changed THEN 'D'
+                        WHEN NOT a_del AND NOT b_del AND changed THEN 'U'
+                   END AS _change_op,
+                   user_id, b_ts AS ts_us, b_eid AS event_id,
+                   b_type AS event_type, b_value AS value
+            FROM j
+            WHERE (a_del AND NOT b_del AND changed)
+               OR (NOT a_del AND b_del AND changed)
+               OR (NOT a_del AND NOT b_del AND changed)
         """,
         "event_validation_profile": """
             WITH base AS (
