@@ -2740,6 +2740,11 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order IS the driver's sampling order (r02 stamped
+    # exactly the first 50 registered queries): the first 50 form a
+    # deliberate portfolio - every SURVEY.md S2 reference row, both
+    # previously-red comparator fixes, and one representative per
+    # LLM-pipeline family - then the remainder in priority order.
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "top_revenue_orders": top_revenue_orders,
@@ -2752,57 +2757,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_counts": event_type_counts,
         "distinct_event_users": distinct_event_users,
         "monthly_order_rollup": monthly_order_rollup,
-        "orders_profile": orders_profile,
-        "orders_checksum": orders_checksum,
-        "orders_bucket_checksums": orders_bucket_checksums,
-        "order_price_outliers": order_price_outliers,
-        "order_status_rollup": order_status_rollup,
         "monthly_status_pivot": monthly_status_pivot,
+        "order_status_rollup": order_status_rollup,
         "latest_event_per_user": latest_event_per_user,
-        "cdc_final_state": cdc_final_state,
-        "cdc_partial_update_state": cdc_partial_update_state,
-        "cdc_snapshot_diff": cdc_snapshot_diff,
-        "event_validation_profile": event_validation_profile,
-        "lake_truncate_state": lake_truncate_state,
-        "lake_rollback_state": lake_rollback_state,
-        "lake_wap_publish_state": lake_wap_publish_state,
-        "cdc_bootstrap_tail_state": cdc_bootstrap_tail_state,
-        "lake_cascade_delete_state": lake_cascade_delete_state,
         "part_relevance_top20": part_relevance_top20,
         "orders_page3": orders_page3,
         "supplier_zset_top10": supplier_zset_top10,
         "user_value_zset_top10": user_value_zset_top10,
-        "user_gap_sessions": user_gap_sessions,
-        "user_event_type_scd2": user_event_type_scd2,
-        "scd2_incremental_state": scd2_incremental_state,
-        "scd2_snapshot_state": scd2_snapshot_state,
-        "user_rolling_value": user_rolling_value,
-        "event_window_counts": event_window_counts,
-        "purchase_asof_last_click": purchase_asof_last_click,
-        "purchase_click_followups": purchase_click_followups,
-        "user_session_spans": user_session_spans,
+        "parts_never_ordered": parts_never_ordered,
+        "sql_revenue_by_nation": sql_revenue_by_nation,
         "customer_name_hashes": customer_name_hashes,
         "customer_name_validation": customer_name_validation,
         "value_bucket_summary": value_bucket_summary,
-        "parts_never_ordered": parts_never_ordered,
-        "sql_revenue_by_nation": sql_revenue_by_nation,
+        "user_session_spans": user_session_spans,
+        "event_validation_profile": event_validation_profile,
+        "orders_profile": orders_profile,
+        "orders_checksum": orders_checksum,
+        "order_price_outliers": order_price_outliers,
+        "user_rolling_value": user_rolling_value,
+        "event_window_counts": event_window_counts,
+        "purchase_asof_last_click": purchase_asof_last_click,
+        "user_gap_sessions": user_gap_sessions,
+        "user_event_type_scd2": user_event_type_scd2,
+        "scd2_incremental_state": scd2_incremental_state,
+        "cdc_final_state": cdc_final_state,
+        "cdc_partial_update_state": cdc_partial_update_state,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
+        "cdc_sequence_gaps": cdc_sequence_gaps,
+        "cdc_bootstrap_tail_state": cdc_bootstrap_tail_state,
+        "lake_truncate_state": lake_truncate_state,
+        "lake_cascade_delete_state": lake_cascade_delete_state,
+        "lake_rollback_state": lake_rollback_state,
+        "lake_wap_publish_state": lake_wap_publish_state,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_minhash_signatures": doc_minhash_signatures,
-        "doc_lsh_bands": doc_lsh_bands,
-        "doc_token_stats": doc_token_stats,
-        "doc_pack_bins": doc_pack_bins,
-        "doc_packed_sequences": doc_packed_sequences,
+        "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+        "doc_duplicate_clusters": doc_duplicate_clusters,
+        "doc_repetition_metrics": doc_repetition_metrics,
         "doc_quality_scores": doc_quality_scores,
         "doc_lang_detect": doc_lang_detect,
-        "doc_pii_scan": doc_pii_scan,
-        "doc_repetition_metrics": doc_repetition_metrics,
+        "doc_token_stats": doc_token_stats,
+        "doc_source_quota": doc_source_quota,
         "doc_filter_funnel": doc_filter_funnel,
+        "doc_contamination": doc_contamination,
+        "media_feature_stats": media_feature_stats,
+        "embedding_cosine_top10": embedding_cosine_top10,
+        "embedding_ann_top10": embedding_ann_top10,
+        "embedding_neardup_pairs_lsh_capped": embedding_neardup_pairs_lsh_capped,
+        "embedding_semantic_dedup": embedding_semantic_dedup,
+        "web_alias_chains": web_alias_chains,
+        "web_revisit_priority": web_revisit_priority,
+        "web_crawl_waves": web_crawl_waves,
+        "graph_pagerank_top20": graph_pagerank_top20,
+        "web_robots_allowed": web_robots_allowed,
+        "doc_tfidf_search": doc_tfidf_search,
+        "doc_ccnet_buckets": doc_ccnet_buckets,
+        "doc_pack_bins": doc_pack_bins,
+        "doc_packed_sequences": doc_packed_sequences,
+        "doc_pii_scan": doc_pii_scan,
+        "doc_lsh_bands": doc_lsh_bands,
         "doc_split_counts": doc_split_counts,
         "doc_shuffle_assign": doc_shuffle_assign,
         "doc_mixture_epochs": doc_mixture_epochs,
         "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
         "doc_lang_sample": doc_lang_sample,
-        "doc_source_quota": doc_source_quota,
         "doc_dsir_select": doc_dsir_select,
         "url_canonical_dedup": url_canonical_dedup,
         "doc_top_tokens": doc_top_tokens,
@@ -2810,18 +2828,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_pmi_top20": doc_bigram_pmi_top20,
         "doc_char_lm_scores": doc_char_lm_scores,
         "doc_length_quantiles": doc_length_quantiles,
-        "doc_tfidf_search": doc_tfidf_search,
         "doc_bm25_search": doc_bm25_search,
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_simhash": doc_simhash,
         "doc_simhash_pairs": doc_simhash_pairs,
-        "embedding_cosine_top10": embedding_cosine_top10,
-        "embedding_ann_top10": embedding_ann_top10,
         "embedding_ivf_top10": embedding_ivf_top10,
         "embedding_ivf_learned_top10": embedding_ivf_learned_top10,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
-        "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
-        "doc_duplicate_clusters": doc_duplicate_clusters,
         "doc_dedup_keep_list": doc_dedup_keep_list,
         "doc_segment_dedup": doc_segment_dedup,
         "doc_incremental_dedup": doc_incremental_dedup,
@@ -2830,31 +2843,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_incremental_host_edges": web_incremental_host_edges,
         "web_anchor_text_top": web_anchor_text_top,
         "web_page_meta": web_page_meta,
-        "cdc_sequence_gaps": cdc_sequence_gaps,
         "doc_nfc_fingerprint": doc_nfc_fingerprint,
         "doc_gopher_flags": doc_gopher_flags,
         "doc_compression_ratio": doc_compression_ratio,
-        "web_robots_allowed": web_robots_allowed,
         "web_main_content": web_main_content,
         "web_canonical_groups": web_canonical_groups,
-        "web_alias_chains": web_alias_chains,
-        "web_revisit_priority": web_revisit_priority,
-        "web_crawl_waves": web_crawl_waves,
         "web_crawl_funnel": web_crawl_funnel,
         "web_url_quality": web_url_quality,
         "web_host_reputation": web_host_reputation,
         "doc_script_mix": doc_script_mix,
         "graph_khop_counts": graph_khop_counts,
-        "graph_pagerank_top20": graph_pagerank_top20,
-        "doc_contamination": doc_contamination,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
-        "embedding_neardup_pairs_lsh_capped": embedding_neardup_pairs_lsh_capped,
-        "embedding_semantic_dedup": embedding_semantic_dedup,
-        "media_feature_stats": media_feature_stats,
         "doc_bpe_vocab": doc_bpe_vocab,
         "doc_bpe_token_counts": doc_bpe_token_counts,
-        "doc_ccnet_buckets": doc_ccnet_buckets,
+        "orders_bucket_checksums": orders_bucket_checksums,
+        "purchase_click_followups": purchase_click_followups,
+        "scd2_snapshot_state": scd2_snapshot_state,
     }
 
 
