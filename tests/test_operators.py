@@ -803,3 +803,54 @@ def test_script_mix_routing(spark):
     assert got[4]["script"] == "other"
     assert got[5]["script"] == "other"
     assert got[6]["script"] == "latin"
+
+
+def test_cdc_snapshot_diff_semantics(spark, tmp_path):
+    """Hand-computed I/U/D tagging for the CDF-style snapshot diff
+    (__spark_entry__.cdc_snapshot_diff): LWW state at 1/3 and 2/3 of the
+    span, net-effect diff carrying the newer winner."""
+    import datetime
+
+    import __spark_entry__ as entrymod
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    # span 0..90 min -> t1 = 30, t2 = 60 (integer-us thirds, exact)
+    rows = [
+        # u_keep: winner unchanged after t1 -> no row
+        ("u_keep", ts(0), 1, "click", 1.0),
+        ("u_span", ts(90), 2, "view", 2.0),      # pins hi; also U (below)
+        ("u_span", ts(10), 3, "click", 3.0),
+        # u_ins: first event in (t1, t2] -> I
+        ("u_ins", ts(45), 4, "view", 4.0),
+        # u_del: live at t1, error wins by t2 -> D
+        ("u_del", ts(5), 5, "click", 5.0),
+        ("u_del", ts(50), 6, "error", 6.0),
+        # u_upd: live at t1, newer live winner by t2 -> U
+        ("u_upd", ts(20), 7, "click", 7.0),
+        ("u_upd", ts(55), 8, "purchase", 8.0),
+        # u_late: first event after t2 -> invisible to both states
+        ("u_late", ts(80), 9, "click", 9.0),
+        # u_dead: deleted at t1 AND t2 -> no row
+        ("u_dead", ts(1), 10, "error", 10.0),
+        ("u_min", ts(0), 11, "click", 11.0),     # pins lo; unchanged
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, "
+        "event_type string, value double"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["user_id"]: r
+        for r in entrymod.cdc_snapshot_diff(spark, sf_dir).collect()
+    }
+    # u_span: its ts(90) event pins hi but lies beyond t2, so its winner
+    # at t1 and t2 is the same ts(10) event -> unchanged, no row
+    assert set(got) == {"u_ins", "u_del", "u_upd"}
+    assert got["u_ins"]["_change_op"] == "I" and got["u_ins"]["event_id"] == 4
+    assert got["u_del"]["_change_op"] == "D" and got["u_del"]["event_id"] == 6
+    assert got["u_upd"]["_change_op"] == "U" and got["u_upd"]["event_id"] == 8
