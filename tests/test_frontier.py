@@ -129,3 +129,47 @@ def test_chain_resolution_plan_is_bounded_joins(spark):
     e = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(20)])
     plan = frontier.resolve_alias_chains(e, max_hops=32)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_chain_resolution_matches_reference_walk(spark):
+    """Parity on a seeded random graph (cycles, self-loops, conflicting
+    edges, long chains) against a single-threaded reference walk."""
+    import random
+
+    rng = random.Random(20260821)
+    nodes = [f"n{i}" for i in range(120)]
+    edges = []
+    for s in nodes:
+        r = rng.random()
+        if r < 0.15:
+            continue  # terminal (no outgoing edge)
+        if r < 0.20:
+            edges.append((s, s))  # self-loop
+            continue
+        edges.append((s, rng.choice(nodes)))
+        if r > 0.9:  # conflicting second declaration
+            edges.append((s, rng.choice(nodes)))
+    max_hops = 6
+
+    # reference: dedupe by min dst, walk step-by-step
+    dst = {}
+    for s, d in edges:
+        dst[s] = min(dst.get(s, d), d)
+    expected = {}
+    for s in dst:
+        cur, depth = dst[s], 1
+        while depth <= max_hops and cur in dst:
+            cur, depth = dst[cur], depth + 1
+        if depth > max_hops and cur in dst:
+            expected[s] = (None, None, True)
+        elif depth > max_hops:
+            expected[s] = (None, None, True)
+        else:
+            expected[s] = (cur, depth, False)
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["src"]: (r["final"], r["depth"], r["unresolved"])
+        for r in frontier.resolve_alias_chains(df, max_hops=max_hops).collect()
+    }
+    assert got == expected
