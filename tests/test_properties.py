@@ -101,11 +101,61 @@ def test_extraction_byte_identical(spark):
         b"\xff\xfe invalid utf8 <b>x</b>",
         b"   <div>  lots   of \t whitespace </div>  ",
         b"<>empty tag<>",
+        # Unicode whitespace (NBSP, thin space, ideographic space,
+        # NEL, line/para separators): Python `\s` matches these; the
+        # Arrow/RE2 fast path must agree via the enumerated class
+        "<p>a\xa0b</p>".encode(),
+        " x　<i>y</i> z\x85".encode(),
+        "  lead and trail  ".encode(),
     ]
     df = spark.createDataFrame([(c,) for c in cases], "html binary")
     got = [r["t"] for r in df.select(extract_text_udf("html").alias("t")).collect()]
     want = [extract_text_py(c) for c in cases]
     assert got == want
+
+
+def test_ws_class_matches_python_re():
+    """The RE2 whitespace class used by the Arrow extraction fast path
+    must cover EXACTLY the codepoints CPython `re` treats as `\\s` —
+    brute-forced over the full Unicode range."""
+    import re as _re
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tiger_etl_spark.functions.text import _WS_RE2
+
+    py_ws = {c for c in range(0x110000) if _re.match(r"\s", chr(c))}
+    # surrogates can't round-trip through Arrow strings; \s has none
+    probe = [chr(c) for c in range(0x110000) if not 0xD800 <= c <= 0xDFFF]
+    arr = pa.array(probe, type=pa.string())
+    matched = pc.match_substring_regex(arr, _WS_RE2).to_pylist()
+    re2_ws = {ord(ch) for ch, m in zip(probe, matched) if m}
+    assert re2_ws == py_ws
+
+
+def test_extract_arrow_kernel_parity_direct():
+    """The pyarrow kernel (bypassing Spark) is byte-identical to the
+    single-threaded oracle, including the invalid-UTF-8 fallback batch."""
+    import pyarrow as pa
+
+    from tiger_etl_spark.functions.text import (
+        extract_text_arrow,
+        extract_text_py,
+    )
+
+    good = [
+        b"<p>a\xc2\xa0b</p>",
+        None,
+        b"",
+        "x <i>y</i>　z".encode(),
+        b"plain",
+    ]
+    bad = good + [b"\xff invalid \xfe<b>t</b>"]
+    for batch in (good, bad):
+        got = extract_text_arrow(pa.array(batch, type=pa.binary())).to_pylist()
+        want = [extract_text_py(c) for c in batch]
+        assert got == want
 
 
 def test_no_row_at_a_time_udf_in_package():
