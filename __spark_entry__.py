@@ -2109,6 +2109,23 @@ def web_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-mining op — weakly connected components of the host webgraph
+    (operators/graph.py `components`: iterative min-label propagation,
+    string keys, two keyed shuffles per round, diameter-bounded): the
+    step that turns a link graph into site neighborhoods/communities.
+    Component id = lexicographically smallest reachable host; output
+    carries each component's host count. Oracle: recursive reachability
+    CTE over the SAME synthesized edges."""
+    pages = _synth_pages(spark, sf_dir)
+    e = weblinks.host_edges(weblinks.extract_outlinks(pages))
+    comp = graph.components(e, "src_host", "dst_host")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_hosts"))
+    return comp.join(sizes, "component").select(
+        F.col("node_key").alias("host"), "component", "n_hosts"
+    )
+
+
 def web_incremental_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained host webgraph
     (weblinks.host_edges_view over cdc/ivm.py dirty-bucket refresh):
@@ -2840,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": doc_incremental_dedup,
         "web_host_edges_top": web_host_edges_top,
         "web_host_degrees": web_host_degrees,
+        "web_host_components": web_host_components,
         "web_incremental_host_edges": web_incremental_host_edges,
         "web_anchor_text_top": web_anchor_text_top,
         "web_page_meta": web_page_meta,
@@ -3765,6 +3783,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links
             FROM web_edges
             ORDER BY src_host, dst_host
+        """,
+        # mirrors graph.components over the same host edges: undirected
+        # reachability via a deduplicating recursive CTE; component =
+        # min reachable host (strings compare identically both engines)
+        "web_host_components": f"""
+            WITH RECURSIVE {_WEB_HOST_EDGES_CTE},
+            und AS (
+                SELECT src_host AS a, dst_host AS b FROM web_edges
+                UNION
+                SELECT dst_host, src_host FROM web_edges
+            ),
+            reach AS (
+                SELECT a AS node, a AS seen FROM und
+                UNION
+                SELECT r.node, u.b FROM reach r JOIN und u ON u.a = r.seen
+            ),
+            comp AS (
+                SELECT node, min(seen) AS component FROM reach GROUP BY node
+            )
+            SELECT node AS host, component,
+                   count(*) OVER (PARTITION BY component) AS n_hosts
+            FROM comp
         """,
         "web_anchor_text_top": f"""
             WITH pages AS (

@@ -208,3 +208,33 @@ def test_pagerank_matches_numpy(spark):
         assert abs(got[node] - r[idx[node]]) < 1e-12, node
     # ranks a proper partial order: c (3 in-edges) > a > isolated-source d
     assert got["c"] > got["a"] > got["d"]
+
+
+def test_components_string_keys(spark):
+    """Weakly connected components with string keys: two components,
+    direction ignored, component id = min reachable key."""
+    from tiger_etl_spark.operators.graph import components
+
+    e = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("z", "y")], "src string, dst string"
+    )
+    got = {
+        r["node_key"]: r["component"]
+        for r in components(e, "src", "dst").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
+
+
+def test_components_nonconvergence_raises(spark):
+    """A chain wider than max_iter hops must raise, never return split
+    components silently (the duplicate_clusters guarantee)."""
+    import pytest as _pytest
+
+    from tiger_etl_spark.operators.graph import components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(8)],
+        "src string, dst string",
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        components(chain, "src", "dst", max_iter=2)

@@ -321,3 +321,64 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Weakly connected components over an edge list with keys of ANY
+    orderable type (strings included — host names, urls): direction is
+    ignored, and each node's component id is the MINIMUM key reachable
+    from it. Returns one row per node: (node_key, component).
+
+    Same iterative min-label propagation as the large-graph regime of
+    `dedup.duplicate_clusters` (which is long-key-specialized for its
+    union-find fast path): each round every node adopts the minimum
+    label among itself and its neighbors — two keyed shuffles per
+    round, converging in graph-diameter rounds, driver state limited to
+    a scalar changed-count. `localCheckpoint` truncates the plan each
+    round so Catalyst re-analysis stays O(1) per iteration. Raises
+    rather than returning split components if `max_iter` is too small
+    for the graph's diameter (the duplicate_clusters guarantee).
+    """
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    und = fwd.unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    changed = -1
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = labels.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("_nmin", "label")).alias("label"),
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"component propagation did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter"
+        )
+    return labels.select(
+        F.col("id").alias("node_key"), F.col("label").alias("component")
+    )
