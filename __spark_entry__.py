@@ -1969,6 +1969,21 @@ def user_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_feature_hash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering — fastText-style linear classifier inference
+    over hashed token features (operators/langmodel.py
+    feature_hash_score): token → md5 feature-hash bucket → weight →
+    summed doc score + keep flag. Deterministic integer weight
+    surrogate makes the whole scorer engine-exact; learned weights drop
+    in as a broadcast (bucket, weight) join with the identical plan
+    shape. Pure scan-stage higher-order expressions — no UDF, no
+    shuffle."""
+    from tiger_etl_spark.operators import langmodel
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return langmodel.feature_hash_score(d, "doc_id", "text")
+
+
 def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering — CCNet-style statistical-LM scoring: a char
     bigram model trained on the corpus (one explode, two hash aggs,
@@ -2844,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_bigrams": doc_top_bigrams,
         "doc_bigram_pmi_top20": doc_bigram_pmi_top20,
         "doc_char_lm_scores": doc_char_lm_scores,
+        "doc_feature_hash_quality": doc_feature_hash_quality,
         "doc_length_quantiles": doc_length_quantiles,
         "doc_bm25_search": doc_bm25_search,
         "doc_duplicate_spans": doc_duplicate_spans,
@@ -4487,6 +4503,36 @@ def oracle_sql() -> dict[str, str]:
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                 w_mov AS (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        # mirrors langmodel.feature_hash_score: md5-hex → integer bucket
+        # (DuckDB parses '0x…' casts; Spark uses conv(,16,10)), Knuth
+        # integer weight spread, integer sum — engine-exact throughout
+        "doc_feature_hash_quality": r"""
+            WITH words AS (
+                SELECT doc_id, trim(text) AS tt FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(
+                    string_split_regex(lower(tt), '\s+')) AS t
+                FROM words WHERE length(tt) > 0
+            ),
+            wgt AS (
+                SELECT doc_id,
+                       ((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                         % 4096) * 2654435761) % 1000003 - 500001 AS w
+                FROM tok
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(w) AS BIGINT) AS score
+                FROM wgt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.score, 0) AS score,
+                   coalesce(a.score, 0) >= 0 AS keep
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         "doc_char_lm_scores": """
             WITH t AS (

@@ -215,3 +215,52 @@ def assign_buckets(
         .withColumn("lm_bucket", chosen)
         .drop("cuts")
     )
+
+
+def feature_hash_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """fastText-style linear quality scorer over hashed token features
+    (the Dolma/RefinedWeb quality-classifier shape): whitespace tokens
+    → md5 feature-hash buckets → per-bucket weight → summed doc score.
+
+    The weight table here is a deterministic integer surrogate
+    (`(bucket * 2654435761) % 1000003 − 500001`, a Knuth-hash spread
+    over ±5e5) so the whole scorer is engine-exact and oracle-checkable;
+    swapping it for learned weights is a broadcast join against a
+    (bucket, weight) table on the same bucket key — the plan shape
+    (scan-stage hashing, no shuffle, no UDF) is identical.
+
+    Everything runs as JVM higher-order expressions in the scan stage:
+    `transform` hashes each token, `aggregate` folds the integer sum —
+    no Python, no shuffle, column-pruned to (id, text).
+    """
+    trimmed = F.trim(F.col(text_col))
+    tokens = F.split(F.lower(trimmed), r"\s+")
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(tokens)
+    ).cast("long")
+
+    def weight(tok):
+        bucket = (
+            F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        )
+        return (bucket * F.lit(2654435761).cast("long")) % 1000003 - 500001
+
+    score = F.when(F.length(trimmed) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.transform(tokens, weight),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        score.alias("score"),
+        (score >= 0).alias("keep"),
+    )
