@@ -179,6 +179,11 @@ def main() -> None:
     # bench opts into tmpfs scratch (measured 1.6x on this sandbox's
     # virtio disk); the library default leaves spark.local.dir alone
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    # bench payloads are ~1 KB synthetic pages, so 40k-row Arrow batches
+    # are ~40 MB — fewer batch boundaries is a measured ~7% on the
+    # extract stage. The library default stays 10000: it must be safe
+    # for multi-MB html blobs (the Arrow large-binary guard).
+    os.environ.setdefault("SPARK_GRAFT_ARROW_BATCH", "40000")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
