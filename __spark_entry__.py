@@ -2772,13 +2772,74 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order IS the driver's sampling order (r02 stamped
-    # exactly the first 50 registered queries): the first 50 form a
-    # deliberate portfolio - every SURVEY.md S2 reference row, both
-    # previously-red comparator fixes, and one representative per
-    # LLM-pipeline family - then the remainder in priority order.
+    # Registration order IS the driver's sampling order (each round stamps
+    # exactly the first 50 registered queries). Round-4 rotation: positions
+    # 1-50 are three continuity anchors (cdc_final_state, q1_pricing_summary,
+    # monthly_status_pivot - the r3 perf-weak entry, re-stamped after its
+    # plan pin) followed by the 47 oracle-backed queries that had never
+    # received a driver row in rounds 1-3 (S9/graph_khop_counts, all web_*,
+    # graph_pagerank_top20, the unstamped embedding_*/doc_* families,
+    # media_feature_stats, scd2_snapshot_state). Unioned with the r1-r3
+    # stamps this covers 112/116 queries with at least one driver-green row.
+    # The four queries WITHOUT an oracle_sql() entry
+    # (embedding_ivf_learned_top10, doc_compression_ratio, doc_bpe_vocab,
+    # doc_bpe_token_counts - iterative k-means/BPE and zlib are not
+    # SQL-expressible; each is pinned by independent-reimplementation
+    # parity tests instead) are deliberately registered AFTER position 50
+    # so a driver sample can never produce an err:no_oracle row
+    # (tests/test_entry_oracle.py pins this invariant).
     return {
+        "cdc_final_state": cdc_final_state,
         "q1_pricing_summary": q1_pricing_summary,
+        "monthly_status_pivot": monthly_status_pivot,
+        "graph_khop_counts": graph_khop_counts,
+        "web_alias_chains": web_alias_chains,
+        "web_anchor_text_top": web_anchor_text_top,
+        "web_canonical_groups": web_canonical_groups,
+        "web_crawl_funnel": web_crawl_funnel,
+        "web_crawl_waves": web_crawl_waves,
+        "web_host_components": web_host_components,
+        "web_host_degrees": web_host_degrees,
+        "web_host_edges_top": web_host_edges_top,
+        "web_host_reputation": web_host_reputation,
+        "web_incremental_host_edges": web_incremental_host_edges,
+        "web_main_content": web_main_content,
+        "web_page_meta": web_page_meta,
+        "web_revisit_priority": web_revisit_priority,
+        "web_robots_allowed": web_robots_allowed,
+        "web_url_quality": web_url_quality,
+        "graph_pagerank_top20": graph_pagerank_top20,
+        "embedding_ann_top10": embedding_ann_top10,
+        "embedding_ivf_top10": embedding_ivf_top10,
+        "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
+        "embedding_neardup_pairs_lsh_capped": embedding_neardup_pairs_lsh_capped,
+        "embedding_semantic_dedup": embedding_semantic_dedup,
+        "media_feature_stats": media_feature_stats,
+        "scd2_snapshot_state": scd2_snapshot_state,
+        "doc_bigram_pmi_top20": doc_bigram_pmi_top20,
+        "doc_bm25_search": doc_bm25_search,
+        "doc_ccnet_buckets": doc_ccnet_buckets,
+        "doc_char_lm_scores": doc_char_lm_scores,
+        "doc_contamination": doc_contamination,
+        "doc_dedup_keep_list": doc_dedup_keep_list,
+        "doc_dsir_select": doc_dsir_select,
+        "doc_duplicate_spans": doc_duplicate_spans,
+        "doc_feature_hash_quality": doc_feature_hash_quality,
+        "doc_gopher_flags": doc_gopher_flags,
+        "doc_incremental_dedup": doc_incremental_dedup,
+        "doc_length_quantiles": doc_length_quantiles,
+        "doc_mixture_epochs": doc_mixture_epochs,
+        "doc_nfc_fingerprint": doc_nfc_fingerprint,
+        "doc_script_mix": doc_script_mix,
+        "doc_segment_dedup": doc_segment_dedup,
+        "doc_shuffle_assign": doc_shuffle_assign,
+        "doc_simhash": doc_simhash,
+        "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_tfidf_search": doc_tfidf_search,
+        "doc_top_bigrams": doc_top_bigrams,
+        "doc_top_tokens": doc_top_tokens,
+        "url_canonical_dedup": url_canonical_dedup,
+        # --- end of driver 50-query window; order below is free ---
         "top_revenue_orders": top_revenue_orders,
         "scan_filter_projection": scan_filter_projection,
         "search_customers": search_customers,
@@ -2789,7 +2850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_counts": event_type_counts,
         "distinct_event_users": distinct_event_users,
         "monthly_order_rollup": monthly_order_rollup,
-        "monthly_status_pivot": monthly_status_pivot,
         "order_status_rollup": order_status_rollup,
         "latest_event_per_user": latest_event_per_user,
         "part_relevance_top20": part_relevance_top20,
@@ -2812,7 +2872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_gap_sessions": user_gap_sessions,
         "user_event_type_scd2": user_event_type_scd2,
         "scd2_incremental_state": scd2_incremental_state,
-        "cdc_final_state": cdc_final_state,
         "cdc_partial_update_state": cdc_partial_update_state,
         "cdc_snapshot_diff": cdc_snapshot_diff,
         "cdc_sequence_gaps": cdc_sequence_gaps,
@@ -2831,69 +2890,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "doc_source_quota": doc_source_quota,
         "doc_filter_funnel": doc_filter_funnel,
-        "doc_contamination": doc_contamination,
-        "media_feature_stats": media_feature_stats,
         "embedding_cosine_top10": embedding_cosine_top10,
-        "embedding_ann_top10": embedding_ann_top10,
-        "embedding_neardup_pairs_lsh_capped": embedding_neardup_pairs_lsh_capped,
-        "embedding_semantic_dedup": embedding_semantic_dedup,
-        "web_alias_chains": web_alias_chains,
-        "web_revisit_priority": web_revisit_priority,
-        "web_crawl_waves": web_crawl_waves,
-        "graph_pagerank_top20": graph_pagerank_top20,
-        "web_robots_allowed": web_robots_allowed,
-        "doc_tfidf_search": doc_tfidf_search,
-        "doc_ccnet_buckets": doc_ccnet_buckets,
         "doc_pack_bins": doc_pack_bins,
         "doc_packed_sequences": doc_packed_sequences,
         "doc_pii_scan": doc_pii_scan,
         "doc_lsh_bands": doc_lsh_bands,
         "doc_split_counts": doc_split_counts,
-        "doc_shuffle_assign": doc_shuffle_assign,
-        "doc_mixture_epochs": doc_mixture_epochs,
         "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
         "doc_lang_sample": doc_lang_sample,
-        "doc_dsir_select": doc_dsir_select,
-        "url_canonical_dedup": url_canonical_dedup,
-        "doc_top_tokens": doc_top_tokens,
-        "doc_top_bigrams": doc_top_bigrams,
-        "doc_bigram_pmi_top20": doc_bigram_pmi_top20,
-        "doc_char_lm_scores": doc_char_lm_scores,
-        "doc_feature_hash_quality": doc_feature_hash_quality,
-        "doc_length_quantiles": doc_length_quantiles,
-        "doc_bm25_search": doc_bm25_search,
-        "doc_duplicate_spans": doc_duplicate_spans,
-        "doc_simhash": doc_simhash,
-        "doc_simhash_pairs": doc_simhash_pairs,
-        "embedding_ivf_top10": embedding_ivf_top10,
         "embedding_ivf_learned_top10": embedding_ivf_learned_top10,
         "doc_rolling_fingerprint": doc_rolling_fingerprint,
-        "doc_dedup_keep_list": doc_dedup_keep_list,
-        "doc_segment_dedup": doc_segment_dedup,
-        "doc_incremental_dedup": doc_incremental_dedup,
-        "web_host_edges_top": web_host_edges_top,
-        "web_host_degrees": web_host_degrees,
-        "web_host_components": web_host_components,
-        "web_incremental_host_edges": web_incremental_host_edges,
-        "web_anchor_text_top": web_anchor_text_top,
-        "web_page_meta": web_page_meta,
-        "doc_nfc_fingerprint": doc_nfc_fingerprint,
-        "doc_gopher_flags": doc_gopher_flags,
         "doc_compression_ratio": doc_compression_ratio,
-        "web_main_content": web_main_content,
-        "web_canonical_groups": web_canonical_groups,
-        "web_crawl_funnel": web_crawl_funnel,
-        "web_url_quality": web_url_quality,
-        "web_host_reputation": web_host_reputation,
-        "doc_script_mix": doc_script_mix,
-        "graph_khop_counts": graph_khop_counts,
         "embedding_neardup_pairs": embedding_neardup_pairs,
-        "embedding_neardup_pairs_lsh": embedding_neardup_pairs_lsh,
         "doc_bpe_vocab": doc_bpe_vocab,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "orders_bucket_checksums": orders_bucket_checksums,
         "purchase_click_followups": purchase_click_followups,
-        "scd2_snapshot_state": scd2_snapshot_state,
     }
 
 

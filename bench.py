@@ -132,6 +132,75 @@ def bench_cdc(spark, sf: float, cpus: int, n_events: int | None = None) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_soak(spark, n_batches: int | None = None) -> dict:
+    """Long-stream soak (SPARK_GRAFT_BENCH_MODE=soak): ONE run_stream
+    session over 500+ micro-batches (1 change file per trigger),
+    measuring what a 10^10-event tail actually exercises — that
+    per-batch wall time stays FLAT as the table accumulates commits,
+    the manifest_list stays bounded (LSM segment merge), the
+    exactly-once ledger stays windowed, the manifest v.json stays
+    small, and the final state equals a full LWW replay oracle.
+    Batch-time flatness is reported as first-quartile vs last-quartile
+    medians (host-interference episodes show up as outlier batches, so
+    medians, not means)."""
+    import statistics
+
+    from tiger_etl_spark.cdc import oracle as cdc_oracle
+    from tiger_etl_spark.cdc.streaming import APPLIED_WINDOW
+
+    n_batches = n_batches or int(os.environ.get("SPARK_GRAFT_SOAK_BATCHES", "512"))
+    per_batch = int(os.environ.get("SPARK_GRAFT_SOAK_EVENTS_PER_BATCH", "500"))
+    work = tempfile.mkdtemp(prefix="bench_soak_")
+    try:
+        changes = os.path.join(work, "changes")
+        ev = gen_change_events(
+            seed=77, n=n_batches * per_batch, n_hosts=max(100, n_batches // 4)
+        )
+        write_change_files(ev, changes, n_files=n_batches)
+        table_path = os.path.join(work, "pages")
+        create_pages_table(table_path, num_buckets=16)
+        t0 = time.time()
+        res = run_stream(
+            spark,
+            changes,
+            table_path,
+            os.path.join(work, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        elapsed = time.time() - t0
+        secs = [r.batch_seconds for r in res.lineage if r.batch_seconds]
+        q = max(1, len(secs) // 4)
+        first_med = statistics.median(secs[:q])
+        last_med = statistics.median(secs[-q:])
+        table = LakeTable.load(table_path)
+        vbytes = os.path.getsize(
+            os.path.join(
+                table.path, "meta", f"v{table.manifest['version']}.json"
+            )
+        )
+        expected = cdc_oracle.replay_dir(changes)
+        rows = {r["url"]: r for r in table.scan(spark).collect()}
+        parity = set(rows) == set(expected) and all(
+            rows[u]["text"] == e["text"] for u, e in expected.items()
+        )
+        return {
+            "soak_batches": res.batches_applied,
+            "soak_events": sum(r.rows_in for r in res.lineage),
+            "soak_wall_sec": round(elapsed, 1),
+            "soak_batch_sec_first_q_median": round(first_med, 3),
+            "soak_batch_sec_last_q_median": round(last_med, 3),
+            "soak_flatness_ratio": round(last_med / first_med, 3),
+            "soak_manifest_list_len": len(table.manifest["manifest_list"]),
+            "soak_manifest_bytes": vbytes,
+            "soak_ledger_len": len(table.props.get("applied_batches", {})),
+            "soak_ledger_window": APPLIED_WINDOW,
+            "soak_final_rows": len(rows),
+            "soak_parity": parity,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     """Each query timed over 2 attempts, min reported — one attempt can
     land on one of this sandbox's kernel-interference episodes."""
@@ -239,28 +308,57 @@ def main() -> None:
             floor_evs = float(os.environ.get("SPARK_GRAFT_CDC_FLOOR_EVS", "150000"))
             extend_budget_s = float(os.environ.get("SPARK_GRAFT_CDC_EXTEND_S", "600"))
             max_attempts = int(os.environ.get("SPARK_GRAFT_CDC_MAX_ATTEMPTS", "8"))
+            # an attempt BRACKETED by warm probes below this is a
+            # host-collapse phase (measured collapses run 100-300 MB/s vs
+            # 2-3 GB/s healthy) — its timing is discarded for the headline
+            # and the loop retries, bounded by max_attempts + the budget
+            degraded_mb_s = float(
+                os.environ.get("SPARK_GRAFT_CDC_DEGRADED_MB_S", "500")
+            )
             runs = []
             bench_t0 = time.time()
             for i in range(max_attempts):
                 if i >= attempts:
-                    if max(r["events_per_sec"] for r in runs) >= floor_evs:
+                    healthy = [r for r in runs if r["probe_healthy"]]
+                    out_of_budget = time.time() - bench_t0 > extend_budget_s
+                    if healthy and max(
+                        r["events_per_sec"] for r in healthy
+                    ) >= floor_evs:
                         break
-                    if time.time() - bench_t0 > extend_budget_s:
+                    if out_of_budget:
                         break
-                    # warm probe: a JVM reusing its heap sees steady-state
-                    # bandwidth, so only a degraded WARM rate justifies
-                    # blaming the host for a slow attempt
-                    if host_memcpy_mb_s(50, warm=True) > 1500:
+                    # a healthy-bracketed attempt below the floor on a
+                    # currently-healthy box = the engine is genuinely
+                    # slow — stop and report it rather than fishing
+                    if healthy and host_memcpy_mb_s(50, warm=True) > 1500:
                         break
-                runs.append(bench_cdc(spark, sf, cpus))
+                pre = host_memcpy_mb_s(50, warm=True)
+                r = bench_cdc(spark, sf, cpus)
+                post = host_memcpy_mb_s(50, warm=True)
+                r["probe_pre_mb_s"] = pre
+                r["probe_post_mb_s"] = post
+                r["probe_healthy"] = min(pre, post) >= degraded_mb_s
+                runs.append(r)
         finally:
             if gen_dir:
                 os.environ.pop("SPARK_GRAFT_CHANGES_DIR", None)
                 shutil.rmtree(gen_dir, ignore_errors=True)
-        best = min(runs, key=lambda r: r["cdc_sec"])
-        result.update(best)
+        # headline = best HEALTHY-bracketed attempt; only if every attempt
+        # ran inside a collapse does the overall best stand in (flagged)
+        healthy_runs = [r for r in runs if r["probe_healthy"]]
+        best = min(healthy_runs or runs, key=lambda r: r["cdc_sec"])
+        result.update(
+            {k: v for k, v in best.items() if k != "probe_healthy"}
+        )
+        result["headline_attempt_healthy"] = best["probe_healthy"]
         result["cdc_attempt_secs"] = [r["cdc_sec"] for r in runs]
+        result["cdc_attempt_probes"] = [
+            [r["probe_pre_mb_s"], r["probe_post_mb_s"]] for r in runs
+        ]
         result["value"] = result["cdc_sec"]
+    if mode == "soak":
+        result.update(bench_soak(spark))
+        result["value"] = result["soak_wall_sec"]
     if mode in ("queries", "all"):
         result["host_memcpy_mb_s_mid"] = host_memcpy_mb_s()
         result["queries"] = bench_queries(spark, sf_dir)
@@ -303,6 +401,11 @@ def main() -> None:
             "cdc_events", "cdc_batches", "cdc_sec", "events_per_sec",
             "best_batch_events_per_sec", "median_batch_events_per_sec",
             "final_rows",
+            "soak_batches", "soak_events", "soak_wall_sec",
+            "soak_batch_sec_first_q_median", "soak_batch_sec_last_q_median",
+            "soak_flatness_ratio", "soak_manifest_list_len",
+            "soak_manifest_bytes", "soak_ledger_len", "soak_parity",
+            "probe_pre_mb_s", "probe_post_mb_s", "headline_attempt_healthy",
             "host_memcpy_mb_s_pre", "host_memcpy_mb_s_post",
             "host_memcpy_warm_mb_s_pre", "host_memcpy_warm_mb_s_post",
         )

@@ -86,3 +86,22 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_driver_window_all_have_oracles():
+    """The driver stamps exactly the first 50 registered queries; every
+    one of them MUST have an oracle_sql() entry so a driver sample can
+    never produce an err:no_oracle row (the four non-SQL-expressible
+    queries are deliberately registered after position 50)."""
+    names = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    window = names[:50]
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"no-oracle queries inside the driver window: {missing}"
+    no_oracle = [n for n in names if n not in oracles]
+    assert set(no_oracle) == {
+        "embedding_ivf_learned_top10",
+        "doc_compression_ratio",
+        "doc_bpe_vocab",
+        "doc_bpe_token_counts",
+    }, f"unexpected no-oracle set: {no_oracle}"

@@ -149,3 +149,22 @@ def test_assign_buckets_below_all_thresholds_goes_to_tail(spark):
     )
     out = langmodel.assign_buckets(scores, th, "lang").collect()
     assert out[0]["lm_bucket"] == "tail"
+
+
+def test_feature_hash_score_null_text_behaves_like_empty(spark):
+    # NULL text must match the oracle's empty-text semantics (0 tokens,
+    # score 0, keep=true) — not size(split(NULL)) = -1 / NULL score.
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "hello world")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in langmodel.feature_hash_score(df, "doc_id", "text").collect()
+    }
+    for did in (1, 2, 3):
+        assert rows[did]["n_tokens"] == 0
+        assert rows[did]["score"] == 0
+        assert rows[did]["keep"] is True
+    assert rows[4]["n_tokens"] == 2
+    assert rows[4]["score"] is not None

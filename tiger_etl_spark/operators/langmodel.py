@@ -238,7 +238,11 @@ def feature_hash_score(
     `transform` hashes each token, `aggregate` folds the integer sum —
     no Python, no shuffle, column-pruned to (id, text).
     """
-    trimmed = F.trim(F.col(text_col))
+    # NULL text behaves like empty text: F.trim(NULL) is NULL, so without
+    # the coalesce the empty-guard is NULL and the otherwise-branch runs
+    # size(split(NULL)) = -1 under non-ANSI Spark (n_tokens=-1, NULL
+    # score/keep) — diverging from the oracle's 0/0/true.
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     tokens = F.split(F.lower(trimmed), r"\s+")
     n_tok = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(tokens)
