@@ -257,22 +257,28 @@ def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def monthly_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot — order counts by month × status as columns. Pivot values
-    are pinned explicitly so the plan needs no extra distinct-values
-    job and the output schema is static at 100 TB."""
+    """Pivot — order counts by month × status as columns. With the pivot
+    values pinned, the pivot IS a conditional aggregation, so it is
+    written as one directly: a single two-phase hash agg keyed on month
+    (one exchange), instead of `.pivot()`'s two-stage lowering
+    (group-by-(month,status) shuffle + pivot-agg shuffle). Same static
+    output schema, half the shuffles — the shape that holds at 100 TB.
+    Plan pinned by tests/test_plans.py (two-phase agg, one exchange,
+    no Window)."""
     o = _t(spark, sf_dir, "orders")
+
+    def n_status(s: str):
+        return F.count(F.when(F.col("o_orderstatus") == s, True))
+
     return (
         o.groupBy(
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
             .alias("month")
         )
-        .pivot("o_orderstatus", ["O", "F", "P"])
-        .count()
-        .select(
-            "month",
-            F.coalesce("O", F.lit(0)).alias("n_open"),
-            F.coalesce("F", F.lit(0)).alias("n_filled"),
-            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        .agg(
+            n_status("O").alias("n_open"),
+            n_status("F").alias("n_filled"),
+            n_status("P").alias("n_partial"),
         )
     )
 

@@ -237,4 +237,39 @@ def test_components_nonconvergence_raises(spark):
         "src string, dst string",
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        components(chain, "src", "dst", max_iter=2)
+        components(chain, "src", "dst", max_iter=1)
+
+
+def test_components_long_chain_converges_in_log_rounds(spark):
+    """The adversarial case for min-label propagation: a 10k-node chain
+    (diameter 10k). Large-star/small-star contraction must converge in
+    O(log n) rounds — max_iter=15 here, where propagation would need
+    ~10,000 — with every node labeled by the chain's minimum."""
+    from tiger_etl_spark.operators.graph import components
+
+    n = 10_000
+    chain = spark.createDataFrame(
+        [(f"n{i:05d}", f"n{i+1:05d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    labels = components(chain, "src", "dst", max_iter=15)
+    agg = labels.groupBy("component").count().collect()
+    assert len(agg) == 1
+    assert agg[0]["component"] == "n00000"
+    assert agg[0]["count"] == n
+
+
+def test_duplicate_clusters_distributed_regime_long_chain(spark):
+    """duplicate_clusters above the union-find threshold routes through
+    the same star contraction: a 300-link chain forced into the
+    distributed regime converges and labels every doc with the min id."""
+    from tiger_etl_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "id_a long, id_b long"
+    )
+    out = duplicate_clusters(pairs, small_graph_threshold=10)
+    rows = out.collect()
+    assert len(rows) == 301
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert {r["doc_id"] for r in rows} == set(range(301))

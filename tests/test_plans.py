@@ -346,3 +346,22 @@ def test_robots_allowed_broadcast_no_page_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pivot_and_rollup_two_phase_agg_no_window(spark):
+    """monthly_status_pivot / order_status_rollup (the r3 perf-weak
+    entries) must stay plain two-phase hash aggregations: pinned pivot
+    values mean no extra distinct-values job, no Window, no Sort before
+    the aggregation, one exchange."""
+    import re
+
+    # pivot-as-conditional-agg: exactly one exchange (partial->final agg)
+    plan = plan_of(entrymod.monthly_status_pivot(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1, plan
+    # rollup: two-phase agg + the output-order sort exchange, nothing else
+    plan = plan_of(entrymod.order_status_rollup(spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 2, plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2, plan

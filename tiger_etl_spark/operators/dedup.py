@@ -257,15 +257,14 @@ def duplicate_clusters(
       ~16 MB at the default threshold — while skipping the per-round
       fixed job latency that dominates the iterative path on small
       graphs.
-    - above it: iterative min-label propagation — each round every node
-      adopts the minimum label among itself and its neighbors (two
-      keyed shuffles per round), converging in graph-diameter rounds;
-      near-dup components are overwhelmingly pairs/triples, so 2–4
-      rounds in practice; the driver only checks a scalar changed-count
-      per round. For adversarial long-chain graphs at extreme scale,
-      swap the propagation body for the large-star/small-star rounds
-      (Kiveris et al., "Connected Components in MapReduce") — same join
-      primitives, O(log n) rounds.
+    - above it: large-star/small-star edge contraction
+      (`graph.components` — Kiveris et al., "Connected Components in
+      MapReduce and Beyond"): O(log n) rounds regardless of component
+      diameter, so an adversarial chain-shaped duplicate graph (each
+      doc near-dup of the next) converges where plain min-label
+      propagation would need diameter rounds. Near-dup components are
+      overwhelmingly pairs/triples, so 1-2 rounds in practice; driver
+      state is one edge fingerprint per round.
     """
     spark = pairs.sparkSession
     edges_slim = pairs.select(
@@ -301,57 +300,15 @@ def duplicate_clusters(
         return spark.createDataFrame(
             sorted((n, find(n)) for n in nodes), "doc_id long, cluster_id long"
         )
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.unionByName(
-        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    from tiger_etl_spark.operators.graph import components as _components
+
+    # distributed regime: star contraction (log-round convergence; the
+    # non-convergence raise lives inside components())
+    labels = _components(edges_slim, "src", "dst", max_iter=max_iter)
+    return labels.select(
+        F.col("node_key").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("_nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("_nmin", "label")).alias(
-                    "label"
-                ),
-            )
-        )
-        # truncate lineage each round: without this the logical plan
-        # doubles per iteration and Catalyst re-analysis dominates
-        # (minutes for a 60-node graph). localCheckpoint materializes to
-        # executor storage; on a cluster where executor loss matters,
-        # use a reliable checkpoint dir instead.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # NEVER return silently-wrong clusters: a component wider than
-        # max_iter hops would still carry split labels here, and
-        # keep-one-per-cluster would retain extra duplicates with no
-        # signal. Raise with the remedy instead.
-        raise RuntimeError(
-            f"label propagation did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — the duplicate graph "
-            "has a component wider than max_iter hops; raise max_iter "
-            "or use the union-find regime (raise small_graph_threshold)"
-        )
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
 def line_segments(text: Column, sep: str = "\n") -> Column:

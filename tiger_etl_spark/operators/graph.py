@@ -334,51 +334,119 @@ def components(
     ignored, and each node's component id is the MINIMUM key reachable
     from it. Returns one row per node: (node_key, component).
 
-    Same iterative min-label propagation as the large-graph regime of
-    `dedup.duplicate_clusters` (which is long-key-specialized for its
-    union-find fast path): each round every node adopts the minimum
-    label among itself and its neighbors — two keyed shuffles per
-    round, converging in graph-diameter rounds, driver state limited to
-    a scalar changed-count. `localCheckpoint` truncates the plan each
-    round so Catalyst re-analysis stays O(1) per iteration. Raises
-    rather than returning split components if `max_iter` is too small
-    for the graph's diameter (the duplicate_clusters guarantee).
+    Algorithm: alternating large-star / small-star edge contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log n) rounds REGARDLESS of graph
+    diameter, unlike plain min-label propagation whose round count is
+    the component diameter (a chain-shaped alias/duplicate graph of
+    length ≫ max_iter would never converge under propagation). Each
+    round is two keyed aggregate+join passes over the edge set and the
+    edge set only shrinks toward a star forest, so per-round cost
+    falls as it converges. Driver state is one (count, hash-sum) edge
+    fingerprint per round; `localCheckpoint` truncates lineage so
+    Catalyst re-analysis stays O(1) per iteration. Still raises rather
+    than returning split components if `max_iter` rounds don't
+    converge (the duplicate_clusters guarantee) — with log-round
+    convergence the default 20 covers any physically storable graph.
+
+    - large-star(u): every neighbor v > u re-attaches to
+      m = min(Γ(u) ∪ {u})
+    - small-star(u): u and its smaller neighbors attach to their min
+
+    Both steps preserve connectivity and only ever lower node labels,
+    so at the fixed point every edge is (member, component-min).
     """
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    und = fwd.unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    )
-    labels = (
-        und.select(F.col("src").alias("id"))
+    all_nodes = (
+        fwd.select(F.col("src").alias("node_key"))
+        .unionByName(fwd.select(F.col("dst").alias("node_key")))
         .distinct()
-        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    changed = -1
+    # symmetric, self-loop-free working edge set
+    sym = (
+        fwd.unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        # bit_xor, not sum: order-independent, immune to ANSI-mode long
+        # overflow, and exact over a DISTINCT edge set
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col("src").cast("string"),
+                                     F.col("dst").cast("string"))),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def symmetrize(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.where(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                pairs.where(F.col("a") != F.col("b"))
+                .select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .distinct()
+        )
+
+    prev_fp = fingerprint(sym)
+    converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("_nmin"))
+        # large-star: center u, m = min(u, min neighbor); larger
+        # neighbors re-attach to m
+        lmins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("src", "_mn").alias("m"))
         )
-        new_labels = labels.join(neighbor_min, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("_nmin", "label")).alias("label"),
+        large = (
+            sym.where(F.col("dst") > F.col("src"))
+            .join(lmins, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+        sym = symmetrize(large).localCheckpoint(eager=True)
+        # small-star: orient each edge at its larger endpoint; that
+        # endpoint and its smaller neighbors all attach to their min
+        lows = sym.where(F.col("dst") < F.col("src"))
+        smins = lows.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (
+            lows.join(smins, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                smins.select(F.col("src").alias("a"), F.col("m").alias("b"))
+            )
         )
-        labels = new_labels
-        if changed == 0:
+        sym = symmetrize(small).localCheckpoint(eager=True)
+        fp = fingerprint(sym)
+        if fp == prev_fp:
+            converged = True
             break
-    else:
+        prev_fp = fp
+    if not converged:
         raise RuntimeError(
-            f"component propagation did not converge in {max_iter} rounds "
-            f"({changed} labels still changing) — raise max_iter"
+            f"star contraction did not converge in {max_iter} rounds — "
+            "raise max_iter (log-round convergence makes this "
+            "unreachable for any physically storable graph)"
         )
-    return labels.select(
-        F.col("id").alias("node_key"), F.col("label").alias("component")
+    # fixed point: edges are (member, component-min) both ways; keep the
+    # min-ward orientation, then label edge-less minima as their own root
+    stars = (
+        sym.where(F.col("dst") < F.col("src"))
+        .groupBy(F.col("src").alias("node_key"))
+        .agg(F.min("dst").alias("component"))
+    )
+    return (
+        all_nodes.join(stars, "node_key", "left")
+        .select(
+            "node_key",
+            F.coalesce("component", "node_key").alias("component"),
+        )
     )
