@@ -145,9 +145,13 @@ def test_multimodal_feature_plumbing(spark):
     assert got[4] == [0.0, 0.0, 0.0, 0.0]
 
 
-def test_real_decoder_is_stubbed_for_non_png():
+def test_real_decoder_is_stubbed_for_non_image_media():
+    # PNG and baseline greyscale JPEG decode for real; anything else
+    # (audio/video containers) still raises the documented stub error
     with pytest.raises(NotImplementedError):
-        multimodal.real_decoder_stub(b"\xff\xd8\xff\xe0 jpeg-ish")
+        multimodal.real_decoder_stub(b"RIFF....WAVEfmt ")
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decoder_stub(b"\x1aE\xdf\xa3 webm-ish")
 
 
 def _encode_png(pixels, channels: int, filters=None) -> bytes:
@@ -854,3 +858,88 @@ def test_cdc_snapshot_diff_semantics(spark, tmp_path):
     assert got["u_ins"]["_change_op"] == "I" and got["u_ins"]["event_id"] == 4
     assert got["u_del"]["_change_op"] == "D" and got["u_del"]["event_id"] == 6
     assert got["u_upd"]["_change_op"] == "U" and got["u_upd"]["event_id"] == 8
+
+
+def test_jpeg_codec_spec_roundtrips():
+    """Baseline greyscale JPEG: flat image decodes exactly; a smooth
+    gradient at non-multiple-of-8 dims survives Annex-K quantization
+    within tight bounds; a RANDOM image with a unit quant table
+    round-trips within ±1 (pure FDCT/IDCT+rounding error) while
+    exercising huffman/RLE and 0xFF byte stuffing; a crafted
+    high-frequency block drives the ZRL (16-zero-run) path."""
+    import numpy as np
+
+    flat = np.full((64, 64), 130, dtype=np.uint8)
+    w, h, out = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(flat))
+    assert (w, h) == (64, 64)
+    assert int(np.abs(out.astype(int) - 130).max()) == 0
+
+    yy, xx = np.mgrid[0:40, 0:48]
+    grad = (yy * 2 + xx).clip(0, 255).astype(np.uint8)
+    w, h, out = multimodal.decode_jpeg_gray(multimodal.encode_jpeg_gray(grad))
+    assert (w, h) == (48, 40)
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.max() <= 4 and err.mean() <= 2.0
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (56, 72), dtype=np.uint8)
+    blob = multimodal.encode_jpeg_gray(noise, quant=np.ones(64, dtype=np.int64))
+    assert b"\xff\x00" in blob  # byte stuffing actually exercised
+    w, h, out = multimodal.decode_jpeg_gray(blob)
+    assert (w, h) == (72, 56)
+    assert int(np.abs(out.astype(int) - noise.astype(int)).max()) <= 1
+
+    # ZRL: block whose only nonzero AC coefficient is the LAST zigzag
+    # entry -> three 16-zero runs before the symbol
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 16.0
+    coef[7, 7] = 40.0
+    px = np.clip(
+        np.round(multimodal._DCT_A.T @ coef @ multimodal._DCT_A + 128.0), 0, 255
+    ).astype(np.uint8)
+    blob = multimodal.encode_jpeg_gray(px, quant=np.ones(64, dtype=np.int64))
+    w, h, out = multimodal.decode_jpeg_gray(blob)
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 1
+
+
+def test_jpeg_decoder_rejects_out_of_scope():
+    import numpy as np
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bad SOI"):
+        multimodal.decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
+    # progressive (SOF2) must raise, not silently misdecode
+    blob = bytearray(
+        multimodal.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
+    )
+    i = blob.index(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with _pt.raises(ValueError, match="baseline"):
+        multimodal.decode_jpeg_gray(bytes(blob))
+
+
+def test_jpeg_feature_hook_end_to_end(spark):
+    """extract_media_features with the real JPEG decoder through Arrow
+    mapInPandas, plus real_decoder_stub's format dispatch."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = (yy * 8 + xx).clip(0, 255).astype(np.uint8)
+    blob = multimodal.encode_jpeg_gray(img)
+    df = spark.createDataFrame(
+        [(1, blob), (2, None)], "media_id long, blob binary"
+    )
+    out = multimodal.extract_media_features(
+        df, "media_id", "blob", n_features=4,
+        decoder=multimodal.make_jpeg_decoder(4),
+    )
+    got = {r["media_id"]: r["features"] for r in out.collect()}
+    assert got[2] is None
+    _, _, px = multimodal.decode_jpeg_gray(blob)
+    flat = px.astype(np.float64).ravel()
+    want = [float(c.mean()) for c in np.array_split(flat, 4)]
+    assert got[1] == pytest.approx(want)
+    # dispatch: JPEG magic routes to the real decoder (8 features)
+    assert multimodal.real_decoder_stub(blob) == pytest.approx(
+        multimodal.make_jpeg_decoder(8)(blob)
+    )

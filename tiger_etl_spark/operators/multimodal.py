@@ -2,12 +2,16 @@
 
 Media payloads are opaque `binary` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-`mapInPandas` operators. The decode step itself is STUBBED (no
-image/audio libraries in this container): `decoder=None` uses a
-deterministic fake (byte-statistics "features") so the Spark-side
-plumbing — schema, batching, partitioning, UDF signature — is real and
-tested; pass a real decoder callable (e.g. PIL/librosa-backed) in
-production.
+`mapInPandas` operators. Image decode is REAL for the two formats web
+crawls overwhelmingly carry: PNG (`decode_png`, pure stdlib inflate +
+de-filter) and baseline greyscale JPEG (`decode_jpeg_gray`,
+stdlib+numpy huffman entropy decode + exact orthogonal IDCT, pinned by
+spec-level roundtrip tests against the matching `encode_jpeg_gray`).
+Color/progressive JPEG and audio/video decode need libraries not
+present in this container: `decoder=None` uses a deterministic fake
+(byte-statistics "features") so the Spark-side plumbing — schema,
+batching, partitioning, UDF signature — stays real and tested; wire a
+PIL/torchvision/librosa-backed callable there in production.
 """
 
 from __future__ import annotations
@@ -232,13 +236,441 @@ def make_png_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
 
 
 def real_decoder_stub(blob: bytes) -> list[float]:
-    """The production decode hook for non-PNG media. PNG decodes for
-    real via `make_png_decoder` (pure stdlib); other formats (JPEG,
-    audio, video) need libraries not present in this container — wire
-    PIL / torchvision / librosa here."""
+    """The production decode hook. PNG decodes for real via
+    `make_png_decoder` (pure stdlib) and baseline greyscale JPEG via
+    `make_jpeg_decoder` (stdlib+numpy huffman/IDCT, defined below);
+    color/progressive JPEG, audio and video need libraries not present
+    in this container — wire PIL / torchvision / librosa here."""
     if blob[:8] == PNG_MAGIC:
         return make_png_decoder()(blob)
+    if blob[:3] == JPEG_MAGIC or blob[:2] == b"\xff\xd8":
+        return make_jpeg_decoder()(blob)
     raise NotImplementedError(
-        "non-PNG media decoding requires image/audio libraries not present "
-        "in this container; pass decoder=... to extract_media_features"
+        "audio/video (and non-baseline JPEG) decoding requires media "
+        "libraries not present in this container; pass decoder=... to "
+        "extract_media_features"
     )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT, greyscale) — pure stdlib+numpy,
+# same spirit as decode_png: a REAL decoder for the format web crawls
+# actually carry, no PIL/torchvision required. The matching encoder exists
+# so the decoder is pinned by spec-level roundtrip tests (any compliant
+# third-party decoder would read the encoder's output identically: the
+# huffman tables ride in DHT, the quant table in DQT).
+# ---------------------------------------------------------------------------
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+# zigzag scan order (T.81 Figure 5): index in zigzag sequence -> linear
+# index into the row-major 8x8 block, generated rather than typed
+def _zigzag_order() -> "np.ndarray":
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if 0 <= s - j < 8 and 0 <= j < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(r * 8 + c for r, c in diag)
+    return np.array(order, dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+
+# T.81 Annex K.1 luminance quantization table (in natural row-major order)
+_QT_K1 = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_matrix() -> "np.ndarray":
+    n = np.arange(8)
+    k = n.reshape(8, 1)
+    a = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    a[0] /= np.sqrt(2.0)
+    return a  # orthogonal: FDCT F = A x A^T, IDCT x = A^T F A
+
+
+_DCT_A = _dct_matrix()
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; stops at
+    any non-RST marker. RST markers reset alignment (caller resets DC)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                raise ValueError("truncated JPEG entropy data")
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed 0xFF data byte
+                else:
+                    # real marker: feed 1-padding (spec: decoder may pad)
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def at_restart(self) -> bool:
+        """True if the next bytes (after discarding partial bits) are an
+        RST marker; consumes it."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
+
+def _huff_decode_tables(bits: list[int], vals: bytes):
+    """Canonical huffman decode tables (T.81 Annex C/F): per-length
+    (mincode, maxcode, valptr)."""
+    code, k = 0, 0
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    for length in range(1, 17):
+        if bits[length - 1] == 0:
+            maxcode[length] = -1
+        else:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _huff_read(r: _BitReader, tbl) -> int:
+    mincode, maxcode, valptr, vals = tbl
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read(1)
+        if maxcode[length] >= 0 and code <= maxcode[length] and code >= mincode[length]:
+            return vals[valptr[length] + code - mincode[length]]
+    raise ValueError("invalid huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg_gray(blob: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Baseline sequential-DCT greyscale JPEG decode (T.81: SOI, DQT,
+    DHT, SOF0 single-component, optional DRI/RSTn, SOS, EOI) from the
+    stdlib + numpy alone: marker parse -> huffman entropy decode ->
+    dequantize -> exact orthogonal IDCT -> level shift. Returns (width,
+    height, uint8 array [height, width]). Raises on progressive,
+    multi-component, or 12-bit streams (out of the baseline-greyscale
+    scope this sandbox can test)."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    width = height = None
+    qt_id = dc_id = ac_id = 0
+    restart_interval = 0
+    scan_pos = None
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        seg = blob[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                z = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = z
+                qt[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = seg[i + 17:i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component (greyscale) supported")
+            hv, qt_id = seg[7], seg[8]
+            if hv != 0x11:
+                raise ValueError("subsampling unsupported for greyscale")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential DCT (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("single-component scan expected")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+            scan_pos = pos
+            break
+    if width is None or scan_pos is None:
+        raise ValueError("missing SOF0/SOS")
+    dq = qt[qt_id]
+    dc_tbl, ac_tbl = huff_dc[dc_id], huff_ac[ac_id]
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    r = _BitReader(blob, scan_pos)
+    pred = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if not r.at_restart():
+                    raise ValueError("expected RST marker")
+                pred = 0
+            coef = np.zeros(64, dtype=np.int64)
+            s = _huff_read(r, dc_tbl)
+            diff = _extend(r.read(s), s)
+            pred += diff
+            coef[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_read(r, ac_tbl)
+                rr, ss = rs >> 4, rs & 15
+                if ss == 0:
+                    if rr == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rr
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                coef[k] = _extend(r.read(ss), ss)
+                k += 1
+            # coef is in zigzag sequence order; de-zigzag to natural
+            # row-major, THEN dequantize (dq is natural-order)
+            block = np.zeros(64, dtype=np.float64)
+            block[_ZIGZAG] = coef
+            block *= dq
+            blk = block.reshape(8, 8)
+            px = _DCT_A.T @ blk @ _DCT_A + 128.0
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.round(px), 0, 255
+            ).astype(np.uint8)
+            pred = coef[0]
+            mcu += 1
+    return width, height, out[:height, :width]
+
+
+class _BitWriter:
+    """MSB-first entropy writer with 0xFF byte stuffing and final
+    1-padding (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def _canonical_huffman(freqs: dict[int, int]):
+    """(bits, vals, code_map) for a canonical JPEG huffman table over the
+    observed symbols. A pseudo-symbol is added before tree building and
+    dropped after, so the emitted table is INCOMPLETE by one codepoint —
+    the T.81 Annex C requirement that the all-1-bits code stays unused.
+    Symbol set is small (<=256) and frequencies are floored to 1, so
+    code lengths stay well under the 16-bit DHT limit."""
+    import heapq
+    import itertools
+
+    DUMMY = 256
+    items = dict(freqs)
+    items[DUMMY] = 1
+    tick = itertools.count()  # tiebreak so heap never compares lists
+    heap = [(f, next(tick), [sym]) for sym, f in items.items()]
+    heapq.heapify(heap)
+    depth: dict[int, int] = {s: 0 for s in items}
+    while len(heap) > 1:
+        fa, _, a = heapq.heappop(heap)
+        fb, _, b = heapq.heappop(heap)
+        for s in a + b:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, next(tick), a + b))
+    if len(items) == 1:  # single symbol: give it a 1-bit code
+        depth = {s: 1 for s in items}
+    if max(depth.values()) > 16:
+        # pathological skew: rebuild balanced (equal freqs, depth <= 9)
+        return _canonical_huffman({s: 1 for s in freqs})
+    # canonical assignment: sort by (length, symbol); dummy sorts last
+    # within its length so dropping it frees the trailing codepoint
+    order = sorted(depth, key=lambda s: (depth[s], s))
+    bits = [0] * 16
+    code_map: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym in order:
+        ln = depth[sym]
+        code <<= ln - prev_len
+        prev_len = ln
+        if sym != DUMMY:
+            code_map[sym] = (code, ln)
+            bits[ln - 1] += 1
+        code += 1
+    vals = bytes(s for s in order if s != DUMMY)
+    return bits, vals, code_map
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _mag_bits(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def encode_jpeg_gray(pixels: "np.ndarray", quant: "np.ndarray" = None) -> bytes:
+    """Baseline greyscale JPEG encoder (T.81 sequential DCT): exact
+    orthogonal FDCT, Annex-K.1 quantization by default, per-image
+    canonical huffman tables written to DHT. Exists to pin
+    `decode_jpeg_gray` with spec-level roundtrip tests — any compliant
+    decoder reads its output, because everything a decoder needs (DQT,
+    DHT, SOF0, SOS) is in the stream."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    dq = _QT_K1 if quant is None else np.asarray(quant, dtype=np.int64).ravel()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1:h, :]  # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1:w]
+    # pass 1: quantized coefficients per block + symbol frequencies
+    blocks = []
+    pred = 0
+    dc_freq: dict[int, int] = {}
+    ac_freq: dict[int, int] = {}
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+            f = _DCT_A @ blk @ _DCT_A.T
+            q = np.round(f.ravel() / dq).astype(np.int64)
+            zz = q[_ZIGZAG]  # natural -> zigzag sequence
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            dc_freq[_category(diff)] = dc_freq.get(_category(diff), 0) + 1
+            syms = []
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    syms.append((0xF0, 0, 0))
+                    run -= 16
+                s = _category(v)
+                syms.append(((run << 4) | s, v, s))
+                run = 0
+            if run:
+                syms.append((0x00, 0, 0))  # EOB
+            for rs, _, _ in syms:
+                ac_freq[rs] = ac_freq.get(rs, 0) + 1
+            blocks.append((diff, syms))
+    dc_bits, dc_vals, dc_codes = _canonical_huffman(dc_freq)
+    ac_bits, ac_vals, ac_codes = _canonical_huffman(ac_freq)
+    # pass 2: serialize
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_q = np.empty(64, dtype=np.uint8)
+    zz_q[:] = dq[_ZIGZAG]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(zz_q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes((1, 0x11, 0))
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits) + vals
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes((1, 1, 0x00, 0, 63, 0))
+    wtr = _BitWriter()
+    for diff, syms in blocks:
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        wtr.write(code, ln)
+        if s:
+            wtr.write(_mag_bits(diff, s), s)
+        for rs, v, s2 in syms:
+            code, ln = ac_codes[rs]
+            wtr.write(code, ln)
+            if s2:
+                wtr.write(_mag_bits(v, s2), s2)
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def make_jpeg_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
+    """decode->featurize hook for `extract_media_features` over baseline
+    greyscale JPEG — same shape as `make_png_decoder`."""
+
+    def decode(blob: bytes) -> list[float]:
+        _, _, px = decode_jpeg_gray(blob)
+        flat = px.astype(np.float64).ravel()
+        chunks = np.array_split(flat, n_features)
+        return [float(c.mean()) if c.size else 0.0 for c in chunks]
+
+    return decode
