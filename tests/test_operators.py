@@ -943,3 +943,40 @@ def test_jpeg_feature_hook_end_to_end(spark):
     assert multimodal.real_decoder_stub(blob) == pytest.approx(
         multimodal.make_jpeg_decoder(8)(blob)
     )
+
+
+def test_jpeg_color_roundtrips():
+    """Baseline color JPEG: 4:4:4 and 4:2:0 interleaved-MCU streams
+    round-trip a smooth RGB image within Annex-K quantization + chroma
+    subsampling bounds; a RANDOM RGB image under unit quant tables
+    round-trips within the color-transform rounding envelope (±3) —
+    i.e. the entropy coding, MCU interleave and YCbCr conversion are
+    exact, only quantization loses information."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:40, 0:48]
+    rgb = np.stack(
+        [(yy * 2 + xx).clip(0, 255), (xx * 3).clip(0, 255), (yy * 4).clip(0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    for sub, tol_max, tol_mean in (("444", 10, 3.0), ("420", 16, 4.0)):
+        blob = multimodal.encode_jpeg(rgb, sub)
+        w, h, ch, out = multimodal.decode_jpeg(blob)
+        assert (w, h, ch) == (48, 40, 3)
+        err = np.abs(out.astype(int) - rgb.astype(int))
+        assert err.max() <= tol_max and err.mean() <= tol_mean, (sub, err.max())
+    # 4:2:0 must actually subsample (smaller stream than 4:4:4)
+    assert len(multimodal.encode_jpeg(rgb, "420")) < len(
+        multimodal.encode_jpeg(rgb, "444")
+    )
+
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    ones = np.ones(64, dtype=np.int64)
+    blob = multimodal.encode_jpeg(noise, "444", quant_luma=ones, quant_chroma=ones)
+    _, _, _, out = multimodal.decode_jpeg(blob)
+    assert int(np.abs(out.astype(int) - noise.astype(int)).max()) <= 3
+    # color stream through the featurize hook + dispatch
+    feats = multimodal.real_decoder_stub(blob)
+    assert len(feats) == 8
+    assert feats == pytest.approx(multimodal.make_jpeg_decoder(8)(blob))

@@ -388,14 +388,39 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def decode_jpeg_gray(blob: bytes) -> tuple[int, int, "np.ndarray"]:
-    """Baseline sequential-DCT greyscale JPEG decode (T.81: SOI, DQT,
-    DHT, SOF0 single-component, optional DRI/RSTn, SOS, EOI) from the
-    stdlib + numpy alone: marker parse -> huffman entropy decode ->
-    dequantize -> exact orthogonal IDCT -> level shift. Returns (width,
-    height, uint8 array [height, width]). Raises on progressive,
-    multi-component, or 12-bit streams (out of the baseline-greyscale
-    scope this sandbox can test)."""
+def _decode_block(r: _BitReader, dc_tbl, ac_tbl, pred: int):
+    """One 8x8 block's entropy decode: returns (zigzag coef array, new
+    DC predictor)."""
+    coef = np.zeros(64, dtype=np.int64)
+    s = _huff_read(r, dc_tbl)
+    pred += _extend(r.read(s), s)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_read(r, ac_tbl)
+        rr, ss = rs >> 4, rs & 15
+        if ss == 0:
+            if rr == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += rr
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[k] = _extend(r.read(ss), ss)
+        k += 1
+    return coef, pred
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Baseline sequential-DCT JPEG decode (T.81) from stdlib + numpy
+    alone: greyscale OR interleaved YCbCr color with per-component
+    sampling factors (4:4:4, 4:2:2, 4:2:0 ...), optional DRI/RSTn.
+    Marker parse -> interleaved-MCU huffman entropy decode ->
+    dequantize -> exact orthogonal IDCT -> chroma upsample ->
+    YCbCr->RGB (ITU BT.601 as T.871 specifies). Returns (width,
+    height, channels, uint8 array [height, width, channels]).
+    Raises on progressive/extended (non-SOF0) or 12-bit streams."""
     import struct
 
     if blob[:2] != b"\xff\xd8":
@@ -404,7 +429,9 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, "np.ndarray"]:
     qt = {}
     huff_dc, huff_ac = {}, {}
     width = height = None
-    qt_id = dc_id = ac_id = 0
+    comps = []  # (cid, h, v, tq)
+    scan_tables = {}  # cid -> (td, ta)
+    scan_order = []
     restart_interval = 0
     scan_pos = None
     while pos < len(blob):
@@ -438,69 +465,90 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, "np.ndarray"]:
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
-            if precision != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component (greyscale) supported")
-            hv, qt_id = seg[7], seg[8]
-            if hv != 0x11:
-                raise ValueError("subsampling unsupported for greyscale")
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError("1 (grey) or 3 (YCbCr) components supported")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline sequential DCT (SOF0) supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != 1:
-                raise ValueError("single-component scan expected")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+            if ns != len(comps):
+                raise ValueError("non-interleaved scans unsupported")
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cid] = (tt >> 4, tt & 15)
+                scan_order.append(cid)
             scan_pos = pos
             break
     if width is None or scan_pos is None:
         raise ValueError("missing SOF0/SOS")
-    dq = qt[qt_id]
-    dc_tbl, ac_tbl = huff_dc[dc_id], huff_ac[ac_id]
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.empty((mcuy * v * 8, mcux * h * 8), dtype=np.uint8)
+        for cid, h, v, _ in comps
+    }
+    preds = {cid: 0 for cid, *_ in comps}
     r = _BitReader(blob, scan_pos)
-    pred = 0
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 if not r.at_restart():
                     raise ValueError("expected RST marker")
-                pred = 0
-            coef = np.zeros(64, dtype=np.int64)
-            s = _huff_read(r, dc_tbl)
-            diff = _extend(r.read(s), s)
-            pred += diff
-            coef[0] = pred
-            k = 1
-            while k < 64:
-                rs = _huff_read(r, ac_tbl)
-                rr, ss = rs >> 4, rs & 15
-                if ss == 0:
-                    if rr == 15:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    break  # EOB
-                k += rr
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                coef[k] = _extend(r.read(ss), ss)
-                k += 1
-            # coef is in zigzag sequence order; de-zigzag to natural
-            # row-major, THEN dequantize (dq is natural-order)
-            block = np.zeros(64, dtype=np.float64)
-            block[_ZIGZAG] = coef
-            block *= dq
-            blk = block.reshape(8, 8)
-            px = _DCT_A.T @ blk @ _DCT_A + 128.0
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                np.round(px), 0, 255
-            ).astype(np.uint8)
-            pred = coef[0]
+                preds = {cid: 0 for cid in preds}
+            for cid in scan_order:
+                h, v, tq = by_id[cid]
+                td, ta = scan_tables[cid]
+                dq = qt[tq]
+                for vy in range(v):
+                    for vx in range(h):
+                        coef, preds[cid] = _decode_block(
+                            r, huff_dc[td], huff_ac[ta], preds[cid]
+                        )
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coef  # de-zigzag, THEN dequant
+                        block *= dq
+                        px = _DCT_A.T @ block.reshape(8, 8) @ _DCT_A + 128.0
+                        y0 = (my * v + vy) * 8
+                        x0 = (mx * h + vx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = np.clip(
+                            np.round(px), 0, 255
+                        ).astype(np.uint8)
             mcu += 1
-    return width, height, out[:height, :width]
+    # upsample subsampled planes by pixel replication and crop
+    full = []
+    for cid, h, v, _ in comps:
+        p = planes[cid]
+        if h != hmax or v != vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p[:height, :width].astype(np.float64))
+    if len(full) == 1:
+        return width, height, 1, full[0].astype(np.uint8).reshape(height, width, 1)
+    y, cb, cr = full
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=-1)
+    return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg_gray(blob: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Greyscale wrapper over `decode_jpeg`: returns (width, height,
+    uint8 array [height, width]); raises if the stream is color."""
+    w, h, ch, px = decode_jpeg(blob)
+    if ch != 1:
+        raise ValueError("color JPEG passed to decode_jpeg_gray")
+    return w, h, px.reshape(h, w)
 
 
 class _BitWriter:
@@ -558,8 +606,12 @@ def _canonical_huffman(freqs: dict[int, int]):
     if max(depth.values()) > 16:
         # pathological skew: rebuild balanced (equal freqs, depth <= 9)
         return _canonical_huffman({s: 1 for s in freqs})
-    # canonical assignment: sort by (length, symbol); dummy sorts last
-    # within its length so dropping it frees the trailing codepoint
+    # The dummy only donates INCOMPLETENESS: drop it, then assign codes
+    # DENSELY over the real symbols — exactly how a decoder reconstructs
+    # canonical codes from BITS/HUFFVAL (no holes). Kraft sum stays < 1,
+    # so the all-1-bits code of the longest length is never reached
+    # (T.81 Annex C requirement).
+    del depth[DUMMY]
     order = sorted(depth, key=lambda s: (depth[s], s))
     bits = [0] * 16
     code_map: dict[int, tuple[int, int]] = {}
@@ -569,11 +621,10 @@ def _canonical_huffman(freqs: dict[int, int]):
         ln = depth[sym]
         code <<= ln - prev_len
         prev_len = ln
-        if sym != DUMMY:
-            code_map[sym] = (code, ln)
-            bits[ln - 1] += 1
+        code_map[sym] = (code, ln)
+        bits[ln - 1] += 1
         code += 1
-    vals = bytes(s for s in order if s != DUMMY)
+    vals = bytes(order)
     return bits, vals, code_map
 
 
@@ -585,67 +636,146 @@ def _mag_bits(v: int, s: int) -> int:
     return v if v >= 0 else v + (1 << s) - 1
 
 
-def encode_jpeg_gray(pixels: "np.ndarray", quant: "np.ndarray" = None) -> bytes:
-    """Baseline greyscale JPEG encoder (T.81 sequential DCT): exact
-    orthogonal FDCT, Annex-K.1 quantization by default, per-image
-    canonical huffman tables written to DHT. Exists to pin
-    `decode_jpeg_gray` with spec-level roundtrip tests — any compliant
-    decoder reads its output, because everything a decoder needs (DQT,
-    DHT, SOF0, SOS) is in the stream."""
+# T.81 Annex K.2 chroma quantization table (natural row-major order)
+_QT_K2 = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+
+def _block_syms(zz, pred: int):
+    """RLE symbol stream for one zigzag-ordered quantized block."""
+    diff = int(zz[0]) - pred
+    syms = []
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append((0xF0, 0, 0))
+            run -= 16
+        s = _category(v)
+        syms.append(((run << 4) | s, v, s))
+        run = 0
+    if run:
+        syms.append((0x00, 0, 0))  # EOB
+    return diff, syms, int(zz[0])
+
+
+def _pad_to(plane: "np.ndarray", ph: int, pw: int) -> "np.ndarray":
+    h, w = plane.shape
+    out = np.empty((ph, pw), dtype=np.float64)
+    out[:h, :w] = plane
+    if ph > h:
+        out[h:, :w] = out[h - 1:h, :w]  # edge-replicate pad
+    if pw > w:
+        out[:, w:] = out[:, w - 1:w]
+    return out
+
+
+def encode_jpeg(
+    pixels: "np.ndarray",
+    subsampling: str = "444",
+    quant_luma: "np.ndarray" = None,
+    quant_chroma: "np.ndarray" = None,
+) -> bytes:
+    """Baseline JPEG encoder (T.81 sequential DCT): greyscale (2-D
+    input) or YCbCr color (3-D RGB input; `subsampling` "444" or
+    "420"), exact orthogonal FDCT, Annex-K quantization by default
+    (K.1 luma / K.2 chroma), per-image canonical huffman tables in
+    DHT. Exists to pin `decode_jpeg` with spec-level roundtrip tests —
+    any compliant decoder reads its output, because everything a
+    decoder needs (DQT, DHT, SOF0, SOS) rides in the stream."""
     import struct
 
     px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape
-    dq = _QT_K1 if quant is None else np.asarray(quant, dtype=np.int64).ravel()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    padded[:h, :w] = px
-    padded[h:, :w] = px[h - 1:h, :]  # edge-replicate pad
-    padded[:, w:] = padded[:, w - 1:w]
-    # pass 1: quantized coefficients per block + symbol frequencies
+    qy = _QT_K1 if quant_luma is None else np.asarray(quant_luma, np.int64).ravel()
+    qc = _QT_K2 if quant_chroma is None else np.asarray(quant_chroma, np.int64).ravel()
+    if px.ndim == 2:
+        h, w = px.shape
+        comps = [(1, 1, 1, 0)]
+        raw_planes = [px.astype(np.float64)]
+        qtables = {0: qy}
+    else:
+        h, w, _ = px.shape
+        r_, g_, b_ = (px[..., c].astype(np.float64) for c in range(3))
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+        cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+        if subsampling == "444":
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            raw_planes = [y, cb, cr]
+        elif subsampling == "420":
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            # 2x2 box-average chroma on an even-padded grid
+            eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            raw_planes = [y] + [
+                _pad_to(c, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+                for c in (cb, cr)
+            ]
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
+        qtables = {0: qy, 1: qc}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        _pad_to(p, mcuy * v * 8, mcux * hh * 8)
+        for p, (_, hh, v, _) in zip(raw_planes, comps)
+    ]
+    # pass 1: quantized blocks in interleaved MCU order + symbol freqs
+    # (ONE shared DC and ONE shared AC table across components - legal,
+    # since every component may reference table id 0)
     blocks = []
-    pred = 0
+    preds = [0] * len(comps)
     dc_freq: dict[int, int] = {}
     ac_freq: dict[int, int] = {}
-    for by in range(bh):
-        for bx in range(bw):
-            blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
-            f = _DCT_A @ blk @ _DCT_A.T
-            q = np.round(f.ravel() / dq).astype(np.int64)
-            zz = q[_ZIGZAG]  # natural -> zigzag sequence
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            dc_freq[_category(diff)] = dc_freq.get(_category(diff), 0) + 1
-            syms = []
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    syms.append((0xF0, 0, 0))
-                    run -= 16
-                s = _category(v)
-                syms.append(((run << 4) | s, v, s))
-                run = 0
-            if run:
-                syms.append((0x00, 0, 0))  # EOB
-            for rs, _, _ in syms:
-                ac_freq[rs] = ac_freq.get(rs, 0) + 1
-            blocks.append((diff, syms))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, hh, v, tq) in enumerate(comps):
+                dq = qtables[tq]
+                for vy in range(v):
+                    for vx in range(hh):
+                        y0 = (my * v + vy) * 8
+                        x0 = (mx * hh + vx) * 8
+                        blk = planes[ci][y0:y0 + 8, x0:x0 + 8] - 128.0
+                        f = _DCT_A @ blk @ _DCT_A.T
+                        zz = np.round(f.ravel() / dq).astype(np.int64)[_ZIGZAG]
+                        diff, syms, preds[ci] = _block_syms(zz, preds[ci])
+                        dc_freq[_category(diff)] = dc_freq.get(_category(diff), 0) + 1
+                        for rs, _, _ in syms:
+                            ac_freq[rs] = ac_freq.get(rs, 0) + 1
+                        blocks.append((diff, syms))
     dc_bits, dc_vals, dc_codes = _canonical_huffman(dc_freq)
     ac_bits, ac_vals, ac_codes = _canonical_huffman(ac_freq)
     # pass 2: serialize
     out = bytearray(b"\xff\xd8")  # SOI
-    zz_q = np.empty(64, dtype=np.uint8)
-    zz_q[:] = dq[_ZIGZAG]
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(zz_q)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes((1, 0x11, 0))
+    for tq, dq in qtables.items():
+        zz_q = np.empty(64, dtype=np.uint8)
+        zz_q[:] = dq[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(zz_q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+    for cid, hh, v, tq in comps:
+        out += bytes((cid, (hh << 4) | v, tq))
     for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
         out += bytes([tc << 4]) + bytes(bits) + vals
-    out += b"\xff\xda" + struct.pack(">H", 8) + bytes((1, 1, 0x00, 0, 63, 0))
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps)) + bytes([len(comps)])
+    for cid, *_ in comps:
+        out += bytes((cid, 0x00))
+    out += bytes((0, 63, 0))
     wtr = _BitWriter()
     for diff, syms in blocks:
         s = _category(diff)
@@ -663,12 +793,18 @@ def encode_jpeg_gray(pixels: "np.ndarray", quant: "np.ndarray" = None) -> bytes:
     return bytes(out)
 
 
+def encode_jpeg_gray(pixels: "np.ndarray", quant: "np.ndarray" = None) -> bytes:
+    """Greyscale wrapper over `encode_jpeg` (kept for the roundtrip
+    tests' custom-quant path)."""
+    return encode_jpeg(np.asarray(pixels, dtype=np.uint8), quant_luma=quant)
+
+
 def make_jpeg_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
     """decode->featurize hook for `extract_media_features` over baseline
-    greyscale JPEG — same shape as `make_png_decoder`."""
+    JPEG (greyscale or color) — same shape as `make_png_decoder`."""
 
     def decode(blob: bytes) -> list[float]:
-        _, _, px = decode_jpeg_gray(blob)
+        _, _, _, px = decode_jpeg(blob)
         flat = px.astype(np.float64).ravel()
         chunks = np.array_split(flat, n_features)
         return [float(c.mean()) if c.size else 0.0 for c in chunks]
