@@ -237,7 +237,7 @@ def test_components_nonconvergence_raises(spark):
         "src string, dst string",
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        components(chain, "src", "dst", max_iter=1)
+        components(chain, "src", "dst", max_iter=1, small_graph_threshold=0)
 
 
 def test_components_long_chain_converges_in_log_rounds(spark):
@@ -252,7 +252,9 @@ def test_components_long_chain_converges_in_log_rounds(spark):
         [(f"n{i:05d}", f"n{i+1:05d}") for i in range(n - 1)],
         "src string, dst string",
     )
-    labels = components(chain, "src", "dst", max_iter=15)
+    # small_graph_threshold=0 forces the DISTRIBUTED star contraction —
+    # the point of this test (the union-find fast path would trivialize it)
+    labels = components(chain, "src", "dst", max_iter=15, small_graph_threshold=0)
     agg = labels.groupBy("component").count().collect()
     assert len(agg) == 1
     assert agg[0]["component"] == "n00000"

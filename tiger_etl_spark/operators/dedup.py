@@ -303,8 +303,11 @@ def duplicate_clusters(
     from tiger_etl_spark.operators.graph import components as _components
 
     # distributed regime: star contraction (log-round convergence; the
-    # non-convergence raise lives inside components())
-    labels = _components(edges_slim, "src", "dst", max_iter=max_iter)
+    # non-convergence raise lives inside components()). The union-find
+    # regime was already rejected above, so skip components()' own probe.
+    labels = _components(
+        edges_slim, "src", "dst", max_iter=max_iter, small_graph_threshold=0
+    )
     return labels.select(
         F.col("node_key").alias("doc_id"),
         F.col("component").alias("cluster_id"),

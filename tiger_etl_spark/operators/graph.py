@@ -328,13 +328,23 @@ def components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Weakly connected components over an edge list with keys of ANY
     orderable type (strings included — host names, urls): direction is
     ignored, and each node's component id is the MINIMUM key reachable
     from it. Returns one row per node: (node_key, component).
 
-    Algorithm: alternating large-star / small-star edge contraction
+    Two regimes, chosen by edge count in ONE cheap scalar job (the same
+    dual shape as `dedup.duplicate_clusters`): an edge list at or below
+    `small_graph_threshold` is collected and solved by driver
+    union-find — bounded driver work that skips the per-round fixed job
+    latency dominating small graphs — while larger graphs run the
+    distributed star contraction below. Pass ``small_graph_threshold=0``
+    to force the distributed path (the adversarial-chain tests do).
+
+    Distributed algorithm: alternating large-star / small-star edge
+    contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — converges in O(log n) rounds REGARDLESS of graph
     diameter, unlike plain min-label propagation whose round count is
@@ -357,18 +367,55 @@ def components(
     so at the fixed point every edge is (member, component-min).
     """
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if small_graph_threshold:
+        # regime probe + small-graph fetch in ONE action (CollectLimit
+        # stops early on big graphs); in the small case the probe rows
+        # ARE the whole edge list
+        probe = fwd.limit(small_graph_threshold + 1).collect()
+        if len(probe) <= small_graph_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            nodes = set()
+            for r in probe:
+                a, b = r["src"], r["dst"]
+                nodes.add(a)
+                nodes.add(b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi2 = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi2] = lo  # union by min: root IS the min key
+            schema = fwd.select(
+                F.col("src").alias("node_key"),
+                F.col("src").alias("component"),
+            ).schema
+            return edges.sparkSession.createDataFrame(
+                sorted((n, find(n)) for n in nodes), schema
+            )
     all_nodes = (
         fwd.select(F.col("src").alias("node_key"))
         .unionByName(fwd.select(F.col("dst").alias("node_key")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # symmetric, self-loop-free working edge set
-    sym = (
-        fwd.unionByName(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    # CANONICAL edge storage: each undirected edge once, larger endpoint
+    # first (hi > lo), self-loop-free. Both star steps happen to EMIT
+    # pairs already in this orientation (their targets are minima), so
+    # each round needs one distinct over half the symmetric volume and
+    # no re-symmetrization shuffle.
+    canon = (
+        fwd.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
         )
-        .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -379,53 +426,51 @@ def components(
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
-                F.bit_xor(F.xxhash64(F.col("src").cast("string"),
-                                     F.col("dst").cast("string"))),
+                F.bit_xor(F.xxhash64(F.col("hi").cast("string"),
+                                     F.col("lo").cast("string"))),
                 F.lit(0),
             ).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 
-    def symmetrize(pairs: DataFrame) -> DataFrame:
-        return (
-            pairs.where(F.col("a") != F.col("b"))
-            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(
-                pairs.where(F.col("a") != F.col("b"))
-                .select(F.col("b").alias("src"), F.col("a").alias("dst"))
-            )
-            .distinct()
-        )
-
-    prev_fp = fingerprint(sym)
+    prev_fp = fingerprint(canon)
     converged = False
     for _ in range(max_iter):
-        # large-star: center u, m = min(u, min neighbor); larger
-        # neighbors re-attach to m
+        # large-star: center u, m = min(u, min neighbor); every larger
+        # neighbor re-attaches to m. Full neighborhoods come from the
+        # on-the-fly symmetric view (a union — no shuffle of its own);
+        # the emitted pair (v, m) has v > u >= m, i.e. already (hi, lo).
+        sym = canon.select(
+            F.col("hi").alias("src"), F.col("lo").alias("dst")
+        ).unionByName(
+            canon.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        )
         lmins = (
             sym.groupBy("src")
             .agg(F.min("dst").alias("_mn"))
             .select("src", F.least("src", "_mn").alias("m"))
         )
-        large = (
+        canon = (
             sym.where(F.col("dst") > F.col("src"))
             .join(lmins, "src")
-            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .select(F.col("dst").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        sym = symmetrize(large).localCheckpoint(eager=True)
-        # small-star: orient each edge at its larger endpoint; that
-        # endpoint and its smaller neighbors all attach to their min
-        lows = sym.where(F.col("dst") < F.col("src"))
-        smins = lows.groupBy("src").agg(F.min("dst").alias("m"))
-        small = (
-            lows.join(smins, "src")
-            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
-            .unionByName(
-                smins.select(F.col("src").alias("a"), F.col("m").alias("b"))
-            )
+        # small-star: center = the larger endpoint of each edge (exactly
+        # canon's orientation); it and its smaller neighbors attach to
+        # their min. Emitted pairs (v, m) and (u, m) are again (hi, lo)
+        # once the m self-pair is dropped.
+        smins = canon.groupBy("hi").agg(F.min("lo").alias("m"))
+        canon = (
+            canon.join(smins, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(smins.select("hi", F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        sym = symmetrize(small).localCheckpoint(eager=True)
-        fp = fingerprint(sym)
+        fp = fingerprint(canon)
         if fp == prev_fp:
             converged = True
             break
@@ -436,12 +481,10 @@ def components(
             "raise max_iter (log-round convergence makes this "
             "unreachable for any physically storable graph)"
         )
-    # fixed point: edges are (member, component-min) both ways; keep the
-    # min-ward orientation, then label edge-less minima as their own root
-    stars = (
-        sym.where(F.col("dst") < F.col("src"))
-        .groupBy(F.col("src").alias("node_key"))
-        .agg(F.min("dst").alias("component"))
+    # fixed point: canon is the star forest (member, component-min);
+    # edge-less minima label themselves
+    stars = canon.groupBy(F.col("hi").alias("node_key")).agg(
+        F.min("lo").alias("component")
     )
     return (
         all_nodes.join(stars, "node_key", "left")
