@@ -980,3 +980,69 @@ def test_jpeg_color_roundtrips():
     feats = multimodal.real_decoder_stub(blob)
     assert len(feats) == 8
     assert feats == pytest.approx(multimodal.make_jpeg_decoder(8)(blob))
+
+
+def test_jpeg_codec_fuzz_roundtrip():
+    """Seeded fuzz over dimensions (including 1-pixel and prime,
+    non-multiple-of-8 edges), content, and subsampling: every encoded
+    stream decodes to the right shape; unit-quant greyscale stays ±1;
+    color stays within the fixed color-transform envelope; truncating
+    the stream anywhere raises ValueError — never garbage output."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    ones = np.ones(64, dtype=np.int64)
+    for trial in range(12):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        if trial % 3 == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            blob = multimodal.encode_jpeg_gray(img, quant=ones)
+            dw, dh, out = multimodal.decode_jpeg_gray(blob)
+            assert (dw, dh) == (w, h)
+            assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+        else:
+            sub = "420" if trial % 3 == 1 else "444"
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            blob = multimodal.encode_jpeg(
+                img, sub, quant_luma=ones, quant_chroma=ones
+            )
+            dw, dh, ch, out = multimodal.decode_jpeg(blob)
+            assert (dw, dh, ch) == (w, h, 3)
+            if sub == "444":
+                assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+    # truncation never yields silent garbage: every prefix either raises
+    # ValueError (clean, catchable) or still decodes to the right shape
+    # (cut fell after the last needed entropy byte)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    blob = multimodal.encode_jpeg_gray(img)
+    for cut in range(3, len(blob), 7):
+        try:
+            dw, dh, ch, out = multimodal.decode_jpeg(blob[:cut])
+        except ValueError:
+            continue
+        assert (dw, dh, ch) == (23, 17, 1) and out.shape == (17, 23, 1)
+
+
+def test_components_fuzz_regimes_agree(spark):
+    """Random graphs: the driver union-find regime and the distributed
+    star contraction must produce IDENTICAL labelings (min-key
+    component ids)."""
+    import random
+
+    rnd = random.Random(5)
+    for _ in range(3):
+        n = rnd.randint(2, 60)
+        edges = [
+            (f"n{rnd.randrange(n):03d}", f"n{rnd.randrange(n):03d}")
+            for _ in range(rnd.randint(1, 2 * n))
+        ]
+        from tiger_etl_spark.operators.graph import components
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        uf = {r["node_key"]: r["component"] for r in components(df).collect()}
+        star = {
+            r["node_key"]: r["component"]
+            for r in components(df, small_graph_threshold=0).collect()
+        }
+        assert uf == star, (edges, uf, star)

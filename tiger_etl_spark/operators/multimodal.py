@@ -435,13 +435,17 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
     restart_interval = 0
     scan_pos = None
     while pos < len(blob):
-        if blob[pos] != 0xFF:
-            raise ValueError("marker expected")
+        if pos + 2 > len(blob) or blob[pos] != 0xFF:
+            raise ValueError("marker expected (truncated or corrupt JPEG)")
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG header segment")
         (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
         seg = blob[pos + 4:pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG header segment")
         pos += 2 + seglen
         if marker == 0xDB:  # DQT (possibly several tables)
             i = 0
