@@ -2014,6 +2014,23 @@ def doc_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering — word-bigram interpolated Kneser-Ney LM
+    (the actual CCNet/KenLM shape; operators/langmodel.py:
+    kn_bigram_model / kn_lm_micro_nats): corpus-trained continuation
+    counts, D=0.75, every document scored by mean bigram
+    log-probability in integer micro-nats. One corpus explode, hash
+    aggregates over the bigram-type table, keyed joins (no forced
+    broadcast — a web-scale vocabulary still plans). Docs with <2
+    tokens drop out. Parity vs an independent reimplementation in
+    tests/test_langmodel.py; DuckDB oracle mirrors the arithmetic
+    term-for-term."""
+    from tiger_etl_spark.operators import langmodel
+
+    d = _t_wide(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return langmodel.kn_lm_micro_nats(d, "doc_id", "text")
+
+
 def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering — CCNet §4.4 perplexity bucketing: every
     document's mean char-bigram log-probability (integer micro-nats —
@@ -2912,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "orders_bucket_checksums": orders_bucket_checksums,
         "purchase_click_followups": purchase_click_followups,
+        "doc_kn_lm_scores": doc_kn_lm_scores,
     }
 
 
@@ -4551,6 +4569,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.score, 0) >= 0 AS keep
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        "doc_kn_lm_scores": r"""
+            WITH t AS (
+                SELECT doc_id, lower(trim(text)) AS t FROM documents
+                WHERE text IS NOT NULL
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(t, '\s+'),
+                                   w -> w <> '') AS ws
+                FROM t
+            ),
+            bg AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM tok,
+                     UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS g(i)
+            ),
+            counts AS (
+                SELECT w1, w2, count(*) AS c_xy FROM bg GROUP BY 1, 2
+            ),
+            ctx AS (
+                SELECT w1, sum(c_xy) AS c_x, count(*) AS n1p_fwd
+                FROM counts GROUP BY 1
+            ),
+            cont AS (SELECT w2, count(*) AS n1p_bwd FROM counts GROUP BY 1),
+            tt AS (SELECT count(*)::DOUBLE AS t_types FROM counts),
+            model AS (
+                SELECT c.w1, c.w2,
+                       ln((c.c_xy - 0.75) / x.c_x
+                          + 0.75 * x.n1p_fwd / x.c_x
+                            * (n.n1p_bwd / tt.t_types)) AS logp
+                FROM counts c
+                JOIN ctx x USING (w1)
+                JOIN cont n USING (w2)
+                CROSS JOIN tt
+            )
+            SELECT bg.doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(floor(avg(m.logp) * 1000000) AS BIGINT)
+                       AS kn_micro_nats
+            FROM bg
+            JOIN model m USING (w1, w2)
+            GROUP BY bg.doc_id
         """,
         "doc_char_lm_scores": """
             WITH t AS (

@@ -168,3 +168,103 @@ def test_feature_hash_score_null_text_behaves_like_empty(spark):
         assert rows[did]["keep"] is True
     assert rows[4]["n_tokens"] == 2
     assert rows[4]["score"] is not None
+
+
+def _py_kn(docs, discount=0.75):
+    """Independent single-threaded interpolated-KN reimplementation
+    (dict arithmetic, no Spark) used as the parity oracle."""
+    import math
+    from collections import Counter, defaultdict
+
+    bigrams = Counter()
+    for _, text in docs:
+        toks = [w for w in text.lower().strip().split() if w]
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] += 1
+    c_x = defaultdict(int)
+    n1p_fwd = defaultdict(int)
+    n1p_bwd = defaultdict(int)
+    for (a, b), c in bigrams.items():
+        c_x[a] += c
+        n1p_fwd[a] += 1
+        n1p_bwd[b] += 1
+    t = len(bigrams)
+
+    def prob(a, b):
+        disc = max(bigrams.get((a, b), 0) - discount, 0.0)
+        lam = discount * n1p_fwd[a] / c_x[a] if a in c_x else 1.0
+        pcont = n1p_bwd.get(b, 0) / t
+        return disc / c_x[a] + lam * pcont if a in c_x else pcont
+
+    scores = {}
+    for did, text in docs:
+        toks = [w for w in text.lower().strip().split() if w]
+        lps = [math.log(prob(a, b)) for a, b in zip(toks, toks[1:])]
+        if lps:
+            scores[did] = (len(lps), math.floor(sum(lps) / len(lps) * 1e6))
+    return bigrams, c_x, n1p_fwd, n1p_bwd, t, prob, scores
+
+
+_KN_DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "a cat and a dog and a bird"),
+    (4, "the cat the cat the cat"),
+    (5, "one-token"),
+    (6, "   "),
+]
+
+
+def test_kn_model_matches_independent_reimplementation(spark):
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): r["logp"]
+        for r in langmodel.kn_bigram_model(df, "text").collect()
+    }
+    bigrams, *_rest, prob, _ = _py_kn(_KN_DOCS)
+    assert set(got) == set(bigrams)
+    for (a, b), lp in got.items():
+        assert abs(lp - math.log(prob(a, b))) < 1e-12, (a, b)
+
+
+def test_kn_probabilities_sum_to_one_per_seen_context(spark):
+    """Interpolated KN must be a proper distribution: for every seen
+    context w1, P over the WHOLE continuation vocabulary (seen pairs by
+    the model, unseen via λ(w1)·Pcont) sums to 1."""
+    bigrams, c_x, n1p_fwd, n1p_bwd, t, prob, _ = _py_kn(_KN_DOCS)
+    vocab = set(n1p_bwd) | set(c_x)
+    for a in c_x:
+        total = sum(prob(a, b) for b in vocab)
+        # vocab for Pcont is "words with at least one context" — words
+        # never appearing as w2 contribute 0, so total is exactly 1
+        assert abs(total - 1.0) < 1e-9, (a, total)
+
+
+def test_kn_micro_nats_scores_and_dropout(spark):
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_micro_nats"])
+        for r in langmodel.kn_lm_micro_nats(df, "doc_id", "text").collect()
+    }
+    *_ignored, scores = _py_kn(_KN_DOCS)
+    assert got == scores          # bit-exact micro-nats vs reimplementation
+    assert 5 not in got and 6 not in got  # <2 tokens -> no bigrams -> drop
+    # the repetitive doc (4) scores higher than the diverse one (3)
+    assert got[4][1] > got[3][1]
+
+
+def test_kn_external_model_requires_unseen_floor(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(_KN_DOCS[:4], "doc_id long, text string")
+    model = langmodel.kn_bigram_model(df, "text")
+    with _pt.raises(ValueError, match="unseen_logp"):
+        langmodel.kn_lm_micro_nats(df, "doc_id", "text", model=model)
+    new = spark.createDataFrame(
+        [(9, "zzz qqq vvv www")], "doc_id long, text string"
+    )
+    out = langmodel.kn_lm_micro_nats(
+        new, "doc_id", "text", model=model, unseen_logp=-20.0
+    ).collect()
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["kn_micro_nats"] == -20_000_000

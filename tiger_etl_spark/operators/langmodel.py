@@ -268,3 +268,122 @@ def feature_hash_score(
         score.alias("score"),
         (score >= 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-bigram interpolated Kneser–Ney LM — the actual CCNet/KenLM shape
+# (Kneser & Ney 1995; Chen & Goodman 1999 interpolated form), expressed
+# entirely in DataFrame ops (and ANSI SQL for the oracle).
+# ---------------------------------------------------------------------------
+
+
+def _word_tokens(text_col: str):
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    return F.filter(F.split(t, r"\s+"), lambda w: w != "")
+
+
+def _word_bigrams(text_col: str):
+    """Per-row array of struct(w1, w2) word bigrams (whitespace tokens,
+    lowercased). Empty for docs with <2 tokens."""
+    from tiger_etl_spark.functions.scalar import guarded_positions
+
+    toks = _word_tokens(text_col)
+    return F.transform(
+        guarded_positions(F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+
+
+def kn_bigram_model(
+    df: DataFrame, text_col: str, discount: float = 0.75
+) -> DataFrame:
+    """(w1, w2, logp) — interpolated Kneser–Ney log-probability for every
+    OBSERVED word bigram:
+
+        P(w2|w1) = (c(w1,w2) − D)/c(w1)
+                 + D·N1+(w1,·)/c(w1) · N1+(·,w2)/T
+
+    where N1+(w1,·) = distinct continuations of w1, N1+(·,w2) = distinct
+    contexts preceding w2 (the continuation count that makes KN correct
+    for high-frequency-but-narrow words like "Francisco"), and T = total
+    distinct bigram types. One corpus explode, then hash aggregates over
+    the bigram-type table only — the corpus is never re-read. Joins are
+    keyed on w1/w2 (vocab-sized sides; AQE broadcasts them when small —
+    no forced broadcast, so a 100M-type web vocabulary still plans).
+
+    Unseen-pair mass: for a SEEN context w1, probability not covered by
+    this table backs off to λ(w1)·Pcont(w2) with λ(w1)=D·N1+(w1,·)/c(w1)
+    — `kn_lm_micro_nats` applies that (or a flat floor for unseen w1)
+    when scoring new text under a stored model.
+    """
+    d = float(discount)
+    if not 0.0 < d < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    bg = df.select(F.explode(_word_bigrams(text_col)).alias("b")).select(
+        "b.w1", "b.w2"
+    )
+    counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    ctx = counts.groupBy("w1").agg(
+        F.sum("c_xy").alias("c_x"), F.count("*").alias("n1p_fwd")
+    )
+    cont = counts.groupBy("w2").agg(F.count("*").alias("n1p_bwd"))
+    t = counts.agg(F.count("*").cast("double").alias("t_types"))
+    return (
+        counts.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c_xy") - F.lit(d)) / F.col("c_x")
+                + F.lit(d)
+                * F.col("n1p_fwd")
+                / F.col("c_x")
+                * (F.col("n1p_bwd") / F.col("t_types"))
+            ).alias("logp"),
+        )
+    )
+
+
+def kn_lm_micro_nats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame | None = None,
+    unseen_logp: float | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """(id, n_bigrams, kn_micro_nats) — mean interpolated-KN
+    log-probability of each document's word bigrams, quantized to
+    integer micro-nats (`floor(avg·1e6)`, the comparator-exact currency
+    used repo-wide). Documents with <2 tokens have no bigrams and drop
+    out. Self-trained (model=None) covers every scored bigram by
+    construction; under a stored corpus model, pass ``unseen_logp`` (a
+    floor below every seen log-probability, e.g. ``ln(D/(max c_x)·1/T)``)
+    so novel-bigram garbage cannot silently vanish from the filter —
+    same contract as `char_lm_scores`."""
+    ex = df.select(
+        F.col(id_col), F.explode(_word_bigrams(text_col)).alias("b")
+    ).select(id_col, "b.w1", "b.w2")
+    if model is None:
+        model = kn_bigram_model(df, text_col, discount)
+        scored = ex.join(model, ["w1", "w2"])
+    else:
+        if unseen_logp is None:
+            raise ValueError(
+                "scoring under an external model requires unseen_logp "
+                "(otherwise unseen bigrams drop and garbage scores high)"
+            )
+        scored = ex.join(model, ["w1", "w2"], "left").withColumn(
+            "logp", F.coalesce(F.col("logp"), F.lit(float(unseen_logp)))
+        )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.floor(F.avg("logp") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("kn_micro_nats"),
+    )
