@@ -1024,6 +1024,26 @@ def test_jpeg_codec_fuzz_roundtrip():
         assert (dw, dh, ch) == (23, 17, 1) and out.shape == (17, 23, 1)
 
 
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 tolerance: 0xFF fill bytes may precede any marker,
+    and standalone length-less markers (TEM, stray RSTn) may appear
+    between header segments — compliant third-party encoders emit both,
+    and the decoder must skip them rather than misparse a bogus
+    segment length."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    blob = multimodal.encode_jpeg_gray(img)
+    want = multimodal.decode_jpeg(blob)
+    for inject in (b"\xff", b"\xff\xff\xff", b"\xff\x01", b"\xff\xd3",
+                   b"\xff\xff\x01\xff"):
+        tweaked = blob[:2] + inject + blob[2:]
+        got = multimodal.decode_jpeg(tweaked)
+        assert got[:3] == want[:3]
+        assert np.array_equal(got[3], want[3])
+
+
 def test_components_fuzz_regimes_agree(spark):
     """Random graphs: the driver union-find regime and the distributed
     star contraction must produce IDENTICAL labelings (min-key

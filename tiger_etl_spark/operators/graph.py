@@ -368,11 +368,16 @@ def components(
     """
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if small_graph_threshold:
-        # regime probe + small-graph fetch in ONE action (CollectLimit
-        # stops early on big graphs); in the small case the probe rows
-        # ARE the whole edge list
-        probe = fwd.limit(small_graph_threshold + 1).collect()
-        if len(probe) <= small_graph_threshold:
+        # regime probe: limit(k+1).count() ships ONE scalar to the
+        # driver (CollectLimit stops early on big graphs) — a large
+        # graph never materializes rows driver-side. Only when the
+        # probe says "small" is the edge list collected, so the driver
+        # bound is threshold × key width BY CHOICE of regime: ~16 MB
+        # for (long,long) edges at the 1M default, proportionally more
+        # for string keys (hosts/urls) — size the threshold down if
+        # driver memory is tight with wide keys.
+        if fwd.limit(small_graph_threshold + 1).count() <= small_graph_threshold:
+            probe = fwd.collect()
             parent: dict = {}
 
             def find(x):
@@ -434,6 +439,7 @@ def components(
         return (row["n"], row["h"])
 
     prev_fp = fingerprint(canon)
+    prev_canon = canon
     converged = False
     for _ in range(max_iter):
         # large-star: center u, m = min(u, min neighbor); every larger
@@ -472,9 +478,19 @@ def components(
         )
         fp = fingerprint(canon)
         if fp == prev_fp:
-            converged = True
-            break
+            # The fingerprint (count + xor of xxhash64) is a cheap
+            # screen, not proof: a collision between distinct
+            # consecutive edge sets would silently return split
+            # components — exactly what this operator contracts never
+            # to do. Confirm with an EXACT set-equality probe (both
+            # sides are distinct and counts already match, so one
+            # direction of exceptAll suffices; limit(1) stops at the
+            # first witness). Runs once per convergence, not per round.
+            if canon.exceptAll(prev_canon).limit(1).count() == 0:
+                converged = True
+                break
         prev_fp = fp
+        prev_canon = canon
     if not converged:
         raise RuntimeError(
             f"star contraction did not converge in {max_iter} rounds — "

@@ -360,8 +360,16 @@ def kn_lm_micro_nats(
     """(id, n_bigrams, kn_micro_nats) — mean interpolated-KN
     log-probability of each document's word bigrams, quantized to
     integer micro-nats (`floor(avg·1e6)`, the comparator-exact currency
-    used repo-wide). Documents with <2 tokens have no bigrams and drop
-    out. Self-trained (model=None) covers every scored bigram by
+    used repo-wide). Quantization caveat (applies to every micro-nat
+    column in the repo): the average is a double, and Spark's partial
+    aggregation may sum logp in a different order than a single-thread
+    oracle, so a document whose true mean lies within ~1 ULP of a
+    micro-nat boundary could floor differently across engines. In
+    practice a boundary hit needs avg·1e6 within ~1e-10 of an integer —
+    never observed across the oracle suite — and the failure mode is a
+    visible off-by-one in one row, not silent corruption; a comparator
+    that must be airtight can allow ±1 on *_micro_nats columns.
+    Documents with <2 tokens have no bigrams and drop out. Self-trained (model=None) covers every scored bigram by
     construction; under a stored corpus model, pass ``unseen_logp`` (a
     floor below every seen log-probability, e.g. ``ln(D/(max c_x)·1/T)``)
     so novel-bigram garbage cannot silently vanish from the filter —

@@ -437,9 +437,19 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
     while pos < len(blob):
         if pos + 2 > len(blob) or blob[pos] != 0xFF:
             raise ValueError("marker expected (truncated or corrupt JPEG)")
+        # T.81 B.1.1.2: any marker may be preceded by a run of 0xFF
+        # fill bytes — skip them (the marker byte is the first non-FF)
+        while pos + 2 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            raise ValueError("marker expected (truncated or corrupt JPEG)")
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with no length field
+            pos += 2
+            continue
         if pos + 4 > len(blob):
             raise ValueError("truncated JPEG header segment")
         (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
