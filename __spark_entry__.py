@@ -2031,6 +2031,24 @@ def doc_kn_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langmodel.kn_lm_micro_nats(d, "doc_id", "text")
 
 
+def doc_kn3_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering — general-order interpolated Kneser-Ney at
+    n=3 (operators/langmodel.py: kn_ngram_model / kn_ngram_micro_nats):
+    KenLM-style adjusted counts derived order-by-order from ONE corpus
+    explode, trigram probabilities interpolated through the bigram
+    continuation model down to the continuation unigram, D=0.75.
+    Same plan discipline as the bigram query: hash aggregates over
+    type tables only, joins keyed on word tuples (no forced broadcast),
+    integer micro-nats. Docs with <3 tokens drop out. Pinned by an
+    independent reimplementation + sum-to-one property in
+    tests/test_langmodel.py; the DuckDB oracle below mirrors the
+    adjusted-count recursion term-for-term."""
+    from tiger_etl_spark.operators import langmodel
+
+    d = _t_wide(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return langmodel.kn_ngram_micro_nats(d, "doc_id", "text", n=3)
+
+
 def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality filtering — CCNet §4.4 perplexity bucketing: every
     document's mean char-bigram log-probability (integer micro-nats —
@@ -2770,9 +2788,12 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training: learn a BPE merge table over the document
     corpus (Sennrich et al. 2016 re-expressed as Spark aggregations —
     operators/bpe.py). Beyond-reference capability for a training-data
-    pipeline; the merge loop is inherently iterative/stateful, so this
-    query has no single-statement SQL oracle (rows-only check) — the
-    algorithm itself is pinned against an independent single-threaded
+    pipeline. The merge loop is iterative, but it IS expressible as a
+    single DuckDB statement: a recursive CTE carrying the whole
+    (syms, cnt) word table as one row of state per iteration
+    (_BPE_MERGES_CTE below) reproduces the learned merge table
+    exactly, so this query is fully oracle-checked; the algorithm is
+    additionally pinned against an independent single-threaded
     implementation in tests/test_bpe.py."""
     d = _t_wide(spark, sf_dir, "documents")
     wc = bpe.word_counts(d, "text", max_words=20_000)
@@ -2783,8 +2804,12 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts under the learned BPE tokenizer —
     the real cost/packing counter (memoized Arrow-batched encode,
-    operators/bpe.py). Iterative tokenizer => rows-only check; encode
-    parity is pinned in tests/test_bpe.py."""
+    operators/bpe.py). Oracle-checked end to end: the DuckDB oracle
+    re-learns the merges via _BPE_MERGES_CTE, re-encodes every
+    distinct word with a nested list_reduce (all merges in order,
+    greedy left-to-right), and sums per document — exact parity with
+    the Arrow encode path; encode parity is additionally pinned in
+    tests/test_bpe.py."""
     d = _t_wide(spark, sf_dir, "documents")
     merges = bpe.bpe_train(
         bpe.word_counts(d, "text", max_words=20_000), n_merges=64
@@ -2796,25 +2821,80 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order IS the driver's sampling order (each round stamps
-    # exactly the first 50 registered queries). Round-4 rotation: positions
-    # 1-50 are three continuity anchors (cdc_final_state, q1_pricing_summary,
-    # monthly_status_pivot - the r3 perf-weak entry, re-stamped after its
-    # plan pin) followed by the 47 oracle-backed queries that had never
-    # received a driver row in rounds 1-3 (S9/graph_khop_counts, all web_*,
-    # graph_pagerank_top20, the unstamped embedding_*/doc_* families,
-    # media_feature_stats, scd2_snapshot_state). Unioned with the r1-r3
-    # stamps this covers 112/116 queries with at least one driver-green row.
-    # The four queries WITHOUT an oracle_sql() entry
-    # (embedding_ivf_learned_top10, doc_compression_ratio, doc_bpe_vocab,
-    # doc_bpe_token_counts - iterative k-means/BPE and zlib are not
-    # SQL-expressible; each is pinned by independent-reimplementation
-    # parity tests instead) are deliberately registered AFTER position 50
-    # so a driver sample can never produce an err:no_oracle row
-    # (tests/test_entry_oracle.py pins this invariant).
+    # exactly the first 50 registered queries). Round-5 rotation:
+    #   1-3   continuity anchors (cdc_final_state, q1_pricing_summary,
+    #         monthly_status_pivot — stamped every round).
+    #   4     doc_kn_lm_scores — the ONE oracle-backed query never driver-
+    #         stamped (registered past position 50 in round 4); with its
+    #         stamp every oracle-backed registered query is ever-green.
+    #   5-7   new this round: doc_kn3_lm_scores (general-order KN),
+    #         doc_bpe_vocab + doc_bpe_token_counts (now oracle-backed via
+    #         the recursive-CTE BPE in _BPE_MERGES_CTE — they leave the
+    #         no-oracle set).
+    #   8-10  stamps stale since round 1: doc_rolling_fingerprint,
+    #         embedding_cosine_top10, embedding_neardup_pairs.
+    #   11-22 stamps stale since round 2 (all twelve of them).
+    #   23-50 round-3-vintage stamps re-verified so no stamp is ever more
+    #         than two rounds old (the remaining r3/r4 stamps are 1-2
+    #         rounds old without re-stamping).
+    # The two queries WITHOUT an oracle_sql() entry
+    # (embedding_ivf_learned_top10 — iterative learned k-means — and
+    # doc_compression_ratio — zlib is not SQL; both pinned by
+    # independent-reimplementation parity tests) remain registered AFTER
+    # position 50 so a driver sample can never produce an err:no_oracle
+    # row (tests/test_entry_oracle.py pins this invariant).
     return {
         "cdc_final_state": cdc_final_state,
         "q1_pricing_summary": q1_pricing_summary,
         "monthly_status_pivot": monthly_status_pivot,
+        "doc_kn_lm_scores": doc_kn_lm_scores,
+        "doc_kn3_lm_scores": doc_kn3_lm_scores,
+        "doc_bpe_vocab": doc_bpe_vocab,
+        "doc_bpe_token_counts": doc_bpe_token_counts,
+        "doc_rolling_fingerprint": doc_rolling_fingerprint,
+        "embedding_cosine_top10": embedding_cosine_top10,
+        "embedding_neardup_pairs": embedding_neardup_pairs,
+        "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
+        "doc_filter_funnel": doc_filter_funnel,
+        "doc_lang_sample": doc_lang_sample,
+        "doc_lsh_bands": doc_lsh_bands,
+        "doc_pack_bins": doc_pack_bins,
+        "doc_packed_sequences": doc_packed_sequences,
+        "doc_pii_scan": doc_pii_scan,
+        "doc_source_quota": doc_source_quota,
+        "doc_split_counts": doc_split_counts,
+        "doc_token_stats": doc_token_stats,
+        "orders_bucket_checksums": orders_bucket_checksums,
+        "purchase_click_followups": purchase_click_followups,
+        "cdc_bootstrap_tail_state": cdc_bootstrap_tail_state,
+        "cdc_partial_update_state": cdc_partial_update_state,
+        "cdc_sequence_gaps": cdc_sequence_gaps,
+        "cdc_snapshot_diff": cdc_snapshot_diff,
+        "lake_truncate_state": lake_truncate_state,
+        "lake_cascade_delete_state": lake_cascade_delete_state,
+        "lake_rollback_state": lake_rollback_state,
+        "lake_wap_publish_state": lake_wap_publish_state,
+        "scd2_incremental_state": scd2_incremental_state,
+        "user_event_type_scd2": user_event_type_scd2,
+        "user_gap_sessions": user_gap_sessions,
+        "user_rolling_value": user_rolling_value,
+        "event_validation_profile": event_validation_profile,
+        "event_window_counts": event_window_counts,
+        "order_price_outliers": order_price_outliers,
+        "order_status_rollup": order_status_rollup,
+        "orders_checksum": orders_checksum,
+        "orders_profile": orders_profile,
+        "purchase_asof_last_click": purchase_asof_last_click,
+        "monthly_order_rollup": monthly_order_rollup,
+        "doc_duplicate_clusters": doc_duplicate_clusters,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_lang_detect": doc_lang_detect,
+        "doc_minhash_signatures": doc_minhash_signatures,
+        "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+        "doc_quality_scores": doc_quality_scores,
+        "doc_repetition_metrics": doc_repetition_metrics,
+        "sql_revenue_by_nation": sql_revenue_by_nation,
+        # --- end of driver 50-query window; order below is free ---
         "graph_khop_counts": graph_khop_counts,
         "web_alias_chains": web_alias_chains,
         "web_anchor_text_top": web_anchor_text_top,
@@ -2862,7 +2942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_bigrams": doc_top_bigrams,
         "doc_top_tokens": doc_top_tokens,
         "url_canonical_dedup": url_canonical_dedup,
-        # --- end of driver 50-query window; order below is free ---
         "top_revenue_orders": top_revenue_orders,
         "scan_filter_projection": scan_filter_projection,
         "search_customers": search_customers,
@@ -2872,64 +2951,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_region_join": nation_region_join,
         "event_type_counts": event_type_counts,
         "distinct_event_users": distinct_event_users,
-        "monthly_order_rollup": monthly_order_rollup,
-        "order_status_rollup": order_status_rollup,
         "latest_event_per_user": latest_event_per_user,
         "part_relevance_top20": part_relevance_top20,
         "orders_page3": orders_page3,
         "supplier_zset_top10": supplier_zset_top10,
         "user_value_zset_top10": user_value_zset_top10,
         "parts_never_ordered": parts_never_ordered,
-        "sql_revenue_by_nation": sql_revenue_by_nation,
         "customer_name_hashes": customer_name_hashes,
         "customer_name_validation": customer_name_validation,
         "value_bucket_summary": value_bucket_summary,
         "user_session_spans": user_session_spans,
-        "event_validation_profile": event_validation_profile,
-        "orders_profile": orders_profile,
-        "orders_checksum": orders_checksum,
-        "order_price_outliers": order_price_outliers,
-        "user_rolling_value": user_rolling_value,
-        "event_window_counts": event_window_counts,
-        "purchase_asof_last_click": purchase_asof_last_click,
-        "user_gap_sessions": user_gap_sessions,
-        "user_event_type_scd2": user_event_type_scd2,
-        "scd2_incremental_state": scd2_incremental_state,
-        "cdc_partial_update_state": cdc_partial_update_state,
-        "cdc_snapshot_diff": cdc_snapshot_diff,
-        "cdc_sequence_gaps": cdc_sequence_gaps,
-        "cdc_bootstrap_tail_state": cdc_bootstrap_tail_state,
-        "lake_truncate_state": lake_truncate_state,
-        "lake_cascade_delete_state": lake_cascade_delete_state,
-        "lake_rollback_state": lake_rollback_state,
-        "lake_wap_publish_state": lake_wap_publish_state,
-        "doc_exact_dedup": doc_exact_dedup,
-        "doc_minhash_signatures": doc_minhash_signatures,
-        "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
-        "doc_duplicate_clusters": doc_duplicate_clusters,
-        "doc_repetition_metrics": doc_repetition_metrics,
-        "doc_quality_scores": doc_quality_scores,
-        "doc_lang_detect": doc_lang_detect,
-        "doc_token_stats": doc_token_stats,
-        "doc_source_quota": doc_source_quota,
-        "doc_filter_funnel": doc_filter_funnel,
-        "embedding_cosine_top10": embedding_cosine_top10,
-        "doc_pack_bins": doc_pack_bins,
-        "doc_packed_sequences": doc_packed_sequences,
-        "doc_pii_scan": doc_pii_scan,
-        "doc_lsh_bands": doc_lsh_bands,
-        "doc_split_counts": doc_split_counts,
-        "doc_alpha_mixture_counts": doc_alpha_mixture_counts,
-        "doc_lang_sample": doc_lang_sample,
         "embedding_ivf_learned_top10": embedding_ivf_learned_top10,
-        "doc_rolling_fingerprint": doc_rolling_fingerprint,
         "doc_compression_ratio": doc_compression_ratio,
-        "embedding_neardup_pairs": embedding_neardup_pairs,
-        "doc_bpe_vocab": doc_bpe_vocab,
-        "doc_bpe_token_counts": doc_bpe_token_counts,
-        "orders_bucket_checksums": orders_bucket_checksums,
-        "purchase_click_followups": purchase_click_followups,
-        "doc_kn_lm_scores": doc_kn_lm_scores,
     }
 
 
@@ -3135,6 +3168,71 @@ _WEB_ROBOTS_RULES_CTES = f"""
                 WHERE spec = (SELECT max(spec) FROM ranked r2
                               WHERE r2.host = r.host)
             )
+"""
+
+
+# Shared recursive-CTE prefix for the BPE oracles: the full Sennrich
+# merge loop in DuckDB SQL. One row of state per iteration — state is
+# the whole (syms[], cnt) word table as a list of structs; the stored
+# (a, b, n) is the merge CHOSEN from that state (applied lazily at the
+# next iteration, because a lambda inside a correlated subquery cannot
+# capture outer columns in DuckDB — so the merge application, which
+# needs lambdas, runs as a pure expression over the recursive row, and
+# the best-pair argmax, which needs GROUP BY, runs in a LATERAL with
+# no lambdas capturing outer names). Greedy left-to-right in-word
+# merging is list_reduce with a collapse-last-pair accumulator —
+# leftmost-overlap exact ('aaa' under (a,a) -> [aa, a]). Tie-break
+# (count desc, pair asc) via min() over a sort-key struct, matching
+# operators/bpe.py:_bpe_train_driver exactly.
+_BPE_MERGES_CTE = r"""
+WITH RECURSIVE
+tokens AS (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              w -> w <> '')) AS word
+    FROM documents
+),
+words AS (
+    SELECT word, count(*) AS cnt FROM tokens
+    GROUP BY word ORDER BY cnt DESC, word LIMIT 20000
+),
+init AS (
+    SELECT list({'syms': list_append(
+                    list_transform(generate_series(1, len(word)), i -> word[i:i]),
+                    '</w>'),
+                 'cnt': cnt}) AS state
+    FROM words
+),
+step(it, state, a, b, n) AS (
+    SELECT 0, (SELECT state FROM init),
+           NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+    UNION ALL
+    SELECT d.it + 1, d.cur, bp.best['a'], bp.best['b'], bp.best['n']
+    FROM (
+        SELECT step.it,
+               CASE WHEN step.a IS NULL THEN step.state
+                    ELSE list_transform(step.state, w ->
+                        {'syms': list_reduce(
+                             list_transform(w['syms'], x -> [x]),
+                             (acc, x) -> CASE
+                                 WHEN acc[-1] = step.a AND x[1] = step.b
+                                 THEN list_append(acc[:-2], step.a || step.b)
+                                 ELSE list_concat(acc, x) END),
+                         'cnt': w['cnt']})
+               END AS cur
+        FROM step
+    ) d,
+    LATERAL (
+        SELECT min({'negn': -n, 'a': pa, 'b': pb, 'n': n}) AS best
+        FROM (
+            SELECT u.pr['a'] AS pa, u.pr['b'] AS pb, sum(w.cnt)::BIGINT AS n
+            FROM (SELECT unnest(d.cur) AS w) ws,
+                 UNNEST(list_transform(generate_series(1, len(w.syms) - 1),
+                        i -> {'a': w.syms[i], 'b': w.syms[i+1]})) AS u(pr)
+            GROUP BY 1, 2
+        )
+    ) bp
+    WHERE d.it < 64 AND bp.best['n'] >= 2
+)
 """
 
 
@@ -4612,6 +4710,114 @@ def oracle_sql() -> dict[str, str]:
             FROM bg
             JOIN model m USING (w1, w2)
             GROUP BY bg.doc_id
+        """,
+        "doc_bpe_vocab": _BPE_MERGES_CTE + """
+            SELECT it AS rank, a, b, n AS pair_count
+            FROM step WHERE it >= 1 ORDER BY rank
+        """,
+        "doc_bpe_token_counts": _BPE_MERGES_CTE + """,
+            mlist AS (
+                SELECT list([a, b] ORDER BY it) AS ms
+                FROM step WHERE it >= 1
+            ),
+            dwords AS (SELECT DISTINCT word FROM tokens),
+            enc AS (
+                SELECT word,
+                       len(list_reduce(
+                           list_concat(
+                               [list_append(
+                                    list_transform(
+                                        generate_series(1, len(word)),
+                                        i -> word[i:i]),
+                                    '</w>')],
+                               (SELECT ms FROM mlist)),
+                           (acc, p) -> list_reduce(
+                               list_transform(acc, x -> [x]),
+                               (acc2, x) -> CASE
+                                   WHEN acc2[-1] = p[1] AND x[1] = p[2]
+                                   THEN list_append(acc2[:-2], p[1] || p[2])
+                                   ELSE list_concat(acc2, x) END)
+                       ))::BIGINT AS n_syms
+                FROM dwords
+            ),
+            tokd AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '')) AS word
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT t.doc_id, sum(e.n_syms)::BIGINT AS n
+                FROM tokd t JOIN enc e USING (word)
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS n_bpe_tokens
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "doc_kn3_lm_scores": r"""
+            WITH t AS (
+                SELECT doc_id, lower(trim(text)) AS t FROM documents
+                WHERE text IS NOT NULL
+            ),
+            tok AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(t, '\s+'),
+                                   w -> w <> '') AS ws
+                FROM t
+            ),
+            tg AS (
+                SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+                       ws[i + 2] AS w3
+                FROM tok,
+                     UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS g(i)
+            ),
+            -- adjusted counts: a3 = real trigram counts; a2/a1 =
+            -- distinct-predecessor (continuation) counts derived from
+            -- the next order up, exactly the engine's recursion
+            a3 AS (
+                SELECT w1, w2, w3, count(*) AS a FROM tg GROUP BY 1, 2, 3
+            ),
+            a2 AS (
+                SELECT w2 AS w1, w3 AS w2, count(*) AS a
+                FROM a3 GROUP BY 1, 2
+            ),
+            a1 AS (SELECT w2 AS w1, count(*) AS a FROM a2 GROUP BY 1),
+            tot AS (SELECT sum(a)::DOUBLE AS tot FROM a1),
+            p1 AS (
+                SELECT w1, a / tot.tot AS p FROM a1 CROSS JOIN tot
+            ),
+            ctx2 AS (
+                SELECT w1, sum(a) AS denom, count(*) AS n1p
+                FROM a2 GROUP BY 1
+            ),
+            p2 AS (
+                SELECT a2.w1, a2.w2,
+                       (a2.a - 0.75) / c.denom
+                       + 0.75 * c.n1p / c.denom * l.p AS p
+                FROM a2
+                JOIN ctx2 c USING (w1)
+                JOIN p1 l ON l.w1 = a2.w2
+            ),
+            ctx3 AS (
+                SELECT w1, w2, sum(a) AS denom, count(*) AS n1p
+                FROM a3 GROUP BY 1, 2
+            ),
+            p3 AS (
+                SELECT a3.w1, a3.w2, a3.w3,
+                       ln((a3.a - 0.75) / c.denom
+                          + 0.75 * c.n1p / c.denom * l.p) AS logp
+                FROM a3
+                JOIN ctx3 c USING (w1, w2)
+                JOIN p2 l ON l.w1 = a3.w2 AND l.w2 = a3.w3
+            )
+            SELECT tg.doc_id,
+                   count(*) AS n_ngrams,
+                   CAST(floor(avg(m.logp) * 1000000) AS BIGINT)
+                       AS kn_micro_nats
+            FROM tg
+            JOIN p3 m USING (w1, w2, w3)
+            GROUP BY tg.doc_id
         """,
         "doc_char_lm_scores": """
             WITH t AS (

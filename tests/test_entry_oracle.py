@@ -102,6 +102,4 @@ def test_driver_window_all_have_oracles():
     assert set(no_oracle) == {
         "embedding_ivf_learned_top10",
         "doc_compression_ratio",
-        "doc_bpe_vocab",
-        "doc_bpe_token_counts",
     }, f"unexpected no-oracle set: {no_oracle}"

@@ -253,6 +253,127 @@ def test_kn_micro_nats_scores_and_dropout(spark):
     assert got[4][1] > got[3][1]
 
 
+def _py_kn_ngram(docs, n=3, discount=0.75):
+    """Independent single-thread reimplementation of general-order
+    interpolated KN with KenLM-style adjusted counts — the oracle for
+    kn_ngram_model/kn_ngram_micro_nats."""
+    from collections import defaultdict
+
+    counts = defaultdict(int)
+    doc_grams = {}
+    for did, text in docs:
+        toks = [w for w in text.lower().strip().split() if w]
+        gs = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        doc_grams[did] = gs
+        for g in gs:
+            counts[g] += 1
+    A = {n: dict(counts)}
+    for k in range(n - 1, 0, -1):
+        ak = defaultdict(int)
+        for g in A[k + 1]:
+            ak[g[1:]] += 1
+        A[k] = dict(ak)
+    denom, n1p = {}, {}
+    for k in range(2, n + 1):
+        dk, nk = defaultdict(int), defaultdict(int)
+        for g, a in A[k].items():
+            dk[g[:-1]] += a
+            nk[g[:-1]] += 1
+        denom[k], n1p[k] = dk, nk
+    tot = sum(A[1].values())
+
+    def prob(gram):
+        k = len(gram)
+        if k == 1:
+            return A[1].get(gram, 0) / tot
+        ctx = gram[:-1]
+        lower = prob(gram[1:])
+        if ctx not in denom[k]:
+            return lower
+        a = A[k].get(gram, 0)
+        return (
+            max(a - discount, 0.0) / denom[k][ctx]
+            + discount * n1p[k][ctx] / denom[k][ctx] * lower
+        )
+
+    scores = {}
+    for did, gs in doc_grams.items():
+        lps = [math.log(prob(g)) for g in gs]
+        if lps:
+            scores[did] = (len(lps), math.floor(sum(lps) / len(lps) * 1e6))
+    return A, denom, n1p, tot, prob, scores
+
+
+def test_kn_ngram_trigram_matches_independent_reimplementation(spark):
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {
+        (r["g1"], r["g2"], r["g3"]): r["logp"]
+        for r in langmodel.kn_ngram_model(df, "text", n=3).collect()
+    }
+    A, *_rest, prob, _ = _py_kn_ngram(_KN_DOCS, n=3)
+    assert set(got) == set(A[3])
+    for g, lp in got.items():
+        assert abs(lp - math.log(prob(g))) < 1e-12, g
+
+
+def test_kn_ngram_order2_reduces_to_bigram_model(spark):
+    """n=2 under the general recursion must reproduce kn_bigram_model
+    exactly — adjusted counts at order 1 ARE the continuation counts."""
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    big = {
+        (r["w1"], r["w2"]): r["logp"]
+        for r in langmodel.kn_bigram_model(df, "text").collect()
+    }
+    gen = {
+        (r["g1"], r["g2"]): r["logp"]
+        for r in langmodel.kn_ngram_model(df, "text", n=2).collect()
+    }
+    assert set(big) == set(gen)
+    for k in big:
+        assert abs(big[k] - gen[k]) < 1e-12, k
+
+
+def test_kn_ngram_probabilities_sum_to_one_per_seen_context(spark):
+    """For every seen trigram context (w1,w2), P(w3|w1,w2) over the
+    whole vocabulary — seen trigrams through the model, unseen through
+    the backoff chain — sums to exactly 1."""
+    A, denom, n1p, tot, prob, _ = _py_kn_ngram(_KN_DOCS, n=3)
+    vocab = {g[0] for g in A[1]} | {g[-1] for g in A[3]} | {
+        g[0] for g in A[3]
+    }
+    for ctx in denom[3]:
+        total = sum(prob(ctx + (w,)) for w in vocab)
+        assert abs(total - 1.0) < 1e-9, (ctx, total)
+
+
+def test_kn_ngram_micro_nats_scores_and_dropout(spark):
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["kn_micro_nats"])
+        for r in langmodel.kn_ngram_micro_nats(df, "doc_id", "text", n=3).collect()
+    }
+    *_ignored, scores = _py_kn_ngram(_KN_DOCS, n=3)
+    assert got == scores  # bit-exact micro-nats vs reimplementation
+    assert 5 not in got and 6 not in got  # <3 tokens -> no trigrams
+
+
+def test_kn_ngram_external_model_requires_unseen_floor(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(_KN_DOCS[:4], "doc_id long, text string")
+    model = langmodel.kn_ngram_model(df, "text", n=3)
+    with _pt.raises(ValueError, match="unseen_logp"):
+        langmodel.kn_ngram_micro_nats(df, "doc_id", "text", n=3, model=model)
+    new = spark.createDataFrame(
+        [(9, "zzz qqq vvv www")], "doc_id long, text string"
+    )
+    out = langmodel.kn_ngram_micro_nats(
+        new, "doc_id", "text", n=3, model=model, unseen_logp=-20.0
+    ).collect()
+    assert out[0]["n_ngrams"] == 2
+    assert out[0]["kn_micro_nats"] == -20_000_000
+
+
 def test_kn_external_model_requires_unseen_floor(spark):
     import pytest as _pt
 

@@ -395,3 +395,150 @@ def kn_lm_micro_nats(
         .cast("long")
         .alias("kn_micro_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# General-order interpolated Kneser–Ney (n ≥ 2) — the full KenLM shape.
+#
+# Lower-order statistics are KenLM-style ADJUSTED counts (Heafield 2013
+# §3.3; equivalently the "continuation counts" of Chen & Goodman 1999):
+# the order-n table holds real corpus counts; every order-k table
+# (k < n) holds, for each k-gram u, the number of DISTINCT words w such
+# that (w, u) is an observed (k+1)-gram — derived by one groupBy from
+# the next table up, so the corpus is exploded exactly once and every
+# later aggregate runs over n-gram TYPE tables only.
+#
+#     P_1(w)        = A_1(w) / Σ A_1
+#     P_k(w | ctx)  = (A_k(ctx,w) − D)/Σ_w A_k(ctx,·)
+#                     + D·N1+(ctx,·)/Σ_w A_k(ctx,·) · P_{k−1}(w | suffix(ctx))
+#
+# With a single discount 0 < D < 1 and A ≥ 1 everywhere, the max(·,0)
+# clamp of the textbook form is vacuous. For n = 2 this reduces exactly
+# to `kn_bigram_model` (pinned by test). Joins are keyed on word tuples
+# — vocabulary-sized sides, no forced broadcast, so a web-scale type
+# table still plans; the only broadcast is the 1-row Σ A_1 total.
+# ---------------------------------------------------------------------------
+
+
+def _word_ngrams(text_col: str, n: int):
+    """Per-row array of struct(g1..gn) word n-grams. Empty for docs
+    with < n tokens."""
+    from tiger_etl_spark.functions.scalar import guarded_positions
+
+    toks = _word_tokens(text_col)
+    return F.transform(
+        guarded_positions(F.size(toks) - (n - 1)),
+        lambda i: F.struct(
+            *[
+                F.element_at(toks, i + j).alias(f"g{j + 1}")
+                for j in range(n)
+            ]
+        ),
+    )
+
+
+def kn_ngram_model(
+    df: DataFrame, text_col: str, n: int = 3, discount: float = 0.75
+) -> DataFrame:
+    """(g1..gn, logp) — interpolated Kneser–Ney log-probability for
+    every observed word n-gram, with adjusted-count backoff through all
+    lower orders down to the continuation unigram (see module comment).
+    One corpus explode; everything after runs on type tables."""
+    d = float(discount)
+    if not 0.0 < d < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    if n < 2:
+        raise ValueError("kn_ngram_model requires n >= 2")
+    grams = df.select(F.explode(_word_ngrams(text_col, n)).alias("g")).select(
+        "g.*"
+    )
+    # adjusted-count tables, A[k] keyed on columns g1..gk (the k-gram):
+    # A[n] = real counts; A[k] = distinct-predecessor counts from A[k+1]
+    A: dict[int, DataFrame] = {
+        n: grams.groupBy(*[f"g{i}" for i in range(1, n + 1)]).agg(
+            F.count("*").alias("a")
+        )
+    }
+    for k in range(n - 1, 0, -1):
+        A[k] = (
+            A[k + 1]
+            .groupBy(
+                *[
+                    F.col(f"g{i}").alias(f"g{i - 1}")
+                    for i in range(2, k + 2)
+                ]
+            )
+            .agg(F.count("*").alias("a"))
+        )
+    tot = A[1].agg(F.sum("a").cast("double").alias("tot"))
+    p = A[1].crossJoin(F.broadcast(tot)).select(
+        "g1", (F.col("a") / F.col("tot")).alias("p")
+    )
+    for k in range(2, n + 1):
+        ctx_cols = [f"g{i}" for i in range(1, k)]
+        ctx = A[k].groupBy(*ctx_cols).agg(
+            F.sum("a").alias("denom"), F.count("*").alias("n1p")
+        )
+        # lower-order table keyed on the SUFFIX (g2..gk of this order)
+        lower = p.select(
+            *[F.col(f"g{i}").alias(f"g{i + 1}") for i in range(1, k)],
+            F.col("p").alias("_p_lower"),
+        )
+        p = (
+            A[k]
+            .join(ctx, ctx_cols)
+            .join(lower, [f"g{i}" for i in range(2, k + 1)])
+            .select(
+                *[f"g{i}" for i in range(1, k + 1)],
+                (
+                    (F.col("a") - F.lit(d)) / F.col("denom")
+                    + F.lit(d)
+                    * F.col("n1p")
+                    / F.col("denom")
+                    * F.col("_p_lower")
+                ).alias("p"),
+            )
+        )
+    return p.select(
+        *[f"g{i}" for i in range(1, n + 1)], F.log("p").alias("logp")
+    )
+
+
+def kn_ngram_micro_nats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    model: DataFrame | None = None,
+    unseen_logp: float | None = None,
+    discount: float = 0.75,
+) -> DataFrame:
+    """(id, n_ngrams, kn_micro_nats) — mean interpolated-KN
+    log-probability of each document's word n-grams in integer
+    micro-nats (same currency and same floor-boundary caveat as
+    `kn_lm_micro_nats`). Documents with < n tokens drop out.
+    Self-trained covers every scored n-gram; under a stored model,
+    ``unseen_logp`` is required so novel-n-gram garbage cannot vanish
+    from the filter."""
+    keys = [f"g{i}" for i in range(1, n + 1)]
+    ex = df.select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("g")
+    ).select(id_col, *[f"g.{k}" for k in keys])
+    if model is None:
+        model = kn_ngram_model(df, text_col, n, discount)
+        scored = ex.join(model, keys)
+    else:
+        if unseen_logp is None:
+            raise ValueError(
+                "scoring under an external model requires unseen_logp "
+                "(otherwise unseen n-grams drop and garbage scores high)"
+            )
+        scored = ex.join(model, keys, "left").withColumn(
+            "logp", F.coalesce(F.col("logp"), F.lit(float(unseen_logp)))
+        )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_ngrams"),
+        F.floor(F.avg("logp") * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("kn_micro_nats"),
+    )
