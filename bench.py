@@ -150,6 +150,11 @@ def bench_soak(spark, n_batches: int | None = None) -> dict:
 
     n_batches = n_batches or int(os.environ.get("SPARK_GRAFT_SOAK_BATCHES", "512"))
     per_batch = int(os.environ.get("SPARK_GRAFT_SOAK_EVENTS_PER_BATCH", "500"))
+    # SPARK_GRAFT_SOAK_MAINTAIN_EVERY > 0 interleaves full maintenance
+    # (threshold-gated compaction + snapshot expiry) mid-stream every N
+    # applied batches — the operational mode of a real long-lived tail;
+    # parity and flatness are asserted across the rewrites.
+    maintain_every = int(os.environ.get("SPARK_GRAFT_SOAK_MAINTAIN_EVERY", "0"))
     work = tempfile.mkdtemp(prefix="bench_soak_")
     try:
         changes = os.path.join(work, "changes")
@@ -166,6 +171,7 @@ def bench_soak(spark, n_batches: int | None = None) -> dict:
             table_path,
             os.path.join(work, "ckpt"),
             max_files_per_trigger=1,
+            maintain_every=maintain_every,
         )
         elapsed = time.time() - t0
         secs = [r.batch_seconds for r in res.lineage if r.batch_seconds]
@@ -196,6 +202,14 @@ def bench_soak(spark, n_batches: int | None = None) -> dict:
             "soak_ledger_window": APPLIED_WINDOW,
             "soak_final_rows": len(rows),
             "soak_parity": parity,
+            "soak_maintain_every": maintain_every,
+            "soak_n_meta_versions": len(
+                [
+                    fn
+                    for fn in os.listdir(os.path.join(table.path, "meta"))
+                    if fn.startswith("v") and fn.endswith(".json")
+                ]
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -408,6 +422,7 @@ def main() -> None:
             "soak_batch_sec_first_q_median", "soak_batch_sec_last_q_median",
             "soak_flatness_ratio", "soak_manifest_list_len",
             "soak_manifest_bytes", "soak_ledger_len", "soak_parity",
+            "soak_maintain_every", "soak_n_meta_versions",
             "probe_pre_mb_s", "probe_post_mb_s", "headline_attempt_healthy",
             "host_memcpy_mb_s_pre", "host_memcpy_mb_s_post",
             "host_memcpy_warm_mb_s_pre", "host_memcpy_warm_mb_s_post",

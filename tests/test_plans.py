@@ -307,6 +307,33 @@ def test_bm25_broadcasts_stats_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bigram_pmi_two_phase_aggs_broadcast_totals_no_window(spark):
+    """doc_bigram_pmi_top20's plan: two map-side-combined hash-agg
+    pyramids (bigram counts + unigram counts), 1-row corpus totals
+    joined ONLY via broadcast, top-k as TakeOrderedAndProject — no
+    Window, no cartesian, no Python. Pinned after the r3→r4 1.70×
+    timing delta re-measured as phase noise (search.py unchanged) so
+    any future slowdown has to be a real plan change."""
+    plan = plan_of(entrymod.doc_bigram_pmi_top20(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pyramids
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_kn_ngram_model_keyed_joins_no_cartesian_no_window(spark):
+    """The general-order KN trigram score: joins keyed on word tuples
+    (AQE free to pick broadcast — nothing forced except the 1-row ΣA₁
+    total), no cartesian blowup, no Window, no Python in the plan."""
+    plan = plan_of(entrymod.doc_kn3_lm_scores(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 6  # A3/A2/A1 + ctx pyramids
+
+
 def test_pagerank_no_cartesian_no_global_sort(spark):
     plan = plan_of(entrymod.graph_pagerank_top20(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

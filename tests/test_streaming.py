@@ -151,6 +151,57 @@ def test_compact_every(spark, tmp_path, change_dir):
     assert n_delta <= 8
 
 
+def test_maintain_every_mid_stream(spark, tmp_path, change_dir):
+    """Full maintenance (threshold-gated compaction + snapshot expiry)
+    interleaved mid-stream: final state must still be byte-exact vs the
+    replay oracle, read amplification must stay bounded, and expiry
+    must actually run (meta version count far below commit count)."""
+    tp = str(tmp_path / "pages")
+    create_pages_table(tp, num_buckets=4)
+    res = run_stream(
+        spark,
+        change_dir,
+        tp,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        maintain_every=3,
+    )
+    assert res.batches_applied == N_FILES
+    assert_parity(spark, tp, change_dir)
+    t = LakeTable.load(tp)
+    # threshold-gated compaction keeps per-bucket delta chains bounded
+    per_bucket: dict[int, int] = {}
+    for f in t.manifest["files"]:
+        if f["kind"] == "delta":
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert max(per_bucket.values(), default=0) <= 8 + 3
+    # snapshot expiry ran: ≥10 merge commits + maintenance commits
+    # happened, but only keep_last(5) + post-maintenance commits remain
+    versions = [
+        fn
+        for fn in os.listdir(os.path.join(tp, "meta"))
+        if fn.startswith("v") and fn.endswith(".json")
+    ]
+    assert len(versions) <= 5 + 3
+    # the exactly-once ledger survives maintenance: re-running the same
+    # stream from a fresh checkpoint replays every batch as a no-op
+    before = {r["url"]: r["text"] for r in t.scan(spark).collect()}
+    res2 = run_stream(
+        spark,
+        change_dir,
+        tp,
+        str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+        maintain_every=3,
+    )
+    assert res2.batches_skipped == N_FILES and res2.batches_applied == 0
+    after = {
+        r["url"]: r["text"]
+        for r in LakeTable.load(tp).scan(spark).collect()
+    }
+    assert after == before
+
+
 def test_applied_batch_bookkeeping_is_bounded(spark, tmp_path):
     """The exactly-once ledger must not grow with stream length: recent
     ids stay in the window (snapshot correlation), older ids collapse

@@ -65,6 +65,7 @@ def run_stream(
     watermark_hours: int = WATERMARK_HOURS_DEFAULT,
     merge_mode: str = "mor",
     compact_every: int = 0,
+    maintain_every: int = 0,
     available_now: bool = True,
     file_format: str = "parquet",
     views: list | None = None,
@@ -79,6 +80,12 @@ def run_stream(
     the batch-oriented CDC tail). Resumable: same checkpoint_dir resumes
     from recorded offsets. `file_format`: "parquet", "jsonl" or "warc"
     (cdc/sources.py) — identical normalized columns either way.
+
+    `compact_every` / `maintain_every`: run `table.compact` (always) or
+    `table.maintain` (threshold-gated compaction + snapshot expiry)
+    after every N applied batches — maintenance interleaved mid-stream
+    rather than as a separate job; per-batch wall time must stay flat
+    across these (pinned by test_streaming + the soak bench).
 
     `views`: IncrementalCountView instances refreshed after every batch
     commit (continuous materialized views on the ingest path — each
@@ -262,6 +269,15 @@ def run_stream(
         result.batches_applied += 1
         if compact_every and (result.batches_applied % compact_every == 0):
             table.compact(spark)
+        if maintain_every and (
+            result.batches_applied % maintain_every == 0
+        ):
+            # full maintenance mid-stream (the operational mode of a
+            # long-lived tail): threshold-gated compaction + snapshot
+            # expiry. Both commit through the same snapshot machinery,
+            # so a concurrent reader never sees a partial rewrite and
+            # the exactly-once ledger is untouched.
+            table.maintain(spark)
         for v in views or ():
             v.refresh(spark, table)
         maintain_history(batch_df, batch_id)
