@@ -908,12 +908,19 @@ def test_jpeg_decoder_rejects_out_of_scope():
 
     with _pt.raises(ValueError, match="bad SOI"):
         multimodal.decode_jpeg_gray(b"\x89PNG\r\n\x1a\n")
-    # progressive (SOF2) must raise, not silently misdecode
+    # a baseline stream mislabeled as SOF2 routes to the progressive
+    # decoder and must raise on the malformed scan header (a baseline
+    # SOS has Se=63, illegal for a progressive DC scan) — never
+    # silently misdecode
     blob = bytearray(
         multimodal.encode_jpeg_gray(np.zeros((8, 8), dtype=np.uint8))
     )
     i = blob.index(b"\xff\xc0")
     blob[i + 1] = 0xC2
+    with _pt.raises(ValueError, match="Se=0"):
+        multimodal.decode_jpeg_gray(bytes(blob))
+    # genuinely out-of-scope frame types (lossless SOF3) still reject
+    blob[i + 1] = 0xC3
     with _pt.raises(ValueError, match="baseline"):
         multimodal.decode_jpeg_gray(bytes(blob))
 
@@ -1042,6 +1049,76 @@ def test_jpeg_fill_bytes_and_standalone_markers():
         got = multimodal.decode_jpeg(tweaked)
         assert got[:3] == want[:3]
         assert np.array_equal(got[3], want[3])
+
+
+def test_jpeg_progressive_pixel_identical_to_baseline():
+    """Progressive (SOF2, Annex G) spec pin: encode_jpeg_progressive
+    transmits the same quantized coefficients as the baseline encoder,
+    so decoding both streams must give IDENTICAL pixels — this covers
+    DC successive approximation, AC spectral-selection bands, EOB runs,
+    and AC refinement correction bits end to end."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:24, 0:17]
+    grey = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    rng = np.random.default_rng(31)
+    rgb = rng.integers(0, 256, (19, 26, 3), dtype=np.uint8)
+    cases = [
+        (multimodal.encode_jpeg(grey), multimodal.encode_jpeg_progressive(grey)),
+        (
+            multimodal.encode_jpeg(rgb, "444"),
+            multimodal.encode_jpeg_progressive(rgb, "444"),
+        ),
+        (
+            multimodal.encode_jpeg(rgb, "420"),
+            multimodal.encode_jpeg_progressive(rgb, "420"),
+        ),
+    ]
+    for base, prog in cases:
+        rb = multimodal.decode_jpeg(base)
+        rp = multimodal.decode_jpeg(prog)  # SOF2 routes to Annex G
+        assert rb[:3] == rp[:3]
+        assert np.array_equal(rb[3], rp[3])
+    # dense-coefficient case (ones quant): exercises long runs, ZRL in
+    # refinement, and every correction-bit placement
+    ones = np.ones(64, dtype=np.int64)
+    noise = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    rb = multimodal.decode_jpeg(multimodal.encode_jpeg(noise, quant_luma=ones))
+    rp = multimodal.decode_jpeg(
+        multimodal.encode_jpeg_progressive(noise, quant_luma=ones)
+    )
+    assert np.array_equal(rb[3], rp[3])
+    # the progressive entry point requires SOF2
+    with pytest.raises(ValueError, match="SOF2"):
+        multimodal.decode_jpeg_progressive(multimodal.encode_jpeg(grey))
+
+
+def test_jpeg_progressive_fuzz_and_truncation():
+    import numpy as np
+
+    rng = np.random.default_rng(57)
+    for trial in range(6):
+        w, h = int(rng.integers(8, 34)), int(rng.integers(8, 34))
+        if trial % 3 == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            base = multimodal.encode_jpeg(img)
+            prog = multimodal.encode_jpeg_progressive(img)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            sub = "444" if trial % 3 == 1 else "420"
+            base = multimodal.encode_jpeg(img, sub)
+            prog = multimodal.encode_jpeg_progressive(img, sub)
+        rb, rp = multimodal.decode_jpeg(base), multimodal.decode_jpeg(prog)
+        assert rb[:3] == rp[:3] and np.array_equal(rb[3], rp[3]), trial
+    # truncation never yields silent garbage (same contract as baseline)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    prog = multimodal.encode_jpeg_progressive(img)
+    for cut in range(3, len(prog), 11):
+        try:
+            dw, dh, ch, out = multimodal.decode_jpeg(prog[:cut])
+        except ValueError:
+            continue
+        assert (dw, dh, ch) == (23, 17, 1) and out.shape == (17, 23, 1)
 
 
 def test_components_fuzz_regimes_agree(spark):

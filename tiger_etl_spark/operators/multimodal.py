@@ -4,11 +4,14 @@ Media payloads are opaque `binary` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` operators. Image decode is REAL for the two formats web
 crawls overwhelmingly carry: PNG (`decode_png`, pure stdlib inflate +
-de-filter) and baseline greyscale JPEG (`decode_jpeg_gray`,
-stdlib+numpy huffman entropy decode + exact orthogonal IDCT, pinned by
-spec-level roundtrip tests against the matching `encode_jpeg_gray`).
-Color/progressive JPEG and audio/video decode need libraries not
-present in this container: `decoder=None` uses a deterministic fake
+de-filter) and JPEG (`decode_jpeg`) — baseline sequential (SOF0,
+greyscale and YCbCr color with sampling factors) AND progressive
+(SOF2, Annex G: spectral selection + successive approximation + EOB
+runs), stdlib+numpy huffman entropy decode + exact orthogonal IDCT,
+each pinned by spec-level roundtrip tests against matching encoders
+(`encode_jpeg` / `encode_jpeg_progressive`, whose streams must decode
+pixel-identical). Audio/video decode needs libraries not present in
+this container: `decoder=None` uses a deterministic fake
 (byte-statistics "features") so the Spark-side plumbing — schema,
 batching, partitioning, UDF signature — stays real and tested; wire a
 PIL/torchvision/librosa-backed callable there in production.
@@ -237,18 +240,17 @@ def make_png_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
 
 def real_decoder_stub(blob: bytes) -> list[float]:
     """The production decode hook. PNG decodes for real via
-    `make_png_decoder` (pure stdlib) and baseline greyscale JPEG via
-    `make_jpeg_decoder` (stdlib+numpy huffman/IDCT, defined below);
-    color/progressive JPEG, audio and video need libraries not present
-    in this container — wire PIL / torchvision / librosa here."""
+    `make_png_decoder` (pure stdlib) and JPEG — baseline OR progressive,
+    grey or color — via `make_jpeg_decoder` (stdlib+numpy huffman/IDCT,
+    defined below); audio and video need libraries not present in this
+    container — wire PIL / torchvision / librosa here."""
     if blob[:8] == PNG_MAGIC:
         return make_png_decoder()(blob)
     if blob[:3] == JPEG_MAGIC or blob[:2] == b"\xff\xd8":
         return make_jpeg_decoder()(blob)
     raise NotImplementedError(
-        "audio/video (and non-baseline JPEG) decoding requires media "
-        "libraries not present in this container; pass decoder=... to "
-        "extract_media_features"
+        "audio/video decoding requires media libraries not present in "
+        "this container; pass decoder=... to extract_media_features"
     )
 
 
@@ -420,7 +422,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
     dequantize -> exact orthogonal IDCT -> chroma upsample ->
     YCbCr->RGB (ITU BT.601 as T.871 specifies). Returns (width,
     height, channels, uint8 array [height, width, channels]).
-    Raises on progressive/extended (non-SOF0) or 12-bit streams."""
+    Progressive (SOF2) streams route to `decode_jpeg_progressive`;
+    raises on extended/lossless/arithmetic (other SOFn) or 12-bit."""
     import struct
 
     if blob[:2] != b"\xff\xd8":
@@ -486,8 +489,10 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline sequential DCT (SOF0) supported")
+        elif marker == 0xC2:  # SOF2: hand the whole stream to Annex G
+            return decode_jpeg_progressive(blob)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline (SOF0) or progressive (SOF2) supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -563,6 +568,334 @@ def decode_jpeg_gray(blob: bytes) -> tuple[int, int, "np.ndarray"]:
     if ch != 1:
         raise ValueError("color JPEG passed to decode_jpeg_gray")
     return w, h, px.reshape(h, w)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2) — T.81 Annex G. Coefficients accumulate across
+# scans: DC first/refinement scans (interleaved MCU order), per-component
+# AC spectral-selection bands with EOB runs, and AC successive-
+# approximation refinement (correction bits). Pinned by a matching
+# progressive ENCODER below whose output must decode pixel-identical to
+# the baseline path for the same quantized coefficients.
+# ---------------------------------------------------------------------------
+
+
+def _decode_dc_scan(r, blocks_iter, huff, preds, al, refine):
+    """DC scan over blocks in the given order. blocks_iter yields
+    (cid, coefblock) — coefblock is the block's 64-long zigzag array."""
+    for cid, coef in blocks_iter:
+        if refine:
+            coef[0] |= r.read(1) << al
+        else:
+            s = _huff_read(r, huff[cid])
+            preds[cid] += _extend(r.read(s), s)
+            coef[0] = preds[cid] << al
+
+
+def _decode_ac_first(r, coef, ss, se, al, ac_tbl, eobrun: list) -> None:
+    """AC spectral-selection first pass for one block (G.2 / F.2.2.2
+    with EOB runs)."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_read(r, ac_tbl)
+        rr, s = rs >> 4, rs & 15
+        if s == 0:
+            if rr < 15:
+                eobrun[0] = (1 << rr) - 1 + (r.read(rr) if rr else 0)
+                return
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(r.read(s), s) << al
+        k += 1
+
+
+def _decode_ac_refine(r, coef, ss, se, al, ac_tbl, eobrun: list) -> None:
+    """AC successive-approximation refinement for one block (G.2):
+    correction bits for already-nonzero coefficients, newly-significant
+    ±1·2^Al insertions positioned by zero-history run lengths, EOB runs
+    whose remaining history coefficients still receive corrections."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(idx):
+        if r.read(1) and not (abs(int(coef[idx])) & p1):
+            coef[idx] += p1 if coef[idx] > 0 else m1
+
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = _huff_read(r, ac_tbl)
+            rr, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if rr < 15:
+                    eobrun[0] = (1 << rr) + (r.read(rr) if rr else 0)
+                    break  # EOB: corrections continue below
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                newval = p1 if r.read(1) else m1
+            # advance over rr zero-HISTORY positions; history
+            # coefficients passed over receive correction bits
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _noninterleaved_block_dims(width, height, h, v, hmax, vmax):
+    """Block grid of a SINGLE-component (non-interleaved) scan: the
+    component's true sample dims, NOT the MCU-padded grid (T.81 A.2.2)."""
+    cw = (width * h + hmax - 1) // hmax
+    ch = (height * v + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def decode_jpeg_progressive(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Progressive-DCT JPEG decode (T.81 SOF2 + Annex G): multi-scan
+    spectral selection AND successive approximation, greyscale or
+    interleaved-origin YCbCr with sampling factors, DRI/RSTn inside
+    scans. Returns (width, height, channels, uint8 [h, w, ch])."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    width = height = None
+    comps = []  # (cid, h, v, tq)
+    restart_interval = 0
+    coefs = {}  # cid -> (by, bx, 64) int64
+    dims = {}
+    saw_scan = False
+    while pos < len(blob):
+        if pos + 2 > len(blob) or blob[pos] != 0xFF:
+            raise ValueError("marker expected (truncated or corrupt JPEG)")
+        while pos + 2 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            raise ValueError("marker expected (truncated or corrupt JPEG)")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG header segment")
+        (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        seg = blob[pos + 4:pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG header segment")
+        pos += 2 + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                z = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = z
+                qt[tq] = tbl
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = seg[i + 17:i + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise ValueError("1 (grey) or 3 (YCbCr) components supported")
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for cid, h, v, tq in comps:
+                coefs[cid] = np.zeros((mcuy * v, mcux * h, 64), dtype=np.int64)
+                dims[cid] = (h, v, tq)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("decode_jpeg_progressive requires SOF2")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — decode this scan's entropy data
+            if width is None:
+                raise ValueError("SOS before SOF2")
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_comps.append((cid, tt >> 4, tt & 15))
+            ss_, se_, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            saw_scan = True
+            r = _BitReader(blob, pos)
+            by_id = {cid: dims[cid] for cid, *_ in comps}
+            if ss_ == 0:  # DC scan
+                if se_ != 0:
+                    raise ValueError("DC scan must have Se=0")
+                preds = {cid: 0 for cid, *_ in scan_comps}
+                huff = {
+                    cid: huff_dc.get(td) for cid, td, _ in scan_comps
+                }
+                if ah == 0 and any(
+                    huff[cid] is None for cid, *_ in scan_comps
+                ):
+                    raise ValueError("missing DC huffman table")
+                if ns > 1:
+                    # interleaved MCU order
+                    mcu = 0
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            if (
+                                restart_interval
+                                and mcu
+                                and mcu % restart_interval == 0
+                            ):
+                                if not r.at_restart():
+                                    raise ValueError("expected RST marker")
+                                preds = {cid: 0 for cid in preds}
+
+                            def mcu_blocks(my=my, mx=mx):
+                                for cid, _td, _ta in scan_comps:
+                                    h, v, _ = by_id[cid]
+                                    for vy in range(v):
+                                        for vx in range(h):
+                                            yield cid, coefs[cid][
+                                                my * v + vy, mx * h + vx
+                                            ]
+
+                            _decode_dc_scan(
+                                r, mcu_blocks(), huff, preds, al, ah != 0
+                            )
+                            mcu += 1
+                else:
+                    cid = scan_comps[0][0]
+                    h, v, _ = by_id[cid]
+                    nby, nbx = _noninterleaved_block_dims(
+                        width, height, h, v, hmax, vmax
+                    )
+                    nb = 0
+                    for byy in range(nby):
+                        for bxx in range(nbx):
+                            if (
+                                restart_interval
+                                and nb
+                                and nb % restart_interval == 0
+                            ):
+                                if not r.at_restart():
+                                    raise ValueError("expected RST marker")
+                                preds = {cid: 0}
+                            _decode_dc_scan(
+                                r,
+                                [(cid, coefs[cid][byy, bxx])],
+                                huff,
+                                preds,
+                                al,
+                                ah != 0,
+                            )
+                            nb += 1
+            else:  # AC scan: single component only (T.81 G.1.1.1)
+                if ns != 1:
+                    raise ValueError("progressive AC scans are per-component")
+                cid, _td, ta = scan_comps[0]
+                ac_tbl = huff_ac.get(ta)
+                if ac_tbl is None:
+                    raise ValueError("missing AC huffman table")
+                h, v, _ = by_id[cid]
+                nby, nbx = _noninterleaved_block_dims(
+                    width, height, h, v, hmax, vmax
+                )
+                eobrun = [0]
+                fn = _decode_ac_refine if ah else _decode_ac_first
+                nb = 0
+                for byy in range(nby):
+                    for bxx in range(nbx):
+                        if (
+                            restart_interval
+                            and nb
+                            and nb % restart_interval == 0
+                        ):
+                            if not r.at_restart():
+                                raise ValueError("expected RST marker")
+                            eobrun[0] = 0
+                        fn(
+                            r,
+                            coefs[cid][byy, bxx],
+                            ss_,
+                            se_,
+                            al,
+                            ac_tbl,
+                            eobrun,
+                        )
+                        nb += 1
+            # resume marker parsing after the entropy segment: discard
+            # partial bits, pos is at the terminating marker
+            pos = r.pos
+    if width is None or not saw_scan:
+        raise ValueError("missing SOF2/SOS")
+    # reconstruct: dequantize + IDCT per block, then upsample + color
+    planes = {}
+    for cid, h, v, tq in comps:
+        if tq not in qt:
+            raise ValueError("missing quant table")
+        dq = qt[tq]
+        grid = coefs[cid]
+        by, bx = grid.shape[:2]
+        plane = np.empty((by * 8, bx * 8), dtype=np.uint8)
+        for yy in range(by):
+            for xx in range(bx):
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = grid[yy, xx]
+                block *= dq
+                px = _DCT_A.T @ block.reshape(8, 8) @ _DCT_A + 128.0
+                plane[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] = np.clip(
+                    np.round(px), 0, 255
+                ).astype(np.uint8)
+        planes[cid] = plane
+    full = []
+    for cid, h, v, _ in comps:
+        p = planes[cid]
+        if h != hmax or v != vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p[:height, :width].astype(np.float64))
+    if len(full) == 1:
+        return width, height, 1, full[0].astype(np.uint8).reshape(height, width, 1)
+    y, cb, cr = full
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=-1)
+    return width, height, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 class _BitWriter:
@@ -813,9 +1146,302 @@ def encode_jpeg_gray(pixels: "np.ndarray", quant: "np.ndarray" = None) -> bytes:
     return encode_jpeg(np.asarray(pixels, dtype=np.uint8), quant_luma=quant)
 
 
+def _ac_first_ops(blocks, ss: int, se: int, al: int) -> list:
+    """Symbol/bit op stream for one AC spectral-selection FIRST scan
+    (T.81 G.1.2.2): zero runs + EOB runs over the band, magnitudes
+    point-transformed by Al. Ops: ("h", sym) huffman / ("b", v, n) raw."""
+    ops: list = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("h", r << 4))
+            if r:
+                ops.append(("b", eobrun - (1 << r), r))
+            eobrun = 0
+
+    for zz in blocks:
+        vs = [
+            (abs(int(zz[k])) >> al) * (1 if zz[k] >= 0 else -1)
+            for k in range(ss, se + 1)
+        ]
+        nz = [i for i, v in enumerate(vs) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vs[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ops.append(("h", 0xF0))
+                run -= 16
+            s = _category(v)
+            ops.append(("h", (run << 4) | s))
+            ops.append(("b", _mag_bits(v, s), s))
+            run = 0
+        if nz[-1] < len(vs) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def _ac_refine_ops(blocks, ss: int, se: int, al: int) -> list:
+    """Symbol/bit op stream for one AC successive-approximation
+    REFINEMENT scan (T.81 G.1.2.3). Correction bits are placed exactly
+    where the paired decoder consumes them: after each symbol, the bits
+    for history coefficients inside that symbol's advance range (a ZRL
+    covers through its 16th zero-history position; a new-significant
+    symbol covers through the position before the insertion point; an
+    EOB covers the rest of every block in the run)."""
+    ops: list = []
+    eobrun = 0
+    pending: list[int] = []  # corrections owed to the open EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("h", r << 4))
+            if r:
+                ops.append(("b", eobrun - (1 << r), r))
+            for b in pending:
+                ops.append(("b", b, 1))
+            pending = []
+            eobrun = 0
+
+    for zz in blocks:
+        # per-position events over the band: 'z' zero-history zero,
+        # ('c', bit) history correction, ('n', sign) newly significant
+        events: list = []
+        for k in range(ss, se + 1):
+            c = int(zz[k])
+            mag = abs(c)
+            if mag >> (al + 1):  # history: nonzero in earlier passes
+                events.append(("c", (mag >> al) & 1))
+            elif mag >> al:  # newly significant this pass (|v| == 1)
+                events.append(("n", 1 if c > 0 else 0))
+            else:
+                events.append(("z",))
+        if not any(e[0] == "n" for e in events):
+            eobrun += 1
+            pending.extend(e[1] for e in events if e[0] == "c")
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        i = 0
+        last_n = max(j for j, e in enumerate(events) if e[0] == "n")
+        while i <= last_n:
+            # count zero-history zeros before the next 'n'
+            run = 0
+            j = i
+            while events[j][0] != "n":
+                if events[j][0] == "z":
+                    run += 1
+                j += 1
+            while run > 15:
+                ops.append(("h", 0xF0))
+                zcnt = 0
+                while zcnt < 16:  # consume through the 16th zero
+                    e = events[i]
+                    i += 1
+                    if e[0] == "z":
+                        zcnt += 1
+                    else:  # 'c' inside the ZRL's advance range
+                        ops.append(("b", e[1], 1))
+                run -= 16
+            sym_pos = len(ops)
+            ops.append(("h", (run << 4) | 1))
+            sign = None
+            while True:  # consume up to and including the 'n'
+                e = events[i]
+                i += 1
+                if e[0] == "n":
+                    sign = e[1]
+                    break
+                if e[0] == "c":
+                    ops.append(("b", e[1], 1))
+            # the decoder reads the sign right after the symbol, BEFORE
+            # its advance — the sign bit must precede the range
+            # corrections appended above
+            ops.insert(sym_pos + 1, ("b", sign, 1))
+        # band positions remaining after the last insertion can only be
+        # zeros/history — the decoder keeps reading symbols there, so
+        # the block must close with an EOB whose run carries the
+        # remaining history corrections
+        if events[i:]:
+            eobrun += 1
+            pending.extend(e[1] for e in events[i:] if e[0] == "c")
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return ops
+
+
+def encode_jpeg_progressive(
+    pixels: "np.ndarray",
+    subsampling: str = "444",
+    quant_luma: "np.ndarray" = None,
+    quant_chroma: "np.ndarray" = None,
+) -> bytes:
+    """Progressive JPEG encoder (T.81 SOF2 + Annex G): interleaved DC
+    first + refinement scans (successive approximation Al=1→0) and
+    per-component AC spectral-selection bands with successive
+    approximation (Al=2→1→0, EOB runs, refinement correction bits) —
+    the standard scan-script shape. Transmits the SAME quantized
+    coefficients as `encode_jpeg`, so `decode_jpeg` of both streams is
+    pixel-identical — that identity is the spec pin for the whole
+    Annex-G path. Per-scan canonical huffman tables ride in DHT."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    qy = _QT_K1 if quant_luma is None else np.asarray(quant_luma, np.int64).ravel()
+    qc = _QT_K2 if quant_chroma is None else np.asarray(quant_chroma, np.int64).ravel()
+    if px.ndim == 2:
+        h, w = px.shape
+        comps = [(1, 1, 1, 0)]
+        raw_planes = [px.astype(np.float64)]
+        qtables = {0: qy}
+    else:
+        h, w, _ = px.shape
+        r_, g_, b_ = (px[..., c].astype(np.float64) for c in range(3))
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+        cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+        if subsampling == "444":
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            raw_planes = [y, cb, cr]
+        elif subsampling == "420":
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+            eh, ew = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            raw_planes = [y] + [
+                _pad_to(c, eh, ew).reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+                for c in (cb, cr)
+            ]
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
+        qtables = {0: qy, 1: qc}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []  # per component: (by, bx, 64) zigzag quantized coefs
+    for p, (_, hh, v, tq) in zip(raw_planes, comps):
+        plane = _pad_to(p, mcuy * v * 8, mcux * hh * 8)
+        dq = qtables[tq]
+        grid = np.zeros((mcuy * v, mcux * hh, 64), dtype=np.int64)
+        for yy in range(mcuy * v):
+            for xx in range(mcux * hh):
+                blk = plane[yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] - 128.0
+                f = _DCT_A @ blk @ _DCT_A.T
+                grid[yy, xx] = np.round(f.ravel() / dq).astype(np.int64)[_ZIGZAG]
+        grids.append(grid)
+
+    def mcu_dc_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (_, hh, v, _) in enumerate(comps):
+                    for vy in range(v):
+                        for vx in range(hh):
+                            yield ci, int(grids[ci][my * v + vy, mx * hh + vx, 0])
+
+    def ac_blocks(ci):
+        _, hh, v, _ = comps[ci]
+        nby, nbx = _noninterleaved_block_dims(w, h, hh, v, hmax, vmax)
+        for yy in range(nby):
+            for xx in range(nbx):
+                yield grids[ci][yy, xx]
+
+    out = bytearray(b"\xff\xd8")
+    for tq, dq in qtables.items():
+        zz_q = np.empty(64, dtype=np.uint8)
+        zz_q[:] = dq[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(zz_q)
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
+    )
+    for cid, hh, v, tq in comps:
+        out += bytes((cid, (hh << 4) | v, tq))
+
+    def emit_scan(ops, scan_comps, ss, se, ah, al, table_class):
+        """DHT (from this scan's symbols) + SOS + entropy data."""
+        nonlocal out
+        freqs: dict[int, int] = {}
+        for op in ops:
+            if op[0] == "h":
+                freqs[op[1]] = freqs.get(op[1], 0) + 1
+        codes = None
+        if freqs:
+            bits, vals, codes = _canonical_huffman(freqs)
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out += bytes([table_class << 4]) + bytes(bits) + vals
+        out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(scan_comps))
+        out += bytes([len(scan_comps)])
+        for cid in scan_comps:
+            out += bytes((cid, 0x00))
+        out += bytes((ss, se, (ah << 4) | al))
+        wtr = _BitWriter()
+        for op in ops:
+            if op[0] == "h":
+                code, ln = codes[op[1]]
+                wtr.write(code, ln)
+            else:
+                wtr.write(op[1], op[2])
+        out += wtr.flush()
+
+    # scan 1: DC first, interleaved, Al=1
+    dc_al = 1
+    ops: list = []
+    preds = [0] * len(comps)
+    for ci, dc in mcu_dc_blocks():
+        v = dc >> dc_al  # DC point transform is an arithmetic shift
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _category(diff)
+        ops.append(("h", s))
+        if s:
+            ops.append(("b", _mag_bits(diff, s), s))
+    emit_scan(ops, [c[0] for c in comps], 0, 0, 0, dc_al, 0)
+    # AC: spectral bands first at Al=2, then refinements 2→1→0
+    for ci, (cid, *_rest) in enumerate(comps):
+        for ss, se in ((1, 5), (6, 63)):
+            emit_scan(
+                _ac_first_ops(ac_blocks(ci), ss, se, 2), [cid], ss, se, 0, 2, 1
+            )
+    for ah, al in ((2, 1), (1, 0)):
+        for ci, (cid, *_rest) in enumerate(comps):
+            emit_scan(
+                _ac_refine_ops(ac_blocks(ci), 1, 63, al),
+                [cid], 1, 63, ah, al, 1,
+            )
+    # DC refinement: raw bits, no huffman table
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps))
+    out += bytes([len(comps)])
+    for cid, *_rest in comps:
+        out += bytes((cid, 0x00))
+    out += bytes((0, 0, (1 << 4) | 0))
+    wtr = _BitWriter()
+    for _ci, dc in mcu_dc_blocks():
+        wtr.write(dc & 1, 1)
+    out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def make_jpeg_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
     """decode->featurize hook for `extract_media_features` over baseline
-    JPEG (greyscale or color) — same shape as `make_png_decoder`."""
+    or progressive JPEG (greyscale or color) — same shape as
+    `make_png_decoder`."""
 
     def decode(blob: bytes) -> list[float]:
         _, _, _, px = decode_jpeg(blob)
