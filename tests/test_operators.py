@@ -1121,6 +1121,47 @@ def test_jpeg_progressive_fuzz_and_truncation():
         assert (dw, dh, ch) == (23, 17, 1) and out.shape == (17, 23, 1)
 
 
+def test_wav_pcm_roundtrips_and_dispatch():
+    """RIFF/WAVE PCM decode: exact roundtrip through the matching
+    encoder (16-bit stereo, 8-bit mono), unknown-chunk skipping,
+    odd-size word alignment, magic dispatch in real_decoder_stub, and
+    the clean-ValueError truncation contract."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    rng = np.random.default_rng(77)
+    stereo = rng.integers(-32768, 32768, (441, 2), dtype=np.int64)
+    blob = multimodal.encode_wav(stereo, sample_rate=44100, bits=16)
+    rate, ch, frames = multimodal.decode_wav(blob)
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(frames, stereo)
+    mono8 = rng.integers(-128, 128, 100, dtype=np.int64)
+    blob8 = multimodal.encode_wav(mono8, sample_rate=8000, bits=8)
+    rate, ch, frames = multimodal.decode_wav(blob8)
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(frames.ravel(), mono8)
+    # unknown chunk (LIST) before fmt/data is skipped, word alignment held
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = blob[:12] + extra + blob[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate, ch, frames = multimodal.decode_wav(spliced)
+    assert np.array_equal(frames, stereo)
+    # dispatch: RIFF magic routes to the WAV decoder
+    feats = multimodal.real_decoder_stub(blob)
+    want = multimodal.make_wav_decoder()(blob)
+    assert feats == pytest.approx(want)
+    # contract: truncation / non-PCM raise ValueError, never garbage
+    for cut in range(4, len(blob), 37):
+        with _pt.raises(ValueError):
+            multimodal.decode_wav(blob[:cut])
+    bad = bytearray(blob)
+    bad[20] = 3  # IEEE float format tag
+    with _pt.raises(ValueError, match="PCM"):
+        multimodal.decode_wav(bytes(bad))
+
+
 def test_components_fuzz_regimes_agree(spark):
     """Random graphs: the driver union-find regime and the distributed
     star contraction must produce IDENTICAL labelings (min-key

@@ -10,11 +10,14 @@ greyscale and YCbCr color with sampling factors) AND progressive
 runs), stdlib+numpy huffman entropy decode + exact orthogonal IDCT,
 each pinned by spec-level roundtrip tests against matching encoders
 (`encode_jpeg` / `encode_jpeg_progressive`, whose streams must decode
-pixel-identical). Audio/video decode needs libraries not present in
-this container: `decoder=None` uses a deterministic fake
-(byte-statistics "features") so the Spark-side plumbing — schema,
-batching, partitioning, UDF signature — stays real and tested; wire a
-PIL/torchvision/librosa-backed callable there in production.
+pixel-identical). Uncompressed audio decodes for real too: RIFF/WAVE
+PCM (`decode_wav`, pure struct chunk walk, roundtrip-pinned against
+`encode_wav`). Compressed audio (mp3/aac/opus) and video need
+libraries not present in this container: `decoder=None` uses a
+deterministic fake (byte-statistics "features") so the Spark-side
+plumbing — schema, batching, partitioning, UDF signature — stays real
+and tested; wire a PIL/torchvision/librosa/pyav-backed callable there
+in production.
 """
 
 from __future__ import annotations
@@ -240,17 +243,22 @@ def make_png_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
 
 def real_decoder_stub(blob: bytes) -> list[float]:
     """The production decode hook. PNG decodes for real via
-    `make_png_decoder` (pure stdlib) and JPEG — baseline OR progressive,
+    `make_png_decoder` (pure stdlib), JPEG — baseline OR progressive,
     grey or color — via `make_jpeg_decoder` (stdlib+numpy huffman/IDCT,
-    defined below); audio and video need libraries not present in this
-    container — wire PIL / torchvision / librosa here."""
+    defined below), and PCM WAV audio via `make_wav_decoder` (pure
+    struct RIFF parse); compressed audio (mp3/aac/opus) and video need
+    libraries not present in this container — wire PIL / torchvision /
+    librosa / pyav here."""
     if blob[:8] == PNG_MAGIC:
         return make_png_decoder()(blob)
     if blob[:3] == JPEG_MAGIC or blob[:2] == b"\xff\xd8":
         return make_jpeg_decoder()(blob)
+    if blob[:4] == WAV_MAGIC and blob[8:12] == b"WAVE":
+        return make_wav_decoder()(blob)
     raise NotImplementedError(
-        "audio/video decoding requires media libraries not present in "
-        "this container; pass decoder=... to extract_media_features"
+        "compressed audio / video decoding requires media libraries not "
+        "present in this container; pass decoder=... to "
+        "extract_media_features"
     )
 
 
@@ -1436,6 +1444,108 @@ def encode_jpeg_progressive(
     out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV / RIFF PCM audio — pure struct parsing, no media libraries. Closes
+# the uncompressed-audio half of the audio boundary with a REAL decoder
+# (compressed audio and video remain the decoder-injection seam).
+# ---------------------------------------------------------------------------
+
+WAV_MAGIC = b"RIFF"
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, "np.ndarray"]:
+    """RIFF/WAVE PCM decode (8-bit unsigned / 16-bit signed LE,
+    any channel count): returns (sample_rate, channels, int32 array
+    [n_frames, channels]; 8-bit is centered to signed by -128).
+    Walks RIFF chunks properly (fmt before data, unknown chunks
+    skipped, word-aligned sizes) and raises ValueError on truncated or
+    non-PCM streams — the decode contract shared by the image codecs."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+        body = blob[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError("only PCM (format 1) WAV supported")
+            if bits not in (8, 16):
+                raise ValueError("only 8/16-bit PCM supported")
+            if channels == 0:
+                raise ValueError("zero channels")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, rate, bits = fmt
+    if bits == 16:
+        if len(data) % 2:
+            raise ValueError("odd 16-bit PCM payload")
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    n_frames = len(samples) // channels
+    return rate, channels, samples[: n_frames * channels].reshape(
+        n_frames, channels
+    )
+
+
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Matching RIFF/WAVE PCM writer ([n_frames, channels] or 1-D mono
+    int input) — exists so `decode_wav` is pinned by exact roundtrips."""
+    import struct
+
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s.reshape(-1, 1)
+    channels = s.shape[1]
+    if bits == 16:
+        payload = s.astype("<i2").tobytes()
+    elif bits == 8:
+        payload = (s.astype(np.int32) + 128).astype(np.uint8).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_wav_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
+    """decode->featurize hook over PCM WAV: channel-mean waveform cut
+    into `n_features` chunk means — same shape as the image hooks."""
+
+    def decode(blob: bytes) -> list[float]:
+        _rate, _ch, frames = decode_wav(blob)
+        mono = frames.astype(np.float64).mean(axis=1)
+        chunks = np.array_split(mono, n_features)
+        return [float(c.mean()) if c.size else 0.0 for c in chunks]
+
+    return decode
 
 
 def make_jpeg_decoder(n_features: int = 8) -> Callable[[bytes], list[float]]:
