@@ -346,6 +346,22 @@ def test_kn_ngram_probabilities_sum_to_one_per_seen_context(spark):
         assert abs(total - 1.0) < 1e-9, (ctx, total)
 
 
+def test_kn_ngram_order4_matches_reimplementation(spark):
+    """The recursion is order-generic: n=4 (one step beyond anything
+    hand-written) must still match the independent reimplementation
+    bit-exactly in micro-nats."""
+    df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["kn_micro_nats"])
+        for r in langmodel.kn_ngram_micro_nats(
+            df, "doc_id", "text", n=4
+        ).collect()
+    }
+    *_ignored, scores = _py_kn_ngram(_KN_DOCS, n=4)
+    assert got == scores
+    assert 5 not in got and 6 not in got  # <4 tokens drop
+
+
 def test_kn_ngram_micro_nats_scores_and_dropout(spark):
     df = spark.createDataFrame(_KN_DOCS, "doc_id long, text string")
     got = {
