@@ -145,13 +145,17 @@ def test_multimodal_feature_plumbing(spark):
     assert got[4] == [0.0, 0.0, 0.0, 0.0]
 
 
-def test_real_decoder_is_stubbed_for_non_image_media():
-    # PNG and baseline greyscale JPEG decode for real; anything else
-    # (audio/video containers) still raises the documented stub error
-    with pytest.raises(NotImplementedError):
+def test_real_decoder_is_stubbed_for_non_decodable_media():
+    # PNG, JPEG (baseline+progressive) and PCM WAV decode for real;
+    # compressed audio / video containers still raise the documented
+    # stub error, and a malformed WAV dispatches to the real decoder's
+    # clean ValueError rather than the stub
+    with pytest.raises(ValueError):
         multimodal.real_decoder_stub(b"RIFF....WAVEfmt ")
     with pytest.raises(NotImplementedError):
         multimodal.real_decoder_stub(b"\x1aE\xdf\xa3 webm-ish")
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decoder_stub(b"ID3\x04 mp3-ish")
 
 
 def _encode_png(pixels, channels: int, filters=None) -> bytes:
@@ -1160,6 +1164,33 @@ def test_wav_pcm_roundtrips_and_dispatch():
     bad[20] = 3  # IEEE float format tag
     with _pt.raises(ValueError, match="PCM"):
         multimodal.decode_wav(bytes(bad))
+    # a data chunk that is not a whole number of frames (16-bit stereo,
+    # 6 bytes = 1.5 frames, size field consistent) is a truncated
+    # stream and must raise — never silently drop the partial frame
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 6) + struct.pack("<hhh", 100, -200, 300)
+    partial = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with _pt.raises(ValueError, match="whole number of frames"):
+        multimodal.decode_wav(partial)
+
+
+def test_bitreader_restart_tolerates_fill_bytes():
+    """T.81 B.1.1.2 applies to in-scan restart markers too: a run of
+    0xFF fill bytes before RSTn must be skipped by at_restart (both the
+    baseline and progressive entropy loops go through it)."""
+    for data, want, endpos in (
+        (b"\xff\xd0", True, 2),
+        (b"\xff\xff\xff\xd3", True, 4),
+        (b"\xff\x00", False, 0),
+        (b"\xff\xd9", False, 0),  # EOI is not a restart
+        (b"\x12\x34", False, 0),
+    ):
+        r = multimodal._BitReader(data, 0)
+        got = r.at_restart()
+        assert got is want, data
+        if want:
+            assert r.pos == endpos, data
 
 
 def test_components_fuzz_regimes_agree(spark):

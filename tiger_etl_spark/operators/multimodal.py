@@ -356,12 +356,19 @@ class _BitReader:
 
     def at_restart(self) -> bool:
         """True if the next bytes (after discarding partial bits) are an
-        RST marker; consumes it."""
+        RST marker; consumes it. Tolerates a run of 0xFF fill bytes
+        before the marker byte (T.81 B.1.1.2 — same allowance as the
+        header marker loops)."""
         self.acc = 0
         self.nbits = 0
         d = self.data
-        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-            self.pos += 2
+        p = self.pos
+        if p >= len(d) or d[p] != 0xFF:
+            return False
+        while p + 1 < len(d) and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 < len(d) and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
             return True
         return False
 
@@ -396,6 +403,83 @@ def _huff_read(r: _BitReader, tbl) -> int:
 
 def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _next_jpeg_segment(blob: bytes, pos: int):
+    """Advance to the next header marker and return
+    (marker, segment_body, position_after). Shared by the baseline and
+    progressive header walks so their tolerance rules cannot diverge:
+    skips runs of 0xFF fill bytes before the marker byte (T.81
+    B.1.1.2) and standalone length-less markers (TEM, stray RSTn);
+    returns EOI as (0xD9, b\"\", pos) with no length read; raises
+    ValueError on any truncation."""
+    import struct
+
+    while True:
+        if pos + 2 > len(blob) or blob[pos] != 0xFF:
+            raise ValueError("marker expected (truncated or corrupt JPEG)")
+        while pos + 2 <= len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            raise ValueError("marker expected (truncated or corrupt JPEG)")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            return marker, b"", pos + 2
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM / stray RSTn: no length field
+            continue
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG header segment")
+        (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        seg = blob[pos + 4:pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG header segment")
+        return marker, seg, pos + 2 + seglen
+
+
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    """DQT body (possibly several tables) into qt[tq] = natural-order
+    int64[64]."""
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 15
+        if pq != 0:
+            raise ValueError("16-bit quant tables unsupported")
+        z = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
+        tbl = np.zeros(64, dtype=np.int64)
+        tbl[_ZIGZAG] = z
+        qt[tq] = tbl
+        i += 65
+
+
+def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT body (possibly several tables) into the DC/AC decode-table
+    dicts."""
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 15
+        bits = list(seg[i + 1:i + 17])
+        n = sum(bits)
+        vals = seg[i + 17:i + 17 + n]
+        (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(bits, vals)
+        i += 17 + n
+
+
+def _parse_sof(seg: bytes):
+    """SOF body -> (height, width, [(cid, h, v, tq), ...]); 8-bit,
+    1 or 3 components only."""
+    import struct
+
+    precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+    if precision != 8:
+        raise ValueError("only 8-bit precision supported")
+    if ncomp not in (1, 3):
+        raise ValueError("1 (grey) or 3 (YCbCr) components supported")
+    comps = []
+    for c in range(ncomp):
+        cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+        comps.append((cid, hv >> 4, hv & 15, tq))
+    return height, width, comps
 
 
 def _decode_block(r: _BitReader, dc_tbl, ac_tbl, pred: int):
@@ -446,57 +530,15 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
     restart_interval = 0
     scan_pos = None
     while pos < len(blob):
-        if pos + 2 > len(blob) or blob[pos] != 0xFF:
-            raise ValueError("marker expected (truncated or corrupt JPEG)")
-        # T.81 B.1.1.2: any marker may be preceded by a run of 0xFF
-        # fill bytes — skip them (the marker byte is the first non-FF)
-        while pos + 2 <= len(blob) and blob[pos + 1] == 0xFF:
-            pos += 1
-        if pos + 2 > len(blob):
-            raise ValueError("marker expected (truncated or corrupt JPEG)")
-        marker = blob[pos + 1]
+        marker, seg, pos = _next_jpeg_segment(blob, pos)
         if marker == 0xD9:  # EOI
             break
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            # TEM / stray RSTn: standalone markers with no length field
-            pos += 2
-            continue
-        if pos + 4 > len(blob):
-            raise ValueError("truncated JPEG header segment")
-        (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
-        seg = blob[pos + 4:pos + 2 + seglen]
-        if len(seg) != seglen - 2:
-            raise ValueError("truncated JPEG header segment")
-        pos += 2 + seglen
-        if marker == 0xDB:  # DQT (possibly several tables)
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                z = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = z
-                qt[tq] = tbl
-                i += 65
-        elif marker == 0xC4:  # DHT (possibly several tables)
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 15
-                bits = list(seg[i + 1:i + 17])
-                n = sum(bits)
-                vals = seg[i + 17:i + 17 + n]
-                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(bits, vals)
-                i += 17 + n
+        if marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xC4:
+            _parse_dht(seg, huff_dc, huff_ac)
         elif marker == 0xC0:  # SOF0 baseline
-            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
-            if precision != 8:
-                raise ValueError("only 8-bit precision supported")
-            if ncomp not in (1, 3):
-                raise ValueError("1 (grey) or 3 (YCbCr) components supported")
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+            height, width, comps = _parse_sof(seg)
         elif marker == 0xC2:  # SOF2: hand the whole stream to Annex G
             return decode_jpeg_progressive(blob)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -696,54 +738,15 @@ def decode_jpeg_progressive(blob: bytes) -> tuple[int, int, int, "np.ndarray"]:
     dims = {}
     saw_scan = False
     while pos < len(blob):
-        if pos + 2 > len(blob) or blob[pos] != 0xFF:
-            raise ValueError("marker expected (truncated or corrupt JPEG)")
-        while pos + 2 <= len(blob) and blob[pos + 1] == 0xFF:
-            pos += 1
-        if pos + 2 > len(blob):
-            raise ValueError("marker expected (truncated or corrupt JPEG)")
-        marker = blob[pos + 1]
+        marker, seg, pos = _next_jpeg_segment(blob, pos)
         if marker == 0xD9:  # EOI
             break
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if pos + 4 > len(blob):
-            raise ValueError("truncated JPEG header segment")
-        (seglen,) = struct.unpack(">H", blob[pos + 2:pos + 4])
-        seg = blob[pos + 4:pos + 2 + seglen]
-        if len(seg) != seglen - 2:
-            raise ValueError("truncated JPEG header segment")
-        pos += 2 + seglen
         if marker == 0xDB:
-            i = 0
-            while i < len(seg):
-                pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                z = np.frombuffer(seg[i + 1:i + 65], dtype=np.uint8).astype(np.int64)
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[_ZIGZAG] = z
-                qt[tq] = tbl
-                i += 65
+            _parse_dqt(seg, qt)
         elif marker == 0xC4:
-            i = 0
-            while i < len(seg):
-                tc, th = seg[i] >> 4, seg[i] & 15
-                bits = list(seg[i + 1:i + 17])
-                n = sum(bits)
-                vals = seg[i + 17:i + 17 + n]
-                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(bits, vals)
-                i += 17 + n
+            _parse_dht(seg, huff_dc, huff_ac)
         elif marker == 0xC2:  # SOF2 progressive
-            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
-            if precision != 8:
-                raise ValueError("only 8-bit precision supported")
-            if ncomp not in (1, 3):
-                raise ValueError("1 (grey) or 3 (YCbCr) components supported")
-            for c in range(ncomp):
-                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+            height, width, comps = _parse_sof(seg)
             hmax = max(h for _, h, _, _ in comps)
             vmax = max(v for _, _, v, _ in comps)
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -1494,16 +1497,17 @@ def decode_wav(blob: bytes) -> tuple[int, int, "np.ndarray"]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     channels, rate, bits = fmt
+    block_align = channels * bits // 8
+    if len(data) % block_align:
+        # a data payload that is not a whole number of frames is a
+        # truncated stream — raise, never silently drop the tail (the
+        # codec-wide truncation contract)
+        raise ValueError("PCM payload is not a whole number of frames")
     if bits == 16:
-        if len(data) % 2:
-            raise ValueError("odd 16-bit PCM payload")
         samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
     else:
         samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
-    n_frames = len(samples) // channels
-    return rate, channels, samples[: n_frames * channels].reshape(
-        n_frames, channels
-    )
+    return rate, channels, samples.reshape(-1, channels)
 
 
 def encode_wav(
