@@ -1175,6 +1175,30 @@ def test_wav_pcm_roundtrips_and_dispatch():
         multimodal.decode_wav(partial)
 
 
+def test_jpeg_restart_interval_roundtrips():
+    """DRI/RSTn: encoding with a restart interval (DC predictor resets,
+    byte-aligned RST0-7 cycling) must decode pixel-identical to the
+    restart-free stream of the same image — pins the decoder's restart
+    path, which no previous stream exercised."""
+    import numpy as np
+
+    rng = np.random.default_rng(83)
+    grey = rng.integers(0, 256, (24, 40), dtype=np.uint8)  # 15 MCUs
+    plain = multimodal.decode_jpeg(multimodal.encode_jpeg(grey))
+    for ri in (1, 2, 7):
+        blob = multimodal.encode_jpeg(grey, restart_interval=ri)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        got = multimodal.decode_jpeg(blob)
+        assert got[:3] == plain[:3]
+        assert np.array_equal(got[3], plain[3]), ri
+    rgb = rng.integers(0, 256, (20, 35, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        plain = multimodal.decode_jpeg(multimodal.encode_jpeg(rgb, sub))
+        blob = multimodal.encode_jpeg(rgb, sub, restart_interval=3)
+        got = multimodal.decode_jpeg(blob)
+        assert np.array_equal(got[3], plain[3]), sub
+
+
 def test_bitreader_restart_tolerates_fill_bytes():
     """T.81 B.1.1.2 applies to in-scan restart markers too: a run of
     0xFF fill bytes before RSTn must be skipped by at_restart (both the

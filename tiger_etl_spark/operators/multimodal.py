@@ -929,10 +929,21 @@ class _BitWriter:
                 self.out.append(0x00)
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """1-pad to a byte boundary (T.81 F.1.2.3 — required before a
+        restart marker)."""
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        """Append a real marker (no byte stuffing) — the writer must be
+        byte-aligned first."""
+        self.align()
+        self.out += bytes((0xFF, marker))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -1047,14 +1058,18 @@ def encode_jpeg(
     subsampling: str = "444",
     quant_luma: "np.ndarray" = None,
     quant_chroma: "np.ndarray" = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JPEG encoder (T.81 sequential DCT): greyscale (2-D
     input) or YCbCr color (3-D RGB input; `subsampling` "444" or
     "420"), exact orthogonal FDCT, Annex-K quantization by default
     (K.1 luma / K.2 chroma), per-image canonical huffman tables in
-    DHT. Exists to pin `decode_jpeg` with spec-level roundtrip tests —
-    any compliant decoder reads its output, because everything a
-    decoder needs (DQT, DHT, SOF0, SOS) rides in the stream."""
+    DHT, optional DRI/RSTn (`restart_interval` MCUs per restart
+    segment: DC predictors reset, writer byte-aligned, RST0-7 cycled —
+    pins the decoder's restart path). Exists to pin `decode_jpeg` with
+    spec-level roundtrip tests — any compliant decoder reads its
+    output, because everything a decoder needs (DQT, DHT, SOF0, SOS,
+    DRI) rides in the stream."""
     import struct
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -1100,8 +1115,12 @@ def encode_jpeg(
     preds = [0] * len(comps)
     dc_freq: dict[int, int] = {}
     ac_freq: dict[int, int] = {}
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                preds = [0] * len(comps)  # DC resets at each restart
+            mcu += 1
             for ci, (_, hh, v, tq) in enumerate(comps):
                 dq = qtables[tq]
                 for vy in range(v):
@@ -1130,12 +1149,22 @@ def encode_jpeg(
     for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
         out += bytes([tc << 4]) + bytes(bits) + vals
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps)) + bytes([len(comps)])
     for cid, *_ in comps:
         out += bytes((cid, 0x00))
     out += bytes((0, 63, 0))
     wtr = _BitWriter()
-    for diff, syms in blocks:
+    blocks_per_mcu = sum(hh * v for _, hh, v, _ in comps)
+    for bi, (diff, syms) in enumerate(blocks):
+        if (
+            restart_interval
+            and bi
+            and bi % (restart_interval * blocks_per_mcu) == 0
+        ):
+            mcu_idx = bi // (restart_interval * blocks_per_mcu)
+            wtr.emit_marker(0xD0 + (mcu_idx - 1) % 8)
         s = _category(diff)
         code, ln = dc_codes[s]
         wtr.write(code, ln)
