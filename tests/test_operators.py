@@ -1191,12 +1191,34 @@ def test_jpeg_restart_interval_roundtrips():
         got = multimodal.decode_jpeg(blob)
         assert got[:3] == plain[:3]
         assert np.array_equal(got[3], plain[3]), ri
+    # the RSTn INDEX cycle matters to third-party decoders (libjpeg
+    # uses it for resync) even though our tolerant reader ignores it:
+    # extract the marker sequence from the entropy segment (FF followed
+    # by D0-D7; FF00 is a stuffed data byte, not a marker) and pin the
+    # 0,1,...,7,0,... cycle. 15 MCUs at ri=1 -> 14 restarts.
+    blob = multimodal.encode_jpeg(grey, restart_interval=1)
+    sos = blob.index(b"\xff\xda")
+    sos_len = (blob[sos + 2] << 8) | blob[sos + 3]
+    entropy = blob[sos + 2 + sos_len:]  # marker + whole SOS segment
+    seq = []
+    i = 0
+    while i + 1 < len(entropy):
+        if entropy[i] == 0xFF and 0xD0 <= entropy[i + 1] <= 0xD7:
+            seq.append(entropy[i + 1] - 0xD0)
+            i += 2
+        else:
+            i += 1
+    assert seq == [k % 8 for k in range(14)], seq
     rgb = rng.integers(0, 256, (20, 35, 3), dtype=np.uint8)
     for sub in ("444", "420"):
         plain = multimodal.decode_jpeg(multimodal.encode_jpeg(rgb, sub))
         blob = multimodal.encode_jpeg(rgb, sub, restart_interval=3)
         got = multimodal.decode_jpeg(blob)
         assert np.array_equal(got[3], plain[3]), sub
+    # bad intervals rejected upfront, before any DCT work
+    for bad in (-1, 70000):
+        with pytest.raises(ValueError, match="restart_interval"):
+            multimodal.encode_jpeg(grey, restart_interval=bad)
 
 
 def test_bitreader_restart_tolerates_fill_bytes():

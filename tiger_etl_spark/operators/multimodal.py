@@ -1072,6 +1072,8 @@ def encode_jpeg(
     DRI) rides in the stream."""
     import struct
 
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must be in 0..65535")
     px = np.asarray(pixels, dtype=np.uint8)
     qy = _QT_K1 if quant_luma is None else np.asarray(quant_luma, np.int64).ravel()
     qc = _QT_K2 if quant_chroma is None else np.asarray(quant_chroma, np.int64).ravel()
@@ -1111,14 +1113,19 @@ def encode_jpeg(
     # pass 1: quantized blocks in interleaved MCU order + symbol freqs
     # (ONE shared DC and ONE shared AC table across components - legal,
     # since every component may reference table id 0)
-    blocks = []
+    blocks = []  # (diff, syms, restart_before): pass 1 decides the
+    # restart boundaries ONCE (DC reset here, marker emission below
+    # consumes the same flag — the two can never disagree)
     preds = [0] * len(comps)
     dc_freq: dict[int, int] = {}
     ac_freq: dict[int, int] = {}
     mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
+            restart_before = bool(
+                restart_interval and mcu and mcu % restart_interval == 0
+            )
+            if restart_before:
                 preds = [0] * len(comps)  # DC resets at each restart
             mcu += 1
             for ci, (_, hh, v, tq) in enumerate(comps):
@@ -1134,7 +1141,8 @@ def encode_jpeg(
                         dc_freq[_category(diff)] = dc_freq.get(_category(diff), 0) + 1
                         for rs, _, _ in syms:
                             ac_freq[rs] = ac_freq.get(rs, 0) + 1
-                        blocks.append((diff, syms))
+                        blocks.append((diff, syms, restart_before))
+                        restart_before = False
     dc_bits, dc_vals, dc_codes = _canonical_huffman(dc_freq)
     ac_bits, ac_vals, ac_codes = _canonical_huffman(ac_freq)
     # pass 2: serialize
@@ -1156,15 +1164,11 @@ def encode_jpeg(
         out += bytes((cid, 0x00))
     out += bytes((0, 63, 0))
     wtr = _BitWriter()
-    blocks_per_mcu = sum(hh * v for _, hh, v, _ in comps)
-    for bi, (diff, syms) in enumerate(blocks):
-        if (
-            restart_interval
-            and bi
-            and bi % (restart_interval * blocks_per_mcu) == 0
-        ):
-            mcu_idx = bi // (restart_interval * blocks_per_mcu)
-            wtr.emit_marker(0xD0 + (mcu_idx - 1) % 8)
+    n_restarts = 0
+    for diff, syms, restart_before in blocks:
+        if restart_before:
+            wtr.emit_marker(0xD0 + n_restarts % 8)
+            n_restarts += 1
         s = _category(diff)
         code, ln = dc_codes[s]
         wtr.write(code, ln)
