@@ -1523,6 +1523,55 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_meta_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pre-decode gate — REAL header-only metadata probing
+    (operators/multimodal.py: probe_media_meta / extract_media_meta):
+    deterministic per-doc media blobs (real PCM WAV for doc_id%3==0,
+    real MPEG1-Layer-III framed payload for ==1, junk for ==2) are
+    sniffed for container/codec/duration WITHOUT decoding. The oracle
+    recomputes the expected metadata from the same generation formulas
+    (the _synth_pages pattern): WAV duration = frames·1000/8000 exact,
+    MP3 duration = the CBR estimate bytes·8/128k, junk = all-null. At
+    100 TB this gate costs scan bandwidth only and routes blobs before
+    any decode spend."""
+    import pandas as pd
+
+    from tiger_etl_spark.operators.multimodal import (
+        encode_wav,
+        extract_media_meta,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 3
+                if k == 0:
+                    frames = 80 + did % 800
+                    blobs.append(
+                        encode_wav(
+                            np.zeros((frames, 1), dtype=np.int64), 8000, 16
+                        )
+                    )
+                elif k == 1:
+                    payload = 1000 + did % 9000
+                    blobs.append(
+                        bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * payload
+                    )
+                else:
+                    blobs.append(b"junk-" + str(did).encode())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.mapInPandas(gen, schema="doc_id long, blob binary")
+    meta = extract_media_meta(blobs, "doc_id", "blob")
+    return meta.select("doc_id", "media_type", "duration_ms", "codec")
+
+
 def doc_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset splitting — deterministic hash-based train/val/test
     assignment (90/5/5 on md5 buckets), summarized per (split, lang).
@@ -2834,9 +2883,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   8-10  stamps stale since round 1: doc_rolling_fingerprint,
     #         embedding_cosine_top10, embedding_neardup_pairs.
     #   11-22 stamps stale since round 2 (all twelve of them).
-    #   23-50 round-3-vintage stamps re-verified so no stamp is ever more
+    #   23-49 round-3-vintage stamps re-verified so no stamp is ever more
     #         than two rounds old (the remaining r3/r4 stamps are 1-2
     #         rounds old without re-stamping).
+    #   50    media_meta_probe (new: real header-only metadata gate,
+    #         formula-exact oracle; displaced sql_revenue_by_nation —
+    #         r1-r3-stamped — to below the line).
     # The two queries WITHOUT an oracle_sql() entry
     # (embedding_ivf_learned_top10 — iterative learned k-means — and
     # doc_compression_ratio — zlib is not SQL; both pinned by
@@ -2893,8 +2945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
         "doc_quality_scores": doc_quality_scores,
         "doc_repetition_metrics": doc_repetition_metrics,
-        "sql_revenue_by_nation": sql_revenue_by_nation,
+        "media_meta_probe": media_meta_probe,
         # --- end of driver 50-query window; order below is free ---
+        "sql_revenue_by_nation": sql_revenue_by_nation,
         "graph_khop_counts": graph_khop_counts,
         "web_alias_chains": web_alias_chains,
         "web_anchor_text_top": web_anchor_text_top,
@@ -4754,6 +4807,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS n_bpe_tokens
             FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        """,
+        "media_meta_probe": """
+            SELECT doc_id,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'audio/wav'
+                        WHEN 1 THEN 'audio/mpeg'
+                        ELSE NULL END AS media_type,
+                   CASE doc_id % 3
+                        WHEN 0 THEN ((80 + doc_id % 800) * 1000) // 8000
+                        WHEN 1 THEN ((1004 + doc_id % 9000) * 8 * 1000) // 128000
+                        ELSE NULL END AS duration_ms,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'pcm_s16le'
+                        WHEN 1 THEN 'mp3'
+                        ELSE NULL END AS codec
+            FROM documents
         """,
         "doc_kn3_lm_scores": r"""
             WITH t AS (

@@ -1221,6 +1221,68 @@ def test_jpeg_restart_interval_roundtrips():
             multimodal.encode_jpeg(grey, restart_interval=bad)
 
 
+def test_probe_media_meta_real_headers(spark):
+    """Header-only metadata probe: exact dims/duration/codec for every
+    format the repo can generate, never raising on junk, and the
+    Spark-side extract_media_meta gate agreeing with the driver-side
+    probe."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (17, 29), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    base = multimodal.encode_jpeg(img)
+    prog = multimodal.encode_jpeg_progressive(rgb, "420")
+    wav = multimodal.encode_wav(
+        rng.integers(-100, 100, (8000, 2), dtype=np.int64), 16000, 16
+    )
+    m = multimodal.probe_media_meta(base)
+    assert (m["media_type"], m["codec"], m["width"], m["height"]) == (
+        "image/jpeg", "jpeg-baseline", 29, 17,
+    )
+    m = multimodal.probe_media_meta(prog)
+    assert (m["codec"], m["width"], m["height"]) == ("jpeg-progressive", 13, 11)
+    m = multimodal.probe_media_meta(wav)
+    assert (m["media_type"], m["codec"], m["duration_ms"]) == (
+        "audio/wav", "pcm_s16le", 500,  # 8000 frames / 16 kHz
+    )
+    # minimal MP3: ID3v2 tag (10-byte header, 20-byte body) + MPEG1 L3
+    # frame header (128 kbps, 44100 Hz) + 16000 payload bytes -> the
+    # CBR estimate is (16004*8)/128k s = 1000 ms (header included)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    frame_hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3 128k 44.1k
+    mp3 = id3 + frame_hdr + b"\x00" * 16000
+    m = multimodal.probe_media_meta(mp3)
+    assert (m["media_type"], m["codec"]) == ("audio/mpeg", "mp3")
+    assert m["duration_ms"] == (16004 * 8 * 1000) // 128000
+    # junk / truncated never raise
+    for junk in (None, b"", b"\x00" * 40, base[:5], wav[:13], b"ID3" + b"\x00" * 20):
+        out = multimodal.probe_media_meta(junk)
+        assert isinstance(out, dict)
+    # PNG via the test encoder defined below
+    png = _encode_png([[10, 20, 30], [40, 50, 60]], 1)
+    m = multimodal.probe_media_meta(png)
+    assert (m["media_type"], m["codec"], m["width"], m["height"]) == (
+        "image/png", "png", 3, 2,
+    )
+    # the Spark gate matches the driver-side probe per row
+    rows = [(0, base), (1, prog), (2, wav), (3, mp3), (4, None), (5, b"junk")]
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {
+        r["media_id"]: (r["media_type"], r["width"], r["height"],
+                        r["duration_ms"], r["codec"])
+        for r in multimodal.extract_media_meta(df, "media_id", "blob").collect()
+    }
+    for mid, blob in rows:
+        want = multimodal.probe_media_meta(bytes(blob) if blob else None)
+        assert got[mid] == (
+            want["media_type"], want["width"], want["height"],
+            want["duration_ms"], want["codec"],
+        ), mid
+
+
 def test_bitreader_restart_tolerates_fill_bytes():
     """T.81 B.1.1.2 applies to in-scan restart markers too: a run of
     0xFF fill bytes before RSTn must be skipped by at_restart (both the

@@ -74,6 +74,138 @@ def extract_media_features(
     return df.select(id_col, blob_col).mapInPandas(op, schema=schema)
 
 
+def probe_media_meta(blob: bytes | None) -> dict:
+    """REAL header-only metadata probe — the pre-decode gate a 100 TB
+    pipeline filters on (resolution / duration / codec) before spending
+    decode cycles. Pure struct sniffing, no media libraries, no entropy
+    decode:
+
+    - PNG: IHDR width/height.
+    - JPEG: marker walk to the first SOFn for dimensions; codec
+      distinguishes baseline / progressive / other-DCT.
+    - WAV: fmt+data chunks → exact duration, pcm_u8/pcm_s16le codec.
+    - MPEG audio (MP3): ID3v2 skip + first frame header (MPEG1 Layer
+      III bitrate/samplerate tables); duration is the CBR estimate
+      payload_bytes/(bitrate/8) — approximate for VBR by design.
+
+    Returns a dict matching MEDIA_META_DDL (unknown formats: all-null
+    with media_type None). Never raises on malformed input — a probe
+    that throws on junk bytes is useless as a filter."""
+    out = {
+        "media_type": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "codec": None,
+    }
+    if not blob or len(blob) < 12:
+        return out
+    import struct
+
+    try:
+        if blob[:8] == PNG_MAGIC:
+            out["media_type"] = "image/png"
+            out["codec"] = "png"
+            if blob[12:16] == b"IHDR" and len(blob) >= 24:
+                w, h = struct.unpack(">II", blob[16:24])
+                out["width"], out["height"] = int(w), int(h)
+            return out
+        if blob[:2] == b"\xff\xd8":
+            out["media_type"] = "image/jpeg"
+            pos = 2
+            while pos < len(blob):
+                marker, seg, pos = _next_jpeg_segment(blob, pos)
+                if marker in (0xD9, 0xDA):
+                    break
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    _prec, h, w = struct.unpack(">BHH", seg[:5])
+                    out["width"], out["height"] = int(w), int(h)
+                    out["codec"] = {
+                        0xC0: "jpeg-baseline", 0xC2: "jpeg-progressive"
+                    }.get(marker, "jpeg-other")
+                    break
+            return out
+        if blob[:4] == WAV_MAGIC and blob[8:12] == b"WAVE":
+            out["media_type"] = "audio/wav"
+            pos, fmt, nbytes = 12, None, None
+            while pos + 8 <= len(blob):
+                cid = blob[pos:pos + 4]
+                (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+                if cid == b"fmt " and size >= 16:
+                    fmt = struct.unpack("<HHIIHH", blob[pos + 8:pos + 24])
+                elif cid == b"data":
+                    nbytes = min(size, len(blob) - pos - 8)
+                pos += 8 + size + (size & 1)
+            if fmt and nbytes is not None:
+                _af, ch, rate, _br, _ba, bits = fmt
+                if ch and rate and bits in (8, 16):
+                    frames = nbytes // (ch * bits // 8)
+                    out["duration_ms"] = int(frames * 1000 // rate)
+                    out["codec"] = "pcm_u8" if bits == 8 else "pcm_s16le"
+            return out
+        # MPEG audio: optional ID3v2 tag, then a frame sync
+        pos = 0
+        if blob[:3] == b"ID3" and len(blob) >= 10:
+            sz = 0
+            for b in blob[6:10]:  # syncsafe 28-bit size
+                sz = (sz << 7) | (b & 0x7F)
+            pos = 10 + sz
+        if pos + 4 <= len(blob) and blob[pos] == 0xFF and (blob[pos + 1] & 0xE0) == 0xE0:
+            out["media_type"] = "audio/mpeg"
+            out["codec"] = "mpeg-audio"
+            hdr = blob[pos:pos + 4]
+            version = (hdr[1] >> 3) & 3   # 3 = MPEG1
+            layer = (hdr[1] >> 1) & 3     # 1 = Layer III
+            if version == 3 and layer == 1:
+                out["codec"] = "mp3"
+                bi = (hdr[2] >> 4) & 15
+                si = (hdr[2] >> 2) & 3
+                bitrates = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                            128, 160, 192, 224, 256, 320, 0)
+                rates = (44100, 48000, 32000, 0)
+                if bitrates[bi] and rates[si]:
+                    payload = len(blob) - pos
+                    out["duration_ms"] = int(
+                        payload * 8 * 1000 // (bitrates[bi] * 1000)
+                    )
+            return out
+    except (struct.error, ValueError, IndexError):
+        pass  # malformed header: report what was identified so far
+    return out
+
+
+def extract_media_meta(
+    df: DataFrame, id_col: str, blob_col: str
+) -> DataFrame:
+    """(id, media_type, width, height, duration_ms, codec) via Arrow
+    mapInPandas — header sniffing only, so throughput is bounded by
+    scan bandwidth, not decode cost. Filter on this BEFORE routing
+    blobs into `extract_media_features`/`resize_media` at scale."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                probe_media_meta(bytes(b) if b is not None else None)
+                for b in pdf[blob_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    **{
+                        k: [m[k] for m in metas]
+                        for k in (
+                            "media_type", "width", "height",
+                            "duration_ms", "codec",
+                        )
+                    },
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        op, schema=f"{id_col} long, {MEDIA_META_DDL}"
+    )
+
+
 def _fake_resize(blob: bytes | None, width: int, height: int) -> bytes | None:
     """Deterministic stand-in for an image resize: nearest-neighbor
     sample of the raw bytes down/up to width*height bytes (grayscale
